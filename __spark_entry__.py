@@ -3,36 +3,60 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in ``hbase_compact_spark.workload_*`` and register
+themselves into ``hbase_compact_spark.registry``; this module only
+exposes the registry to the driver.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Make the repo importable no matter where the driver runs from.
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import hbase_compact_spark.workload_core  # noqa: E402,F401 (registers queries)
+
+try:  # registered progressively as milestones land
+    import hbase_compact_spark.workload_llm  # noqa: E402,F401
+except ImportError:
+    pass
+try:
+    import hbase_compact_spark.workload_compaction  # noqa: E402,F401
+except ImportError:
+    pass
+try:
+    import hbase_compact_spark.workload_streaming  # noqa: E402,F401
+except ImportError:
+    pass
+
+from hbase_compact_spark.registry import ORACLE, QUERIES  # noqa: E402
+from hbase_compact_spark.tables import SMOKE_SF_DIR  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The Spark analog of the reference's stats report
+    (QHBaseCompact.java:219-270): fused per-group COUNT/SUM/AVG/MIN/MAX
+    in TPC-H-Q1 shape over `lineitem`.
+    """
+    return QUERIES["groupby_stats"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twin for each SQL-expressible query."""
+    return dict(ORACLE)
