@@ -1,0 +1,229 @@
+"""Compaction rewrite executor — the Spark analog of the reference's
+whole purpose (QHC.java = QHBaseCompact.java).
+
+Where the reference fires an async `majorCompact` RPC per (region,
+family) store and polls the file listing until the largest file's
+name changes (QHC.java:167,171-184), this engine REWRITES each
+partition directory itself:
+
+    read partition -> repartition(n_bins) [-> sortWithinPartitions]
+    -> write temp dir -> verify count + content fingerprint
+    -> atomic-ish swap (old files out, new files in) -> checkpoint.
+
+Differences from the reference, by design:
+* completion is a HARD verification (count + order-insensitive row
+  fingerprint), not the reference's soft-fail poll timeout
+  (QHC.java:71-72 proceeds on timeout with only a warning);
+* progress is checkpointed per partition (generalizing the
+  regionindex cursor, QHC.java:102-115,193-194) so a crashed run
+  resumes and a finished run is a no-op;
+* pacing (inter-partition sleep, QHC.java:195) and the time-of-day
+  window gate (QHC.java:48-60) are explicit policy knobs.
+
+Scale: each partition rewrite is a distributed Spark job; partitions
+are processed serially by default exactly like the reference's
+one-region-at-a-time design goal (README.md:8-9) — raise
+`max_partitions_per_run` / parallelize the driver loop when cluster
+headroom allows. File moves go through the Hadoop FileSystem API, so
+the same code path works on file://, hdfs:// and s3a:// (rename is
+not atomic on S3 — document/trash accordingly).
+"""
+
+from __future__ import annotations
+
+import math
+import posixpath
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.checkpoint import CompactionCheckpoint
+
+
+@dataclass
+class PartitionResult:
+    partition: str
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+    skipped: str | None = None
+
+
+@dataclass
+class CompactionReport:
+    table_root: str
+    results: list[PartitionResult] = field(default_factory=list)
+
+    @property
+    def compacted(self) -> list[PartitionResult]:
+        return [r for r in self.results if r.skipped is None]
+
+
+def _fingerprint(df: DataFrame) -> tuple[int, int]:
+    """(row_count, order-insensitive content fingerprint).
+
+    bit_xor of per-row xxhash64 over every column: commutative, no
+    overflow (safe under ANSI mode), computed in one distributed pass.
+    """
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), int(row["fp"] or 0)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _in_time_window(start: str, end: str, now: datetime | None = None) -> bool:
+    """The reference's lexicographic HH:mm:ss window compare
+    (QHC.java:52). start > end (midnight wrap) never opens — matching
+    the reference's observed (if surprising) semantics."""
+    tod = (now or datetime.now()).strftime("%H:%M:%S")
+    return start <= tod <= end
+
+
+def list_partition_files(
+    spark: SparkSession, table_root: str
+) -> dict[str, list[tuple[str, int]]]:
+    """Distributed listing of every data file under `table_root`,
+    grouped by its parent (leaf partition) directory — the Spark
+    analog of per-store `listStatus` (QHC.java:149). Returns relative
+    dir -> [(file_uri, size)]."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(table_root)
+        .select("path", "length")
+    )
+    out: dict[str, list[tuple[str, int]]] = {}
+    root_norm = table_root.rstrip("/")
+    for r in df.collect():  # one row per FILE: bounded metadata
+        path = r["path"]
+        parent = posixpath.dirname(path)
+        rel = parent.split(root_norm, 1)[-1].strip("/") if root_norm in path else parent
+        if posixpath.basename(parent).startswith(("_", ".")):
+            continue  # temp/trash dirs are not data
+        out.setdefault(rel, []).append((path, int(r["length"])))
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    checkpoint: CompactionCheckpoint | None = None,
+    sort_by: list[str] | None = None,
+    pacing_seconds: float = 0.0,
+    time_window: tuple[str, str] | None = None,
+    max_partitions_per_run: int | None = None,
+) -> CompactionReport:
+    """Compact every small-file partition of a parquet table in place.
+
+    A partition qualifies when it has >1 file (QHC.java:151) AND the
+    planned bin count is lower than the current file count (no
+    pointless rewrites). `sort_by` preserves the sorted-run property
+    of the reference's HFiles in the rewritten parquet.
+    """
+    ckpt = checkpoint or CompactionCheckpoint(
+        posixpath.join(table_root, "_compaction_checkpoint.json")
+    )
+    report = CompactionReport(table_root)
+    partitions = list_partition_files(spark, table_root)
+    done = 0
+    for rel in sorted(partitions):  # deterministic order, like the
+        # reference's positional region cursor (QHC.java:133,146)
+        files = partitions[rel]
+        total = sum(s for _, s in files)
+        n_bins = max(1, math.ceil(total / target_bytes))
+        res = PartitionResult(rel, len(files), n_bins, total, rows=0)
+        if ckpt.is_done(rel):
+            res.skipped = "checkpointed"
+        elif len(files) <= 1:
+            res.skipped = "single_file"  # the >1 gate, QHC.java:151
+        elif n_bins >= len(files):
+            res.skipped = "already_compact"
+        elif max_partitions_per_run is not None and done >= max_partitions_per_run:
+            res.skipped = "pacing_budget"
+        if res.skipped:
+            report.results.append(res)
+            continue
+
+        if time_window is not None:
+            while not _in_time_window(*time_window):
+                time.sleep(1.0)  # reference sleeps 60 s (QHC.java:54);
+                # 1 s keeps tests responsive, policy not semantics
+
+        part_dir = posixpath.join(table_root, rel) if rel else table_root
+        src = spark.read.parquet(*[p for p, _ in files])
+        n_before, fp_before = _fingerprint(src)
+
+        tmp_dir = posixpath.join(
+            table_root, f"_compact_tmp_{abs(hash(rel)) % 10**8}"
+        )
+        writer = src.repartition(n_bins)
+        if sort_by:
+            writer = writer.sortWithinPartitions(*sort_by)
+        writer.write.mode("overwrite").parquet(tmp_dir)
+
+        rewritten = spark.read.parquet(tmp_dir)
+        n_after, fp_after = _fingerprint(rewritten)
+        if (n_before, fp_before) != (n_after, fp_after):
+            # hard verification where the reference soft-fails
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"compaction verification failed for {rel}: "
+                f"rows {n_before}->{n_after}, fingerprint changed"
+            )
+        _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files])
+        res.rows = n_after
+        report.results.append(res)
+        ckpt.mark_done(
+            rel, files_before=len(files), files_after=n_bins, rows=n_after
+        )
+        done += 1
+        if pacing_seconds:
+            time.sleep(pacing_seconds)  # QHC.java:195 inter-region pause
+    return report
+
+
+def _swap_files(
+    spark: SparkSession, tmp_dir: str, dest_dir: str, old_files: list[str]
+) -> None:
+    """Move rewritten files into the partition dir and drop the old
+    ones. Rename-based: atomic per file on HDFS/local FS; on object
+    stores pair with a manifest commit. Old files are deleted only
+    AFTER all new files are in place, so a crash mid-swap leaves a
+    superset (re-running the verification/compaction heals it) rather
+    than data loss."""
+    fs, _, jvm = _hadoop_fs(spark, tmp_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    new_files = [
+        st.getPath()
+        for st in fs.listStatus(Path(tmp_dir))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    for i, src in enumerate(new_files):
+        dest = Path(dest_dir, f"compacted-{int(time.time())}-{i:05d}.parquet")
+        if not fs.rename(src, dest):
+            raise RuntimeError(f"rename failed: {src} -> {dest}")
+    for old in old_files:
+        fs.delete(Path(old), False)
+    fs.delete(Path(tmp_dir), True)
+
+
+def _rm(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)

@@ -33,15 +33,20 @@ from hbase_compact_spark.tables import load_table
 # same way; DuckDB CAST(double AS BIGINT) rounds while Spark's
 # truncates, so the cast happens only after floor().
 INVENTORY_SQL = """
-    SELECT
-      'lineitem' AS table_name,
-      concat('region_', CAST(l_orderkey % 8 AS VARCHAR)) AS region,
-      concat(l_returnflag, '_', l_linestatus) AS family,
-      concat('hfile_', CAST(l_orderkey AS VARCHAR), '_',
-             CAST(l_linenumber AS VARCHAR)) AS file,
-      CAST(floor(l_extendedprice * 1000) AS BIGINT) AS size_bytes,
-      l_shipdate AS mtime
-    FROM lineitem
+    SELECT table_name, region, family, file,
+           max(size_bytes) AS size_bytes, max(mtime) AS mtime
+    FROM (
+      SELECT
+        'lineitem' AS table_name,
+        concat('region_', CAST(l_orderkey % 8 AS VARCHAR)) AS region,
+        concat(l_returnflag, '_', l_linestatus) AS family,
+        concat('hfile_', CAST(l_orderkey AS VARCHAR), '_',
+               CAST(l_linenumber AS VARCHAR)) AS file,
+        CAST(floor(l_extendedprice * 1000) AS BIGINT) AS size_bytes,
+        l_shipdate AS mtime
+      FROM lineitem
+    )
+    GROUP BY table_name, region, family, file
 """
 
 
@@ -50,10 +55,13 @@ def derived_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory derived from `lineitem` (one file row per line item).
 
     Shapes mirror the reference's domain: ~8 regions x 6 families with
-    many files each, skewed sizes. The DuckDB twin is INVENTORY_SQL.
+    many files each, skewed sizes. File names must be UNIQUE per group
+    (a directory can't hold two files with one name) but the fixture
+    lineitem has duplicate (orderkey, linenumber) pairs, so duplicates
+    collapse via max-aggregation — mirrored in INVENTORY_SQL.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    raw = li.select(
         F.lit("lineitem").alias("table_name"),
         F.concat(F.lit("region_"), (F.col("l_orderkey") % 8).cast("string")).alias(
             "region"
@@ -67,6 +75,10 @@ def derived_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("file"),
         F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("size_bytes"),
         F.col("l_shipdate").alias("mtime"),
+    )
+    return raw.groupBy("table_name", "region", "family", "file").agg(
+        F.max("size_bytes").alias("size_bytes"),
+        F.max("mtime").alias("mtime"),
     )
 
 

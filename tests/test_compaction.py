@@ -1,0 +1,160 @@
+"""Compaction engine tests — the Spark analog of the reference's
+operational core (SURVEY.md §5.2 item 4): plan invariants, rewrite
+correctness (row-set preserved), checkpoint resume, idempotence, the
+>1-file gate, and arg-max/verification determinism."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.checkpoint import CompactionCheckpoint
+from hbase_compact_spark.compaction.executor import (
+    _fingerprint,
+    _in_time_window,
+    compact_table,
+)
+from hbase_compact_spark.compaction.planner import plan_bins
+from hbase_compact_spark.sources.inventory import derived_inventory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ plan
+@pytest.fixture(scope="module")
+def plan(spark):
+    inv = derived_inventory(spark, SF_DIR)
+    return plan_bins(inv, 200_000_000), inv
+
+
+def test_plan_every_file_in_exactly_one_bin(spark, plan):
+    planned, inv = plan
+    # plan covers exactly the files of multi-file groups, once each
+    n_inv = inv.count()
+    assert planned.count() == n_inv  # all fixture groups have >1 file
+    assert planned.select("region", "family", "file").distinct().count() == n_inv
+
+
+def test_plan_no_bin_overflows_unless_single_file(spark, plan):
+    planned, _ = plan
+    bad = planned.filter(
+        (F.col("bin_bytes") > 200_000_000) & (F.col("bin_files") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_plan_is_deterministic(spark):
+    inv = derived_inventory(spark, SF_DIR)
+    a = sorted(map(tuple, plan_bins(inv, 200_000_000).collect()))
+    b = sorted(map(tuple, plan_bins(inv, 200_000_000).collect()))
+    assert a == b
+
+
+def test_plan_packs_tighter_than_input(spark, plan):
+    planned, _ = plan
+    per_group = planned.groupBy("region", "family").agg(
+        F.count("*").alias("files"),
+        (F.max("bin_id") + 1).alias("bins"),
+    )
+    assert per_group.filter(F.col("bins") > F.col("files")).count() == 0
+    # and at least some group actually merges files
+    assert per_group.filter(F.col("bins") < F.col("files")).count() > 0
+
+
+# ------------------------------------------------------------ end-to-end
+@pytest.fixture()
+def small_files_table(spark, tmp_path):
+    """Parquet table with many small files across partitions; one
+    single-file partition (must be skipped — the >1 gate,
+    QHBaseCompact.java:151)."""
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "table")
+    ev = load_table(spark, SF_DIR, "events").drop("ts")
+    for i, part in enumerate(["p0", "p1", "p2"]):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .repartition(20)  # 20 tiny files per partition
+            .write.mode("overwrite")
+            .parquet(f"{root}/region={part}")
+        )
+    ev.limit(50).coalesce(1).write.mode("overwrite").parquet(f"{root}/region=p3")
+    # drop _SUCCESS markers so only data files remain
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    return root
+
+
+def _data_fingerprint(spark, root):
+    return _fingerprint(spark.read.parquet(root))
+
+
+def test_compaction_end_to_end(spark, small_files_table, tmp_path):
+    root = small_files_table
+    before = _data_fingerprint(spark, root)
+    ckpt = CompactionCheckpoint(str(tmp_path / "ckpt.json"))
+
+    report = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt
+    )
+
+    compacted = {r.partition: r for r in report.compacted}
+    skipped = {r.partition: r.skipped for r in report.results if r.skipped}
+    assert set(compacted) == {"region=p0", "region=p1", "region=p2"}
+    assert skipped == {"region=p3": "single_file"}
+
+    # row set byte-identical (count + order-insensitive fingerprint)
+    assert _data_fingerprint(spark, root) == before
+    # files actually merged
+    for part, res in compacted.items():
+        n_files = len(
+            [f for f in os.listdir(os.path.join(root, part)) if f.endswith(".parquet")]
+        )
+        assert n_files == res.files_after < res.files_before
+
+    # second run is a no-op: everything checkpointed or already compact
+    report2 = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt
+    )
+    assert report2.compacted == []
+    assert all(
+        r.skipped in ("checkpointed", "single_file", "already_compact")
+        for r in report2.results
+    )
+
+
+def test_compaction_resume_after_partial_run(spark, small_files_table, tmp_path):
+    root = small_files_table
+    ckpt = CompactionCheckpoint(str(tmp_path / "ckpt.json"))
+    before = _data_fingerprint(spark, root)
+
+    r1 = compact_table(
+        spark,
+        root,
+        target_bytes=64 * 1024 * 1024,
+        checkpoint=ckpt,
+        max_partitions_per_run=1,  # simulate interruption after one
+    )
+    assert len(r1.compacted) == 1
+
+    r2 = compact_table(spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt)
+    # resumes with the remaining partitions, never redoing the first
+    assert {x.partition for x in r2.compacted} == {"region=p1", "region=p2"}
+    assert _data_fingerprint(spark, root) == before
+
+
+# ------------------------------------------------------------- policies
+def test_time_window_string_compare_semantics():
+    from datetime import datetime
+
+    inside = datetime(2026, 1, 1, 10, 0, 0)
+    outside = datetime(2026, 1, 1, 13, 0, 0)
+    assert _in_time_window("08:30:00", "12:30:00", inside)
+    assert not _in_time_window("08:30:00", "12:30:00", outside)
+    # midnight wrap (start > end) never opens — reference semantics
+    # (QHBaseCompact.java:52 lexicographic compare)
+    assert not _in_time_window("22:00:00", "02:00:00", inside)
