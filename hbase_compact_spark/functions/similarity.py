@@ -1,0 +1,152 @@
+"""Embedding similarity search (LLM-pipeline extension surface).
+
+Brute-force cosine is the exactness baseline (O(Q x N) — fine for a
+bounded query set against any N because it is a broadcast join plus a
+per-partition top-k). The scale path is random-hyperplane LSH
+bucketing: candidates share at least one band bucket, then exact
+rerank — turns all-pairs search into an equi-join, the same shape
+MinHash-LSH gives text dedup.
+
+Everything stays in Spark SQL expressions: `zip_with`/`aggregate` for
+dot products (JVM codegen) rather than a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.functions.text import hash60_sql
+
+# 8 bands x 3 bits: tuned for low-contrast (near-random) embedding
+# spaces like the fixtures — high candidate recall while still
+# pruning; denser/clustered real-world embeddings could use fewer,
+# wider bands (e.g. 4 x 8) for stronger pruning at equal recall.
+N_HYPERPLANES = 24
+N_BANDS = 8
+
+
+def as_double_array(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def dot(a: str, b: str) -> Column:
+    """Dot product of two double-array columns, left-to-right fold —
+    bit-identical to DuckDB's list_dot_product on DOUBLE[]."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return dot(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` / `corpus`: (vec_id, embedding). The query side is
+    broadcast (bounded query sets), so the corpus is scanned once with
+    no shuffle; ranking is a per-query window over Q x N rows.
+    Ordering uses the cosine rounded to 1e-9 with vec_id tie-break so
+    the selected set is reproducible across engines.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    ).withColumn("qn", norm("qv"))
+    c = corpus.select(
+        F.col("vec_id").alias("vec_id"),
+        as_double_array("embedding").alias("cv"),
+    ).withColumn("cn", norm("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qv", "cv", "qn", "cn"), 6).alias("cos_sim"),
+            F.round(cosine("qv", "cv", "qn", "cn"), 9).alias("_ord"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_ord"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_ord")
+    )
+
+
+def lsh_sketch(vec_col: str) -> Column:
+    """Random-hyperplane sign sketch: bit i = sign(v . h_i), where
+    hyperplane h_i's component for dimension d is a deterministic
+    md5-derived value in [-1, 1). Seedless + engine-portable."""
+    return F.expr(
+        f"""
+        transform(sequence(0, {N_HYPERPLANES - 1}), i ->
+          CASE WHEN aggregate(
+            zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
+              (x, d) -> CAST(x AS DOUBLE) *
+                (({hash60_sql("concat('hp', i, '_', d)")} % 2000001)
+                  / 1000000.5 - 1.0)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+          THEN 1 ELSE 0 END)
+        """
+    )
+
+
+def lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """ANN top-k: LSH-band candidate generation + exact cosine rerank.
+
+    Bands of the sign sketch become join keys, so candidate pairing is
+    an equi-join (shuffle on band key) instead of a cross join — the
+    100 TB-safe path. Recall vs brute force is probabilistic; tests
+    assert recall@10 >= 0.5 on the fixtures (raise N_HYPERPLANES /
+    probe multiple tables to trade cost for recall).
+    """
+    band = F.expr(
+        f"transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"concat(b, ':', concat_ws(',', slice(sketch, b * "
+        f"{N_HYPERPLANES // N_BANDS} + 1, {N_HYPERPLANES // N_BANDS}))))"
+    )
+
+    def prep(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("vec_id").alias(id_alias),
+                as_double_array("embedding").alias(vec_alias),
+            )
+            .withColumn("sketch", lsh_sketch(vec_alias))
+            .withColumn("band", F.explode(band))
+            .drop("sketch")
+        )
+
+    q = prep(queries, "query_id", "qv").withColumn("qn", norm("qv"))
+    c = prep(corpus, "vec_id", "cv").withColumn("cn", norm("cv"))
+    cand = (
+        q.join(c, "band")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qv", "cv", "qn", "cn"), 6).alias("cos_sim"),
+            F.round(cosine("qv", "cv", "qn", "cn"), 9).alias("_ord"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_ord"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_ord")
+    )

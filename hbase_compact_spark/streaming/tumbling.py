@@ -1,0 +1,73 @@
+"""Structured Streaming operators.
+
+The reference's only "streaming" is quickPoll — re-list a directory
+every 10 ms until the largest file's name changes
+(QHBaseCompact.java:62-73,171-184). Structured Streaming's file
+source IS that loop done right: new files are discovered per
+micro-batch, exactly once, with checkpointed progress. On top of it
+we provide the standard windowed-aggregation surface for the `events`
+stream table.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a bounded stream (file source). The ns-timestamp
+    handling mirrors tables.load_events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
+    """Tumbling-window counts + exact sums with a 1 h watermark for
+    late data. Windows align to the epoch, so results are comparable
+    with any batch engine's `epoch_us // width` bucketing."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_bounded(agg: DataFrame, *, mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) streaming aggregation to completion with an
+    availableNow trigger into a memory sink and return the result as
+    a batch DataFrame. `complete` mode because a single availableNow
+    batch never advances the watermark far enough for append mode to
+    emit the final windows."""
+    spark = agg.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

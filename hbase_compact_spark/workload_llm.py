@@ -1,0 +1,624 @@
+"""LLM-data-pipeline workload — SURVEY.md §2 Part B rows `dedup_exact`
+.. `udf_surface` plus the extended dedup/similarity/text/multimodal
+family mandated by the north star (BASELINE.json).
+
+Design rules:
+* hot path stays in Spark SQL expressions (JVM codegen) — Python only
+  where genuinely procedural (multimodal decode, the UDF-surface demo);
+* every pairwise op is join-shaped (shingle equi-join, LSH band join),
+  never an unbounded cross join — the 100 TB-safe shape; brute-force
+  cosine exists as the exactness baseline with a broadcast query side;
+* each query's DuckDB oracle twin is a line-for-line translation so
+  the driver's hash compare is byte-exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.functions import text as TX
+from hbase_compact_spark.functions.multimodal import (
+    extract_payload_meta,
+    with_binary_payload,
+)
+from hbase_compact_spark.functions.similarity import (
+    as_double_array,
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    norm,
+)
+from hbase_compact_spark.registry import query
+from hbase_compact_spark.shipping import ensure_package_on_executors
+from hbase_compact_spark.tables import load_table
+
+# DuckDB fragments shared by several oracles
+_TOKS_D = r"regexp_extract_all(text, '\S+')"
+_SHINGLES_D = TX.shingles_duck("text", 5)
+_SIG_D = TX.minhash_signature_duck(_SHINGLES_D)
+
+# shingles occurring in more docs than this are dropped before the
+# n-gram join: they are uninformative and at scale they are exactly
+# the keys that blow up a similarity self-join.
+NGRAM_DF_CAP = 50
+NGRAM_THRESHOLD = 0.5
+MINHASH_EST_THRESHOLD = 0.5
+EMBED_DUP_THRESHOLD = 0.9
+
+
+def _docs_with(spark: SparkSession, sf_dir: str, **cols) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    for name, col in cols.items():
+        df = df.withColumn(name, col)
+    return df
+
+
+# ====================================================== text analysis
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len({_TOKS_D})), 4) AS avg_tokens,
+           CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size("toks")), 4).alias("avg_tokens"),
+        F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("short_docs"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + a BPE-ish regex segmentation (letters
+    / digit runs / individual symbols — the pre-tokenizer shape used
+    by BPE vocabularies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens()).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(
+                r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+            )
+        )
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def _lang_case_sql(score: dict[str, str]) -> str:
+    """Fixed-priority argmax over per-language stopword scores —
+    identical CASE chain in both dialects (deterministic ties)."""
+    langs = list(TX.STOPWORDS)
+    out = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"]
+        conds += [f"{score[lang]} >= {score[o]}" for o in langs[i + 1 :]]
+        out += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    return out + "ELSE 'und' END"
+
+
+_LANG_SCORES_D = {
+    lang: TX.stopword_hits_duck(_TOKS_D, lang) for lang in TX.STOPWORDS
+}
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_case_sql(_LANG_SCORES_D)} AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID heuristic: most stopword hits wins,
+    fixed priority order on ties, 'und' when nothing matches."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    scores = {
+        lang: f"hits_{lang}" for lang in TX.STOPWORDS
+    }
+    for lang in TX.STOPWORDS:
+        docs = docs.withColumn(f"hits_{lang}", TX.stopword_hits("toks", lang))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_lang_case_sql(scores)).alias("pred_lang"),
+    )
+
+
+_QUAL_D = {
+    "n_tokens": f"len({_TOKS_D})",
+    "punct": "len(regexp_extract_all(text, '[.,!?;:]'))",
+    "stop": TX.stopword_hits_duck(_TOKS_D, "en"),
+}
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST({_QUAL_D["n_tokens"]} AS BIGINT) AS n_tokens,
+             CAST({_QUAL_D["punct"]} AS BIGINT) AS punct_chars,
+             CAST({_QUAL_D["stop"]} AS BIGINT) AS stop_hits,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CASE WHEN n_chars_m = 0 THEN 0.0
+                      ELSE CAST(punct_chars AS DOUBLE) / n_chars_m END, 6)
+               AS punct_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE CAST(stop_hits AS DOUBLE) / n_tokens END, 6)
+               AS stop_ratio,
+           round(least(1.0, n_tokens / 100.0)
+                 * (1.0 - CASE WHEN n_chars_m = 0 THEN 0.0
+                          ELSE CAST(punct_chars AS DOUBLE) / n_chars_m END)
+                 * (0.5 + 0.5 * CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE CAST(stop_hits AS DOUBLE) / n_tokens END), 4)
+               AS quality
+    FROM q
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality heuristic —
+    the standard cheap pre-filter in LLM data pipelines."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    q = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+        .cast("long")
+        .alias("punct_chars"),
+        TX.stopword_hits("toks", "en").cast("long").alias("stop_hits"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+    punct_ratio = F.when(F.col("n_chars_m") == 0, 0.0).otherwise(
+        F.col("punct_chars").cast("double") / F.col("n_chars_m")
+    )
+    stop_ratio = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("stop_hits").cast("double") / F.col("n_tokens")
+    )
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+            * (1.0 - punct_ratio)
+            * (0.5 + 0.5 * stop_ratio),
+            4,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
+           list_min(list_transform(list_distinct({_SHINGLES_D}),
+                                   s -> md5(s))) AS min_shingle_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of whitespace-normalized text) + the
+    minimum shingle hash (a 1-element MinHash — the rolling-hash
+    fingerprint family)."""
+    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "content_fp"
+        ),
+        F.array_min(
+            F.expr("transform(array_distinct(sh), s -> md5(s))")
+        ).alias("min_shingle_fp"),
+    )
+
+
+# ============================================================== dedup
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one survivor (min doc_id) per
+    distinct content hash. Map-side partial aggregation makes this a
+    single shuffle of (hash, id) pairs at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_fuzzy",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_SIG_D} AS sig FROM documents
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest([CAST(b AS VARCHAR) || ':' ||
+                     array_to_string(sig[b*4+1:b*4+4], ',')
+                     for b in range(0, 4)]) AS band
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+                            for i in range(1, {TX.MINHASH_K + 1})]) AS DOUBLE)
+               / {TX.MINHASH_K} AS est_sim
+      FROM pairs
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
+    FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+    """,
+)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding: shingle ->
+    16-hash signature -> 4 bands of 4 -> band-bucket equi-join ->
+    signature-agreement estimate. The join is on band keys, so work
+    scales with collisions (true near-dups), not with n^2. Seedless
+    deterministic hashing keeps it oracle-checkable."""
+    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    sigs = docs.select(
+        "doc_id", TX.minhash_signature("sh").alias("sig")
+    )
+    r = TX.MINHASH_K // 4
+    bands = sigs.withColumn(
+        "band",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':', "
+                f"concat_ws(',', transform(slice(sig, b*{r}+1, {r}), "
+                f"x -> CAST(x AS STRING)))))"
+            )
+        ),
+    ).select("doc_id", "band")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.expr(
+                "CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> "
+                "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) "
+                "AS DOUBLE)"
+            )
+            / TX.MINHASH_K
+        ).alias("est_sim"),
+    )
+    return est.filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_D})) AS s
+      FROM documents
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}
+    ),
+    sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard near-dup pairs via an inverted-index
+    equi-join on shingles (never a doc x doc cross join). Shingles
+    with document frequency above NGRAM_DF_CAP are dropped first —
+    they carry no signal and are precisely the skew keys that would
+    blow up the self-join at 100 TB."""
+    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    sh = docs.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    keep = sh.groupBy("s").count().filter(F.col("count") <= NGRAM_DF_CAP).select("s")
+    sh2 = sh.join(keep, "s")
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+    )
+    return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({TX.simhash32_duck(_TOKS_D)} AS BIGINT) AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (near-dup candidates =
+    small Hamming distance; banding over hash quarters turns that
+    into an equi-join, same as MinHash-LSH — pair generation is
+    exercised in tests, the sketch itself is oracle-checked)."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    return docs.select("doc_id", TX.simhash32("toks").alias("simhash"))
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
+          >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute-force all-pairs here
+    (exactness baseline; fixture-sized); the scale path is the LSH
+    bucketing in ann_lsh — same rerank, candidates from a band join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn("nv", norm("v"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine("va", "vb", "na", "nb"), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= EMBED_DUP_THRESHOLD)
+
+
+# ======================================================== similarity
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_dot_product(q.v, c.v) / (q.nv * c.nv), 6) AS cos_sim,
+             round(list_dot_product(q.v, c.v) / (q.nv * c.nv), 9) AS ord
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ord DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors vec_id < 5 —
+    broadcast queries x corpus scan + per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("ann_lsh")  # rows-only: probabilistic candidates; recall
+# vs the exact baseline is asserted in tests/test_llm.py
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH banding + exact
+    rerank — the 100 TB path where brute force is off the table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ======================================================== multimodal
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: attach a binary payload, extract
+    typed metadata through Arrow-batched mapInPandas. The decode stub
+    (functions/multimodal.decode_image) marks where real codecs plug
+    in; this query proves the schema/batching/partitioning path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_payload_meta(with_binary_payload(docs))
+
+
+# ======================================================= UDF surface
+@query(
+    "udf_surface",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+           count(*) AS n,
+           sum(floor(c_acctbal / 100)) AS sum_bucket
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Python extension points in one flow: a scalar UDF
+    (row-at-a-time — deliberately trivial; it is the slow path), a
+    vectorized pandas_udf (Arrow batches), and a grouped
+    applyInPandas aggregation. Semantics chosen SQL-rewritable so the
+    oracle can check all three."""
+    ensure_package_on_executors(spark)
+
+    @F.udf("string")
+    def parity_udf(custkey) -> str:
+        return "even" if custkey % 2 == 0 else "odd"
+
+    @F.pandas_udf("double")
+    def bucket_udf(acctbal: "pd.Series") -> "pd.Series":
+        return (acctbal / 100.0).apply(math.floor) * 1.0
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "segment": [pdf["segment"].iloc[0]],
+                "parity": [pdf["parity"].iloc[0]],
+                "n": [len(pdf)],
+                "sum_bucket": [float(pdf["bucket"].sum())],
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        parity_udf("c_custkey").alias("parity"),
+        bucket_udf("c_acctbal").alias("bucket"),
+    )
+    return cust.groupBy("segment", "parity").applyInPandas(
+        agg_group, schema="segment string, parity string, n long, sum_bucket double"
+    )
+
+
+# ====================================================== sessionize
+@query(
+    "sessionize",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session — lag +
+    running sum over (user, time) windows, the batch dual of
+    streaming session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

@@ -1,0 +1,121 @@
+"""LLM-pipeline operator tests: planted-duplicate invariants (the
+oracle can only confirm engine-vs-engine equality; these confirm the
+operators actually FIND duplicates), ANN recall vs the exact baseline,
+and the multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import hbase_compact_spark.workload_llm as llm
+from hbase_compact_spark.functions import text as TX
+from hbase_compact_spark.functions.multimodal import (
+    decode_image,
+    extract_payload_meta,
+    sample_frames,
+    with_binary_payload,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles hang quietly on the old stone wall near the river "
+    "bank and a small boat drifts slowly past the tall reeds under a "
+    "pale morning sky full of scattered clouds moving east"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """documents.parquet with planted exact + near duplicates."""
+    words = BASE.split()
+    near = " ".join(["shiny" if i == 10 else w for i, w in enumerate(words)])
+    rows = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, BASE, "en", "src1", len(BASE)),  # exact dup of 0
+        (2, near, "en", "src2", len(near)),  # near dup of 0
+        (3, "completely different tiny text", "en", "src3", 31),
+        (4, "another unrelated document about spark shuffles", "en", "src4", 48),
+    ]
+    d = str(tmp_path_factory.mktemp("planted"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_dedup_exact_finds_planted(spark, planted_dir):
+    out = llm.dedup_exact(spark, planted_dir)
+    dup = out.filter(F.col("n_copies") == 2).collect()
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_dedup_fuzzy_finds_planted(spark, planted_dir):
+    out = llm.dedup_fuzzy(spark, planted_dir)
+    pairs = {p: e for (p, e) in ((tuple(r[:2]), r[2]) for r in out.collect())}
+    assert pairs.get((0, 1)) == 1.0  # exact dup: identical signature
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5  # near dup caught
+    assert (3, 4) not in pairs  # unrelated not caught
+
+
+def test_dedup_ngram_jaccard_finds_planted(spark, planted_dir):
+    out = llm.dedup_ngram_jaccard(spark, planted_dir)
+    got = {tuple(r[:2]): r[2] for r in out.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+    assert (3, 4) not in got
+
+
+def test_simhash_hamming_property(spark, planted_dir):
+    out = {r["doc_id"]: r["simhash"] for r in llm.dedup_simhash(spark, planted_dir).collect()}
+    assert out[0] == out[1]  # identical text -> identical sketch
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near <= 8
+    assert ham_near < ham_far
+
+
+def test_minhash_estimates_true_jaccard(spark, planted_dir):
+    """Signature agreement should approximate true shingle Jaccard."""
+    fuzzy = {tuple(r[:2]): r[2] for r in llm.dedup_fuzzy(spark, planted_dir).collect()}
+    true_j = {tuple(r[:2]): r[2] for r in llm.dedup_ngram_jaccard(spark, planted_dir).collect()}
+    if (0, 2) in fuzzy and (0, 2) in true_j:
+        assert abs(fuzzy[(0, 2)] - true_j[(0, 2)]) < 0.35  # k=16 -> coarse
+
+
+def test_ann_recall_vs_exact(spark):
+    sf = "/root/testdata/sf0.001"
+    exact = llm.similarity_topk(spark, sf)
+    approx = llm.ann_lsh(spark, sf)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall@10 too low: {recall}"
+
+
+def test_multimodal_stub_contract(spark, planted_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    frames = sample_frames(b"x" * 2500, every_n=1000)
+    assert len(frames) == 3 and frames == sample_frames(b"x" * 2500, every_n=1000)
+
+    from hbase_compact_spark.tables import load_table
+
+    docs = load_table(spark, planted_dir, "documents")
+    meta = extract_payload_meta(with_binary_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in meta}
+    assert by_id[0]["n_bytes"] == len(BASE.encode())
+    import hashlib
+
+    assert by_id[0]["payload_md5"] == hashlib.md5(BASE.encode()).hexdigest()
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string").select(
+        TX.shingles("text", 5).alias("sh")
+    )
+    assert df.collect()[0]["sh"] == ["ab cd"]
