@@ -34,22 +34,26 @@ def _pack_group(pdf: pd.DataFrame, target_bytes: int) -> pd.DataFrame:
     documented-but-dead `marjorfilesize` intent — oversized inputs
     are not merged further, README.md:23).
     """
+    import numpy as np
+
     pdf = pdf.sort_values(
         ["size_bytes", "file"], ascending=[False, True], kind="mergesort"
     )
-    bins: list[int] = []  # bin_id -> remaining capacity
-    assignment: list[int] = []
-    for size in pdf["size_bytes"]:
-        placed = -1
-        for b, remaining in enumerate(bins):
-            if size <= remaining:
-                placed = b
-                bins[b] = remaining - size
-                break
-        if placed < 0:
-            bins.append(max(target_bytes - size, 0))
-            placed = len(bins) - 1
-        assignment.append(placed)
+    # remaining capacity per bin, vectorized first-fit probe (argmax of
+    # a boolean mask runs in C; the python loop is per FILE only)
+    remaining = np.empty(len(pdf), dtype="int64")
+    n_bins = 0
+    assignment = np.empty(len(pdf), dtype="int32")
+    for row, size in enumerate(pdf["size_bytes"].to_numpy()):
+        fits = remaining[:n_bins] >= size
+        if fits.any():
+            b = int(np.argmax(fits))
+            remaining[b] -= size
+        else:
+            b = n_bins
+            remaining[b] = max(target_bytes - size, 0)
+            n_bins += 1
+        assignment[row] = b
     out = pdf.copy()
     out["bin_id"] = pd.array(assignment, dtype="int32")
     stats = out.groupby("bin_id")["size_bytes"].agg(["count", "sum"])

@@ -16,8 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hbase_compact_spark.functions.text import hash60_sql
-
 # 8 bands x 3 bits: tuned for low-contrast (near-random) embedding
 # spaces like the fixtures — high candidate recall while still
 # pruning; denser/clustered real-world embeddings could use fewer,
@@ -85,21 +83,45 @@ def brute_force_topk(
     )
 
 
-def lsh_sketch(vec_col: str) -> Column:
-    """Random-hyperplane sign sketch: bit i = sign(v . h_i), where
-    hyperplane h_i's component for dimension d is a deterministic
-    md5-derived value in [-1, 1). Seedless + engine-portable."""
-    return F.expr(
-        f"""
-        transform(sequence(0, {N_HYPERPLANES - 1}), i ->
-          CASE WHEN aggregate(
-            zip_with({vec_col}, sequence(0, size({vec_col}) - 1),
-              (x, d) -> CAST(x AS DOUBLE) *
-                (({hash60_sql("concat('hp', i, '_', d)")} % 2000001)
-                  / 1000000.5 - 1.0)),
-            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
-          THEN 1 ELSE 0 END)
-        """
+def _hyperplane(i: int, d: int) -> float:
+    """Deterministic md5-derived hyperplane component in [-1, 1) —
+    the Python twin of hash60_sql, evaluated ONCE at plan-build time
+    and embedded as a literal (computing md5 per row x plane x dim in
+    SQL costs more than the dot products themselves)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{i}_{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2000001) / 1000000.5 - 1.0
+
+
+def hyperplanes_lit(dims: int) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(_hyperplane(i, d)) for d in range(dims)])
+            for i in range(N_HYPERPLANES)
+        ]
+    )
+
+
+def lsh_sketch(vec_col: str, dims: int = 64) -> Column:
+    """Random-hyperplane sign sketch: bit i = sign(v . h_i), with the
+    hyperplane matrix a compile-time literal. Seedless, deterministic,
+    reproducible in any engine."""
+    return F.transform(
+        hyperplanes_lit(dims),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    p,
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
 
 
@@ -127,6 +149,9 @@ def lsh_topk(
                 as_double_array("embedding").alias(vec_alias),
             )
             .withColumn("sketch", lsh_sketch(vec_alias))
+            # barrier: materialize the sketch once instead of letting
+            # projection collapse recompute all 24 dot products per band
+            .repartition(id_alias)
             .withColumn("band", F.explode(band))
             .drop("sketch")
         )

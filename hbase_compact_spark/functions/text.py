@@ -80,8 +80,19 @@ def shingles_duck(col: str = "text", w: int = 5) -> str:
     )
 
 
-def minhash_signature(shingle_col: str) -> Column:
-    """k-element MinHash signature over a shingle array column.
+def shingle_hashes(shingle_col: str) -> Column:
+    """H(s) mod p for each distinct shingle — materialized ONCE so the
+    k MinHash lanes below reuse it (md5 is the expensive part; without
+    this, each of the k lanes would recompute every shingle's md5)."""
+    return F.expr(
+        f"transform(array_distinct({shingle_col}), s -> "
+        f"{hash60_sql('s')} % {MINHASH_P})"
+    )
+
+
+def minhash_signature(hash_col: str) -> Column:
+    """k-element MinHash signature over a precomputed shingle-hash
+    array column (see shingle_hashes).
 
     Pure SQL transform/aggregate — vectorized JVM execution, no UDF.
     `a*(H mod p)` stays under 2^36 so 64-bit arithmetic never
@@ -90,9 +101,8 @@ def minhash_signature(shingle_col: str) -> Column:
     return F.expr(
         f"""
         transform(sequence(0, {MINHASH_K - 1}), i ->
-          array_min(transform(array_distinct({shingle_col}), s ->
-            ((2*i + 3) * ({hash60_sql('s')} % {MINHASH_P}) + 7919*i + 1)
-              % {MINHASH_P})))
+          array_min(transform({hash_col}, h ->
+            ((2*i + 3) * h + 7919*i + 1) % {MINHASH_P})))
         """
     )
 
@@ -105,15 +115,23 @@ def minhash_signature_duck(shingle_expr: str) -> str:
     )
 
 
-def simhash32(token_col: str) -> Column:
-    """32-bit SimHash over a token array: bit j is set when more
-    token-hashes have bit j set than not (sign aggregation)."""
+def token_hashes(token_col: str) -> Column:
+    """H(t) for each token, materialized once (SimHash substrate —
+    md5 runs per TOKEN, not per token x bit-lane)."""
+    return F.expr(f"transform({token_col}, t -> {hash60_sql('t')})")
+
+
+def simhash32(hash_col: str) -> Column:
+    """32-bit SimHash over a precomputed token-hash array column (see
+    token_hashes): bit j is set when more token-hashes have bit j set
+    than not (sign aggregation). Folds 32 bit-lanes over longs —
+    cheap relative to the hashing it reuses."""
     return F.expr(
         f"""
         aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
           (acc, j) -> acc + CASE WHEN
-            aggregate({token_col}, 0, (v, t) ->
-              v + CASE WHEN (shiftright({hash60_sql('t')}, j) & 1) = 1
+            aggregate({hash_col}, 0, (v, h) ->
+              v + CASE WHEN (shiftright(h, j) & 1) = 1
                        THEN 1 ELSE -1 END) > 0
             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)
         """

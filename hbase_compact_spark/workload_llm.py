@@ -306,8 +306,16 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with collisions (true near-dups), not with n^2. Seedless
     deterministic hashing keeps it oracle-checkable."""
     docs = _docs_with(spark, sf_dir, sh=TX.shingles())
-    sigs = docs.select(
-        "doc_id", TX.minhash_signature("sh").alias("sig")
+    # repartition barriers: Catalyst's projection collapse would
+    # otherwise inline the md5 pipeline into all 16 MinHash lanes and
+    # again into every LSH band (a ~64x re-evaluation); an Exchange
+    # materializes the hash arrays once, and the self-join reuses the
+    # exchange output (ReusedExchange) instead of recomputing.
+    sigs = (
+        docs.select("doc_id", TX.shingle_hashes("sh").alias("shh"))
+        .repartition("doc_id")
+        .select("doc_id", TX.minhash_signature("shh").alias("sig"))
+        .repartition("doc_id")
     )
     r = TX.MINHASH_K // 4
     bands = sigs.withColumn(
@@ -418,7 +426,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an equi-join, same as MinHash-LSH — pair generation is
     exercised in tests, the sketch itself is oracle-checked)."""
     docs = _docs_with(spark, sf_dir, toks=TX.tokens())
-    return docs.select("doc_id", TX.simhash32("toks").alias("simhash"))
+    # barrier so the 32 bit-lanes fold over a materialized hash array
+    # instead of re-hashing every token per lane (projection collapse)
+    return (
+        docs.select("doc_id", TX.token_hashes("toks").alias("th"))
+        .repartition("doc_id")
+        .select("doc_id", TX.simhash32("th").alias("simhash"))
+    )
 
 
 @query(
@@ -453,12 +467,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a",
-        "vec_b",
-        F.round(cosine("va", "vb", "na", "nb"), 6).alias("cos_sim"),
+    # filter BEFORE projecting: the 64-dim dot product is evaluated
+    # once per pair for the predicate and re-evaluated only for the
+    # few surviving near-dup rows (aliasing first would make Catalyst
+    # substitute the expression into a pushed filter AND the output —
+    # two full evaluations per pair).
+    sim = F.round(cosine("va", "vb", "na", "nb"), 6)
+    return (
+        a.crossJoin(b)
+        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= EMBED_DUP_THRESHOLD))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
     )
-    return pairs.filter(F.col("cos_sim") >= EMBED_DUP_THRESHOLD)
 
 
 # ======================================================== similarity
