@@ -1,0 +1,113 @@
+"""Compaction daemon — the orchestration loop of the reference's
+Flow 1 (QHBaseCompact.java:117-217 majorCompact + main :272-285).
+
+The reference runs forever: gate on the time-of-day window (:136),
+fetch the region list (:139), take ONE region per iteration resuming
+from the checkpointed cursor (:133,140-146), compact, persist the
+cursor (:193-194), pause 1 s between regions (:195) and 10 min after
+a full wraparound (:140-143). It also logs a whole-table stats report
+once at startup (:134 -> getTableDetails :219-270).
+
+This daemon keeps that shape — cycles, pacing, window gating,
+checkpointed resume — with the Spark engine underneath: the stats
+report is the rollup query, selection is the candidates query, the
+rewrite is compact_table's verified executor, and completion watching
+is the distributed quickPoll analog. `max_cycles` bounds the loop for
+testing; production would run unbounded exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.checkpoint import CompactionCheckpoint
+from hbase_compact_spark.compaction.executor import (
+    CompactionReport,
+    _in_time_window,
+    compact_table,
+    list_partition_files,
+)
+
+
+@dataclass
+class DaemonConfig:
+    table_root: str
+    target_bytes: int = 128 * 1024 * 1024
+    # reference pacing defaults (QHBaseCompact.java:54,195,142), in
+    # seconds; tests shrink them
+    window: tuple[str, str] | None = None
+    window_recheck_s: float = 60.0
+    inter_partition_pause_s: float = 1.0
+    cycle_pause_s: float = 600.0
+    max_cycles: int = 1
+    partitions_per_iteration: int = 1
+
+
+@dataclass
+class DaemonRun:
+    stats_report: list
+    cycles: list[CompactionReport] = field(default_factory=list)
+
+
+def stats_report(spark: SparkSession, table_root: str) -> DataFrame:
+    """The getTableDetails analog (QHBaseCompact.java:219-270): per
+    (partition) file count + size with a grand-total rollup, GB
+    conversion included (:250-252,255)."""
+    parts = list_partition_files(spark, table_root)
+    rows = [
+        (rel, len(files), sum(s for _, s in files))
+        for rel, files in sorted(parts.items())
+    ]
+    df = spark.createDataFrame(rows, "partition string, filenum long, total_bytes long")
+    return (
+        df.rollup("partition")
+        .agg(
+            F.sum("filenum").alias("filenum"),
+            F.sum("total_bytes").alias("total_bytes"),
+        )
+        .withColumn("partition", F.coalesce("partition", F.lit("ALL")))
+        .withColumn(
+            "total_gb", F.round(F.col("total_bytes") / (1024.0**3), 6)
+        )
+    )
+
+
+def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
+    """One bounded daemon run: startup stats report, then
+    `max_cycles` passes over the table, each compacting up to
+    `partitions_per_iteration` partitions at a time with the
+    reference's pacing structure."""
+    ckpt = CompactionCheckpoint(f"{cfg.table_root}/_compaction_checkpoint.json")
+    run = DaemonRun(stats_report=stats_report(spark, cfg.table_root).collect())
+
+    for cycle in range(cfg.max_cycles):
+        # one-partition-at-a-time inner loop — the reference's region
+        # cursor (QHBaseCompact.java:133,146,193): each iteration
+        # compacts up to partitions_per_iteration and re-checks the
+        # window, until a pass finds nothing left
+        while True:
+            if cfg.window is not None:
+                while not _in_time_window(*cfg.window):
+                    time.sleep(cfg.window_recheck_s)
+            report = compact_table(
+                spark,
+                cfg.table_root,
+                target_bytes=cfg.target_bytes,
+                checkpoint=ckpt,
+                pacing_seconds=cfg.inter_partition_pause_s,
+                time_window=cfg.window,
+                max_partitions_per_run=cfg.partitions_per_iteration,
+            )
+            run.cycles.append(report)
+            if not report.compacted:
+                break
+        # wraparound: reset the cursor and take the long cycle pause
+        # (QHBaseCompact.java:140-143)
+        ckpt.reset()
+        if cycle + 1 < cfg.max_cycles:
+            time.sleep(cfg.cycle_pause_s)
+    return run

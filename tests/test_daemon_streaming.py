@@ -1,0 +1,147 @@
+"""Daemon orchestration (Flow 1), completion watch (Flow 3 / quickPoll
+analog) and stateful streaming tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.daemon import DaemonConfig, run_daemon, stats_report
+from hbase_compact_spark.compaction.executor import _fingerprint
+from hbase_compact_spark.compaction.watch import (
+    current_argmax_file,
+    poll_until_changed,
+    wait_budget_seconds,
+)
+from hbase_compact_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def small_files_table(spark, tmp_path):
+    root = str(tmp_path / "table")
+    ev = load_table(spark, SF_DIR, "events").drop("ts")
+    for i, part in enumerate(["p0", "p1"]):
+        (
+            ev.filter(F.col("event_id") % 2 == i)
+            .repartition(12)
+            .write.mode("overwrite")
+            .parquet(f"{root}/region={part}")
+        )
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    return root
+
+
+def test_daemon_full_run(spark, small_files_table):
+    root = small_files_table
+    before = _fingerprint(spark.read.parquet(root))
+
+    run = run_daemon(
+        spark,
+        DaemonConfig(
+            table_root=root,
+            target_bytes=64 * 1024 * 1024,
+            window=("00:00:00", "23:59:59"),
+            inter_partition_pause_s=0.0,
+            cycle_pause_s=0.0,
+            max_cycles=1,
+            partitions_per_iteration=1,
+        ),
+    )
+
+    # startup stats report includes per-partition rows + ALL rollup
+    parts = {r["partition"]: r for r in run.stats_report}
+    assert set(parts) == {"region=p0", "region=p1", "ALL"}
+    assert parts["ALL"]["filenum"] == parts["region=p0"]["filenum"] + parts["region=p1"]["filenum"]
+
+    # one partition per iteration -> two compacting passes + one empty
+    compacted = [r.compacted[0].partition for r in run.cycles if r.compacted]
+    assert compacted == ["region=p0", "region=p1"]
+    assert run.cycles[-1].compacted == []
+
+    assert _fingerprint(spark.read.parquet(root)) == before
+    # wraparound reset the checkpoint for the next cycle
+    import json
+
+    assert json.load(open(f"{root}/_compaction_checkpoint.json")) == {}
+
+
+def test_watch_detects_rewrite(spark, small_files_table):
+    part_dir = f"{small_files_table}/region=p0"
+    before = current_argmax_file(spark, part_dir)
+    assert before is not None
+
+    run_daemon(
+        spark,
+        DaemonConfig(
+            table_root=small_files_table,
+            target_bytes=64 * 1024 * 1024,
+            inter_partition_pause_s=0.0,
+            cycle_pause_s=0.0,
+        ),
+    )
+    res = poll_until_changed(spark, part_dir, before, budget_s=10, tick_s=0.1)
+    assert res.changed and res.final_argmax != before
+    assert res.final_argmax.startswith("compacted-")
+
+
+def test_watch_budget_exhaustion(spark, small_files_table):
+    part_dir = f"{small_files_table}/region=p0"
+    before = current_argmax_file(spark, part_dir)
+    res = poll_until_changed(spark, part_dir, before, budget_s=0.5, tick_s=0.1)
+    assert not res.changed and res.ticks >= 1
+
+
+def test_wait_budget_matches_reference_model():
+    # 40 s per GB (QHBaseCompact.java:170), floored for tiny stores
+    assert wait_budget_seconds(2 * 1024**3) == 80.0
+    assert wait_budget_seconds(1024) == 5.0
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    two files + maxFilesPerTrigger=1 forces two batches; final state
+    must equal the batch-computed totals."""
+    from hbase_compact_spark.streaming.stateful import stateful_user_totals
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT user_id, max_by(total_events, total_events) AS total_events "
+        "FROM user_totals GROUP BY user_id"
+    )
+    expected = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    got = {r["user_id"]: r["total_events"] for r in out.collect()}
+    exp = {r["user_id"]: r["n"] for r in expected.collect()}
+    assert got == exp
+    # state actually crossed batches: some user saw events in both files
+    multi = spark.sql(
+        "SELECT count(*) AS c FROM user_totals WHERE batch_events < total_events"
+    ).collect()[0]["c"]
+    assert multi > 0
