@@ -37,6 +37,10 @@ try:
     import hbase_compact_spark.workload_streaming  # noqa: E402,F401
 except ImportError:
     pass
+try:
+    import hbase_compact_spark.workload_olap  # noqa: E402,F401
+except ImportError:
+    pass
 
 from hbase_compact_spark.registry import ORACLE, QUERIES  # noqa: E402
 from hbase_compact_spark.tables import SMOKE_SF_DIR  # noqa: E402

@@ -51,7 +51,10 @@ def _pack_group(pdf: pd.DataFrame, target_bytes: int) -> pd.DataFrame:
             remaining[b] -= size
         else:
             b = n_bins
-            remaining[b] = max(target_bytes - size, 0)
+            # may go negative for oversized files: closes the bin to
+            # everything, including zero-byte files (hypothesis-found
+            # edge: clamping to 0 let size-0 files join oversized bins)
+            remaining[b] = target_bytes - size
             n_bins += 1
         assignment[row] = b
     out = pdf.copy()

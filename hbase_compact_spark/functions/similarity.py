@@ -125,6 +125,58 @@ def lsh_sketch(vec_col: str, dims: int = 64) -> Column:
     )
 
 
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float, *, round_to: int = 6
+) -> DataFrame:
+    """All-pairs cosine near-dup detection via Arrow-batched BLAS.
+
+    Spark's higher-order array functions execute on the interpreted
+    (non-codegen) path — ~5 us per 64-dim dot — while a numpy matmul
+    does the same work at memory bandwidth. The corpus matrix is
+    broadcast (N x dims doubles; 2 GB at N=4M — beyond that, switch
+    to the LSH path or block the corpus), and each Arrow batch of
+    rows multiplies against it: O(N^2 * d) FLOPs but BLAS-fast, no
+    shuffle at all.
+    """
+    import numpy as np
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    spark = emb.sparkSession
+    ensure_package_on_executors(spark)
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def blocks(batches):
+        import pandas as pd
+
+        cids, C = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            bids = batch["vec_id"].to_numpy()
+            S = np.round(B @ C.T, round_to)
+            mask = (S >= threshold) & (bids[:, None] < cids[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": bids[ai],
+                    "vec_b": cids[bi],
+                    "cos_sim": S[ai, bi],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        blocks, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10
 ) -> DataFrame:

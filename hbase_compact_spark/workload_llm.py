@@ -26,11 +26,9 @@ from hbase_compact_spark.functions.multimodal import (
     with_binary_payload,
 )
 from hbase_compact_spark.functions.similarity import (
-    as_double_array,
     brute_force_topk,
-    cosine,
+    embedding_dup_pairs,
     lsh_topk,
-    norm,
 )
 from hbase_compact_spark.registry import query
 from hbase_compact_spark.shipping import ensure_package_on_executors
@@ -450,34 +448,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Brute-force all-pairs here
-    (exactness baseline; fixture-sized); the scale path is the LSH
-    bucketing in ann_lsh — same rerank, candidates from a band join."""
+    """Embedding-cosine near-dup pairs — all-pairs exact baseline via
+    broadcast corpus + Arrow-batched BLAS matmul (Spark's array-fold
+    lambdas are interpreted, ~10x slower than numpy here); the
+    sub-quadratic scale path is the LSH bucketing in ann_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", as_double_array("embedding").alias("v")
-    ).withColumn("nv", norm("v"))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    # filter BEFORE projecting: the 64-dim dot product is evaluated
-    # once per pair for the predicate and re-evaluated only for the
-    # few surviving near-dup rows (aliasing first would make Catalyst
-    # substitute the expression into a pushed filter AND the output —
-    # two full evaluations per pair).
-    sim = F.round(cosine("va", "vb", "na", "nb"), 6)
-    return (
-        a.crossJoin(b)
-        .where((F.col("vec_a") < F.col("vec_b")) & (sim >= EMBED_DUP_THRESHOLD))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-    )
+    return embedding_dup_pairs(emb, EMBED_DUP_THRESHOLD)
 
 
 # ======================================================== similarity

@@ -1,0 +1,157 @@
+"""Extended OLAP surface — beyond SURVEY §2 Part B's floor: grouping
+sets (CUBE), pivot, lead/lag/ntile windows, exact percentiles,
+distinct counts, and the approximate sketches that replace them at
+100 TB. All generalize the reference's single hand-rolled rollup
+(QHBaseCompact.java:237-255) into the full multidimensional family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.registry import query
+from hbase_compact_spark.sources.inventory import INVENTORY_SQL, derived_inventory
+from hbase_compact_spark.tables import load_table
+
+
+@query(
+    "cube_stats",
+    oracle=f"""
+    WITH inventory AS ({INVENTORY_SQL})
+    SELECT coalesce(region, 'ALL') AS region,
+           coalesce(family, 'ALL') AS family,
+           count(*) AS filenum,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+    FROM inventory
+    GROUP BY CUBE (region, family)
+    """,
+)
+def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE: per-(region, family), per-region, per-family AND
+    grand total in one pass — the complete lattice the reference's
+    rollup only walks one path of."""
+    inv = derived_inventory(spark, sf_dir)
+    out = inv.cube("region", "family").agg(
+        F.count("*").alias("filenum"),
+        F.sum("size_bytes").alias("total_bytes"),
+    )
+    return out.select(
+        F.coalesce("region", F.lit("ALL")).alias("region"),
+        F.coalesce("family", F.lit("ALL")).alias("family"),
+        "filenum",
+        "total_bytes",
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot on the linestatus dimension. Explicit pivot
+    values keep it a single pass (no extra distinct-values job) —
+    mandatory at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return wide.join(counts, "l_returnflag")
+
+
+@query(
+    "window_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile over per-customer order history (o_orderkey is
+    unique -> total order -> deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "percentile_dist",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition). At 100 TB swap for
+    percentile_approx — see approx_stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+    )
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("approx_stats")  # rows-only: sketch values are
+# engine-specific; tests assert <5% error vs the exact answers
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketches that replace exact distinct/percentile at 100 TB:
+    HyperLogLog++ distinct counts and KLL/GK approximate percentiles —
+    single-pass, fixed memory, mergeable across partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias(
+            "approx_median_price"
+        ),
+        F.count("*").alias("n"),
+    )
