@@ -39,8 +39,12 @@ def main() -> None:
     spark = get_spark("hbase_compact_spark_bench")
     queries = entrymod.queries()
 
-    # warm the JVM/session so query 1 doesn't pay startup costs
+    # warm the JVM/session AND the Python worker pool so the first
+    # (alphabetical) query doesn't absorb one-time startup costs
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000).toDF("id").mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -83,22 +83,22 @@ def plan_bins(inventory: DataFrame, target_bytes: int) -> DataFrame:
     Input: inventory with at least GROUP_KEYS + (file, size_bytes).
     Output: one row per file with its assigned output bin.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window
-
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(inventory.sparkSession)
 
-    multi = inventory.withColumn(
-        "_n", F.count("*").over(Window.partitionBy(*GROUP_KEYS))
-    ).filter(F.col("_n") > 1)
-
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:  # the >1-file gate, enforced in-group so the
+            # plan needs ONE shuffle (a pre-filter window would add one)
+            return pdf.iloc[0:0].assign(
+                bin_id=pd.array([], dtype="int32"),
+                bin_files=pd.array([], dtype="int32"),
+                bin_bytes=pd.array([], dtype="int64"),
+            )
         return _pack_group(pdf, target_bytes)
 
     return (
-        multi.select(*GROUP_KEYS, "file", "size_bytes")
+        inventory.select(*GROUP_KEYS, "file", "size_bytes")
         .groupBy(*GROUP_KEYS)
         .applyInPandas(pack, schema=PLAN_SCHEMA)
     )

@@ -47,6 +47,37 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+FRAME_META_SCHEMA = "doc_id long, n_frames long, frames_md5 string"
+
+
+def extract_frame_meta(df: DataFrame, every_n: int = 100) -> DataFrame:
+    """Frame-sampling pipeline shape: binary payload -> fixed-stride
+    frame windows (the deterministic codec stand-in, sample_frames) ->
+    per-document frame count + digest. A real video path swaps
+    sample_frames for a decoder; partitioning, batching and schema
+    stay identical."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(
+                lambda b: sample_frames(bytes(b), every_n=every_n)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": frames.map(len).astype("int64"),
+                    "frames_md5": frames.map(
+                        lambda fs: hashlib.md5(b"".join(fs)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        frame_batches, schema=FRAME_META_SCHEMA
+    )
+
+
 def extract_payload_meta(df: DataFrame) -> DataFrame:
     """Typed metadata for a binary `payload` column via Arrow-batched
     mapInPandas: (doc_id, n_bytes, payload_md5). This is the template

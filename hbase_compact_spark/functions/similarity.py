@@ -194,19 +194,43 @@ def lsh_topk(
         f"{N_HYPERPLANES // N_BANDS} + 1, {N_HYPERPLANES // N_BANDS}))))"
     )
 
+    import numpy as np
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(queries.sparkSession)
+
     def prep(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return (
-            df.select(
-                F.col("vec_id").alias(id_alias),
-                as_double_array("embedding").alias(vec_alias),
+        dims = 64
+
+        def sketch_batches(batches):
+            import pandas as pd
+
+            H = np.array(
+                [[_hyperplane(i, d) for d in range(dims)] for i in range(N_HYPERPLANES)]
             )
-            .withColumn("sketch", lsh_sketch(vec_alias))
-            # barrier: materialize the sketch once instead of letting
-            # projection collapse recompute all 24 dot products per band
-            .repartition(id_alias)
-            .withColumn("band", F.explode(band))
-            .drop("sketch")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                S = (M @ H.T > 0).astype("int32")
+                yield pd.DataFrame(
+                    {
+                        id_alias: pdf["vec_id"],
+                        vec_alias: list(M),
+                        "sketch": list(S),
+                    }
+                )
+
+        # sketches via Arrow + BLAS (the 24x64 dot-product fold is
+        # interpreted when written as a SQL higher-order function —
+        # ~20us/row; the matmul is ~100x faster). lsh_sketch() remains
+        # the pure-SQL reference implementation.
+        sketched = df.select("vec_id", "embedding").mapInPandas(
+            sketch_batches,
+            schema=f"{id_alias} long, {vec_alias} array<double>, sketch array<int>",
         )
+        return sketched.withColumn("band", F.explode(band)).drop("sketch")
 
     q = prep(queries, "query_id", "qv").withColumn("qn", norm("qv"))
     c = prep(corpus, "vec_id", "cv").withColumn("cn", norm("cv"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from hbase_compact_spark.functions import text as TX
 from hbase_compact_spark.functions.multimodal import (
+    extract_frame_meta,
     extract_payload_meta,
     with_binary_payload,
 )
@@ -384,7 +385,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     they carry no signal and are precisely the skew keys that would
     blow up the self-join at 100 TB."""
     docs = _docs_with(spark, sf_dir, sh=TX.shingles())
-    sh = docs.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    # materialize the exploded shingle index ONCE, hash-partitioned on
+    # the join key: the DF-cap groupBy, the cap join and the self-join
+    # all reuse this exchange instead of re-evaluating the shingle
+    # pipeline per consumer branch
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    ).repartition("s")
     keep = sh.groupBy("s").count().filter(F.col("count") <= NGRAM_DF_CAP).select("s")
     sh2 = sh.join(keep, "s")
     sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -516,6 +523,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     in; this query proves the schema/batching/partitioning path."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_payload_meta(with_binary_payload(docs))
+
+
+@query("multimodal_frames")  # rows-only: byte-window "frames" are a
+# codec stand-in; determinism + expected values asserted in tests
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (video-style
+    fixed-stride sampling; decoder stubbed — see functions/multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_frame_meta(with_binary_payload(docs), every_n=100)
 
 
 # ======================================================= UDF surface

@@ -141,6 +141,52 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(epoch_us(ts) - epoch_us(last_click_ts) AS BIGINT) AS lag_us
+    FROM tagged
+    WHERE event_type = 'error' AND last_click_ts IS NOT NULL
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each 'error' event joined
+    to the most recent preceding 'click' by the same user. Implemented
+    as a running max over the merged, time-ordered stream — one
+    shuffle on user_id, no range-join blowup, the scale-correct shape
+    (vs. the naive t1 x t2 inequality join)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.filter(
+        (F.col("event_type") == "error") & F.col("last_click_ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("lag_us"),
+    )
+
+
 @query("approx_stats")  # rows-only: sketch values are
 # engine-specific; tests assert <5% error vs the exact answers
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

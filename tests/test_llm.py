@@ -114,6 +114,27 @@ def test_multimodal_stub_contract(spark, planted_dir):
     assert by_id[0]["payload_md5"] == hashlib.md5(BASE.encode()).hexdigest()
 
 
+def test_multimodal_frames(spark, planted_dir):
+    import hashlib
+
+    from hbase_compact_spark.functions.multimodal import sample_frames
+
+    out = {
+        r["doc_id"]: r
+        for r in llm.multimodal_frames(spark, planted_dir).collect()
+    }
+    payload = BASE.encode()
+    frames = sample_frames(payload, every_n=100)
+    assert out[0]["n_frames"] == len(frames)
+    assert out[0]["frames_md5"] == hashlib.md5(b"".join(frames)).hexdigest()
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["frames_md5"]
+        for r in llm.multimodal_frames(spark, planted_dir).collect()
+    }
+    assert again == {k: v["frames_md5"] for k, v in out.items()}
+
+
 def test_shingles_short_doc_fallback(spark):
     df = spark.createDataFrame([("ab cd",)], "text string").select(
         TX.shingles("text", 5).alias("sh")

@@ -1,0 +1,97 @@
+"""Config source (A1/A2 parity) and file-inventory source tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.sources.config import (
+    CompactionConfig,
+    load_config,
+    parse_properties,
+    store_config,
+)
+from hbase_compact_spark.sources.inventory import file_inventory
+from hbase_compact_spark.tables import load_table
+
+# the reference's shipped config, verbatim (conf/config.properties)
+REFERENCE_PROPS = """\
+#Fri Jan 09 15:04:32 CST 2015
+regionindex=100
+tablename=qmq_backup
+starttime=08\\:30\\:00
+endtime=12\\:30\\:00
+marjorfilesize=530000000000
+directcompactsize=100000000000
+"""
+
+
+def test_parse_reference_shipped_config(tmp_path):
+    p = tmp_path / "config.properties"
+    p.write_text(REFERENCE_PROPS)
+    cfg = load_config(str(p))
+    assert cfg.regionindex == 100
+    assert cfg.tablename == "qmq_backup"
+    assert cfg.starttime == "08:30:00"
+    assert cfg.endtime == "12:30:00"
+    assert cfg.marjorfilesize == 530_000_000_000
+    assert cfg.directcompactsize == 100_000_000_000
+
+
+def test_config_round_trip(tmp_path):
+    p = tmp_path / "cfg.properties"
+    cfg = CompactionConfig(
+        starttime="01:02:03",
+        endtime="04:05:06",
+        tablename="t1",
+        regionindex=7,
+    )
+    store_config(str(p), cfg)
+    assert load_config(str(p)) == cfg
+    # escaped colons survive for java Properties compatibility
+    assert "01\\:02\\:03" in p.read_text()
+
+
+def test_malformed_config_raises(tmp_path):
+    p = tmp_path / "bad.properties"
+    p.write_text("regionindex=not_a_number\n")
+    with pytest.raises(ValueError):
+        load_config(str(p))
+
+
+def test_comments_and_blanks_ignored():
+    props = parse_properties("# c\n! also\n\nk=v\nnoequals\n")
+    assert props == {"k": "v"}
+
+
+def test_file_inventory_source(spark, tmp_path):
+    """file_inventory lists a region/family tree with correct layout
+    columns, sizes and no content read."""
+    root = str(tmp_path / "store")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for region in ["r0", "r1"]:
+        for family in ["cf1", "cf2"]:
+            (
+                docs.limit(50)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{root}/{region}/{family}")
+            )
+    inv = file_inventory(spark, root).filter(F.col("file").endswith(".parquet"))
+    rows = inv.collect()
+    assert {(r["region"], r["family"]) for r in rows} == {
+        ("r0", "cf1"),
+        ("r0", "cf2"),
+        ("r1", "cf1"),
+        ("r1", "cf2"),
+    }
+    assert all(r["size_bytes"] > 0 for r in rows)
+    on_disk = {
+        f: os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert {r["file"]: r["size_bytes"] for r in rows} == on_disk
