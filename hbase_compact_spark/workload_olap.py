@@ -187,6 +187,72 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    kept AS (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment
+      FROM customer c WHERE c.c_custkey NOT IN
+           (SELECT c_custkey FROM updates)
+    )
+    SELECT *, 'kept' AS merge_action FROM kept
+    UNION ALL
+    SELECT *, 'updated' AS merge_action FROM updates
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated without a table format (anti-join the
+    target against the update keys, union the updates back) — the
+    engine's CDC/SCD2 primitive. With Delta/Iceberg on the classpath
+    this becomes a real MERGE; the logical shape (and shuffle story:
+    one join on the merge key) is identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+    )
+    kept = cust.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    return kept.withColumn("merge_action", F.lit("kept")).unionByName(
+        updates.withColumn("merge_action", F.lit("updated"))
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle=r"""
+    SELECT t.token, count(*) AS n_occurrences,
+           count(DISTINCT d.doc_id) AS n_docs
+    FROM documents d,
+         unnest(regexp_extract_all(d.text, '\S+')) AS t(token)
+    GROUP BY t.token
+    HAVING count(*) > 100
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode -> term frequencies (the unnest/flatten
+    operator family; also the substrate of every inverted index in
+    the dedup suite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 100)
+    )
+
+
 @query("approx_stats")  # rows-only: sketch values are
 # engine-specific; tests assert <5% error vs the exact answers
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
