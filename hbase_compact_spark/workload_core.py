@@ -376,7 +376,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey",
         "o_orderkey",
-        "rn",
+        F.col("rn").cast("long").alias("rn"),
         F.col("running_total").cast("double").alias("running_total"),
     )
 
@@ -511,7 +511,7 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
         .cast("long")
         .alias("days_to_2002"),
-        F.length("o_orderpriority").alias("pri_len"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
     )
 
 

@@ -53,6 +53,12 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
         f"column mismatch: spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    dtype_diffs = [
+        (c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(oracle_pdf[c].dtype)
+    ]
+    assert not dtype_diffs, f"dtype mismatch (spark vs oracle): {dtype_diffs}"
     assert len(spark_pdf) == len(oracle_pdf), (
         f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
