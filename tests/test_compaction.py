@@ -147,6 +147,62 @@ def test_compaction_resume_after_partial_run(spark, small_files_table, tmp_path)
     assert _data_fingerprint(spark, root) == before
 
 
+def test_compaction_two_level_partitions(spark, tmp_path):
+    """region=/family= two-level layout (the reference's exact store
+    hierarchy, QHBaseCompact.java:147-148): leaf dirs are compacted
+    independently."""
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "t2")
+    docs = load_table(spark, SF_DIR, "documents")
+    for r in ["r0", "r1"]:
+        for fam in ["cf1", "cf2"]:
+            (
+                docs.filter(F.col("doc_id") % 2 == (0 if r == "r0" else 1))
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(f"{root}/region={r}/family={fam}")
+            )
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+
+    before = _fingerprint(spark.read.parquet(root))
+    report = compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    assert {r.partition for r in report.compacted} == {
+        f"region={r}/family={f}" for r in ["r0", "r1"] for f in ["cf1", "cf2"]
+    }
+    assert _fingerprint(spark.read.parquet(root)) == before
+
+
+def test_compaction_preserves_sorted_runs(spark, tmp_path):
+    """sort_by keeps the HFile sorted-run property in the rewritten
+    parquet: every output file is internally sorted on the key."""
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "sorted")
+    ev = load_table(spark, SF_DIR, "events").drop("ts")
+    ev.repartition(10).write.mode("overwrite").parquet(f"{root}/region=p0")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+
+    compact_table(
+        spark, root, target_bytes=10 * 1024, sort_by=["event_id"]
+    )  # tiny target -> several output files
+    part = os.path.join(root, "region=p0")
+    out_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(out_files) > 1
+    for f in out_files:
+        ids = [
+            r["event_id"]
+            for r in spark.read.parquet(os.path.join(part, f)).collect()
+        ]
+        assert ids == sorted(ids), f"{f} not internally sorted"
+
+
 # ------------------------------------------------------------- policies
 def test_time_window_string_compare_semantics():
     from datetime import datetime
