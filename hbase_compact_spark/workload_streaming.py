@@ -36,3 +36,38 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Structured Streaming query (file source -> watermark ->
     windowed agg -> memory sink, availableNow trigger)."""
     return run_bounded(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT strftime(make_timestamp(((epoch_us(ts) // 10800000000) - k)
+                                   * 10800000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours (each event lands in two
+    overlapping windows). The batch dual explodes each event into its
+    k = window/slide covering windows — which is exactly how Spark's
+    streaming window operator assigns them internally."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_bounded(agg)
