@@ -45,6 +45,7 @@ class DaemonConfig:
     cycle_pause_s: float = 600.0
     max_cycles: int = 1
     partitions_per_iteration: int = 1
+    concurrency: int = 1  # rewrites per iteration in flight at once
 
 
 @dataclass
@@ -101,6 +102,7 @@ def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
                 pacing_seconds=cfg.inter_partition_pause_s,
                 time_window=cfg.window,
                 max_partitions_per_run=cfg.partitions_per_iteration,
+                concurrency=cfg.concurrency,
             )
             run.cycles.append(report)
             if not report.compacted:

@@ -119,6 +119,52 @@ def list_partition_files(
     return out
 
 
+def _compact_one(
+    spark: SparkSession,
+    table_root: str,
+    rel: str,
+    files: list[tuple[str, int]],
+    n_bins: int,
+    sort_by: list[str] | None,
+) -> int:
+    """Rewrite one partition; returns the verified row count."""
+    from pyspark.sql import Observation
+
+    part_dir = posixpath.join(table_root, rel) if rel else table_root
+    src = spark.read.parquet(*[p for p, _ in files])
+    tmp_dir = posixpath.join(table_root, f"_compact_tmp_{abs(hash(rel)) % 10**8}")
+
+    # fingerprint the source DURING the rewrite pass (Observation
+    # metrics) instead of a separate scan: 2 passes per partition
+    # (write+observe, verify read-back) rather than 3
+    obs = Observation()
+    observed = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + "))"
+        ).alias("fp"),
+    )
+    writer = observed.repartition(n_bins)
+    if sort_by:
+        writer = writer.sortWithinPartitions(*sort_by)
+    writer.write.mode("overwrite").parquet(tmp_dir)
+    metrics = obs.get
+    n_before, fp_before = int(metrics["n"]), int(metrics["fp"] or 0)
+
+    rewritten = spark.read.parquet(tmp_dir)
+    n_after, fp_after = _fingerprint(rewritten)
+    if (n_before, fp_before) != (n_after, fp_after):
+        # hard verification where the reference soft-fails
+        _rm(spark, tmp_dir)
+        raise RuntimeError(
+            f"compaction verification failed for {rel}: "
+            f"rows {n_before}->{n_after}, fingerprint changed"
+        )
+    _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files])
+    return n_after
+
+
 def compact_table(
     spark: SparkSession,
     table_root: str,
@@ -129,6 +175,7 @@ def compact_table(
     pacing_seconds: float = 0.0,
     time_window: tuple[str, str] | None = None,
     max_partitions_per_run: int | None = None,
+    concurrency: int = 1,
 ) -> CompactionReport:
     """Compact every small-file partition of a parquet table in place.
 
@@ -136,12 +183,20 @@ def compact_table(
     planned bin count is lower than the current file count (no
     pointless rewrites). `sort_by` preserves the sorted-run property
     of the reference's HFiles in the rewritten parquet.
+
+    `concurrency` > 1 rewrites that many partitions at once (Spark
+    schedules the concurrent jobs across the cluster). The default of
+    1 mirrors the reference's one-region-at-a-time minimal-impact
+    design (README.md:8-9); raise it when the rewrite should use the
+    cluster's full width — each partition's own write parallelism is
+    only its bin count, so serial execution leaves executors idle.
     """
     ckpt = checkpoint or CompactionCheckpoint(
         posixpath.join(table_root, "_compaction_checkpoint.json")
     )
     report = CompactionReport(table_root)
     partitions = list_partition_files(spark, table_root)
+    todo: list[tuple[str, list[tuple[str, int]], int, PartitionResult]] = []
     done = 0
     for rel in sorted(partitions):  # deterministic order, like the
         # reference's positional region cursor (QHC.java:133,146)
@@ -157,45 +212,46 @@ def compact_table(
             res.skipped = "already_compact"
         elif max_partitions_per_run is not None and done >= max_partitions_per_run:
             res.skipped = "pacing_budget"
-        if res.skipped:
-            report.results.append(res)
-            continue
+        report.results.append(res)
+        if not res.skipped:
+            done += 1
+            todo.append((rel, files, n_bins, res))
 
+    def run_one(item) -> None:
+        rel, files, n_bins, res = item
         if time_window is not None:
             while not _in_time_window(*time_window):
                 time.sleep(1.0)  # reference sleeps 60 s (QHC.java:54);
                 # 1 s keeps tests responsive, policy not semantics
-
-        part_dir = posixpath.join(table_root, rel) if rel else table_root
-        src = spark.read.parquet(*[p for p, _ in files])
-        n_before, fp_before = _fingerprint(src)
-
-        tmp_dir = posixpath.join(
-            table_root, f"_compact_tmp_{abs(hash(rel)) % 10**8}"
-        )
-        writer = src.repartition(n_bins)
-        if sort_by:
-            writer = writer.sortWithinPartitions(*sort_by)
-        writer.write.mode("overwrite").parquet(tmp_dir)
-
-        rewritten = spark.read.parquet(tmp_dir)
-        n_after, fp_after = _fingerprint(rewritten)
-        if (n_before, fp_before) != (n_after, fp_after):
-            # hard verification where the reference soft-fails
-            _rm(spark, tmp_dir)
-            raise RuntimeError(
-                f"compaction verification failed for {rel}: "
-                f"rows {n_before}->{n_after}, fingerprint changed"
-            )
-        _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files])
-        res.rows = n_after
-        report.results.append(res)
+        res.rows = _compact_one(spark, table_root, rel, files, n_bins, sort_by)
         ckpt.mark_done(
-            rel, files_before=len(files), files_after=n_bins, rows=n_after
+            rel, files_before=len(files), files_after=n_bins, rows=res.rows
         )
-        done += 1
         if pacing_seconds:
             time.sleep(pacing_seconds)  # QHC.java:195 inter-region pause
+
+    if concurrency <= 1:
+        for item in todo:
+            run_one(item)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Spark job submission is thread-safe; CompactionCheckpoint
+        # writes whole-file atomically, and mark_done is serialized by
+        # a lock so concurrent completions don't lose updates.
+        lock = __import__("threading").Lock()
+        real_mark = ckpt.mark_done
+
+        def locked_mark(key: str, **meta) -> None:
+            with lock:
+                real_mark(key, **meta)
+
+        ckpt.mark_done = locked_mark  # type: ignore[method-assign]
+        try:
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                list(pool.map(run_one, todo))
+        finally:
+            ckpt.mark_done = real_mark  # type: ignore[method-assign]
     return report
 
 

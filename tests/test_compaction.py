@@ -147,6 +147,26 @@ def test_compaction_resume_after_partial_run(spark, small_files_table, tmp_path)
     assert _data_fingerprint(spark, root) == before
 
 
+def test_compaction_concurrent_matches_serial(spark, small_files_table, tmp_path):
+    """concurrency>1 must preserve the row set and checkpoint every
+    partition exactly once."""
+    root = small_files_table
+    before = _fingerprint(spark.read.parquet(root))
+    ckpt = CompactionCheckpoint(str(tmp_path / "cc.json"))
+    report = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt, concurrency=4
+    )
+    assert {r.partition for r in report.compacted} == {
+        "region=p0",
+        "region=p1",
+        "region=p2",
+    }
+    assert _fingerprint(spark.read.parquet(root)) == before
+    state = ckpt.load()
+    assert set(state) == {"region=p0", "region=p1", "region=p2"}
+    assert all(v["rows"] > 0 for v in state.values())
+
+
 def test_compaction_two_level_partitions(spark, tmp_path):
     """region=/family= two-level layout (the reference's exact store
     hierarchy, QHBaseCompact.java:147-148): leaf dirs are compacted
