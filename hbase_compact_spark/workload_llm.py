@@ -305,16 +305,19 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with collisions (true near-dups), not with n^2. Seedless
     deterministic hashing keeps it oracle-checkable."""
     docs = _docs_with(spark, sf_dir, sh=TX.shingles())
-    # repartition barriers: Catalyst's projection collapse would
-    # otherwise inline the md5 pipeline into all 16 MinHash lanes and
-    # again into every LSH band (a ~64x re-evaluation); an Exchange
-    # materializes the hash arrays once, and the self-join reuses the
-    # exchange output (ReusedExchange) instead of recomputing.
+    # Two materialization tricks, both load-bearing at scale:
+    # 1) the repartition barrier stops Catalyst's projection collapse
+    #    from inlining the md5 pipeline into all 16 MinHash lanes
+    #    (a ~16x re-evaluation);
+    # 2) the lazy localCheckpoint materializes the signatures ONCE for
+    #    their four consumers (band sides a/b, signature joins sa/sb)
+    #    — plan-level exchange reuse does not fire across these
+    #    subtrees, so without it the whole hash pipeline runs 4x.
     sigs = (
         docs.select("doc_id", TX.shingle_hashes("sh").alias("shh"))
         .repartition("doc_id")
         .select("doc_id", TX.minhash_signature("shh").alias("sig"))
-        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
     r = TX.MINHASH_K // 4
     bands = sigs.withColumn(
