@@ -528,6 +528,46 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_payload_meta(with_binary_payload(docs))
 
 
+@query(
+    "fuzzy_string_match",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over part names, first-letter
+    blocked (the classic cheap blocking key: levenshtein <= 3 implies
+    the strings share most of their prefix structure in practice, and
+    blocking turns the O(n^2) comparison into per-block work — same
+    scale pattern as the LSH band joins)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("part_a") < F.col("part_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("edit_dist") <= 3)
+        .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
+    )
+
+
 @query("multimodal_frames")  # rows-only: byte-window "frames" are a
 # codec stand-in; determinism + expected values asserted in tests
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
