@@ -45,6 +45,70 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets",
+    oracle=f"""
+    WITH inventory AS ({INVENTORY_SQL})
+    SELECT coalesce(region, 'ALL') AS region,
+           coalesce(family, 'ALL') AS family,
+           count(*) AS filenum,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+    FROM inventory
+    GROUP BY GROUPING SETS ((region), (family))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — just the per-region and per-family
+    marginals, no cross cells (finer lattice control than ROLLUP/CUBE,
+    still one pass)."""
+    inv = derived_inventory(spark, sf_dir)
+    inv.createOrReplaceTempView("_gs_inventory")
+    return spark.sql(
+        """
+        SELECT coalesce(region, 'ALL') AS region,
+               coalesce(family, 'ALL') AS family,
+               count(*) AS filenum,
+               sum(size_bytes) AS total_bytes
+        FROM _gs_inventory
+        GROUP BY GROUPING SETS ((region), (family))
+        """
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: each order's trailing-90-day spend for its
+    customer — a value-based frame (all rows within the interval),
+    not a row-count frame. Exact DECIMAL accumulation for the oracle
+    hash."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("odate_s")
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    )
+
+
+@query(
     "pivot_wide",
     oracle="""
     SELECT l_returnflag,

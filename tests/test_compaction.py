@@ -223,6 +223,37 @@ def test_compaction_preserves_sorted_runs(spark, tmp_path):
         assert ids == sorted(ids), f"{f} not internally sorted"
 
 
+def test_compaction_verification_failure_aborts(spark, small_files_table, monkeypatch):
+    """If the rewritten data does not fingerprint-match the source,
+    the partition swap must NOT happen and the error must surface
+    (the reference soft-fails here, QHBaseCompact.java:71-72 — we
+    hard-fail by design)."""
+    import hbase_compact_spark.compaction.executor as ex
+
+    root = small_files_table
+    before = _fingerprint(spark.read.parquet(root))
+    files_before = {
+        d: sorted(os.listdir(os.path.join(root, d)))
+        for d in os.listdir(root)
+        if d.startswith("region=")
+    }
+
+    monkeypatch.setattr(ex, "_fingerprint", lambda df: (-1, -1))
+    with pytest.raises(RuntimeError, match="verification failed"):
+        compact_table(spark, root, target_bytes=64 * 1024 * 1024)
+    monkeypatch.undo()
+
+    # nothing swapped, no temp dirs left, data intact
+    files_after = {
+        d: sorted(os.listdir(os.path.join(root, d)))
+        for d in os.listdir(root)
+        if d.startswith("region=")
+    }
+    assert files_after == files_before
+    assert not [d for d in os.listdir(root) if d.startswith("_compact_tmp")]
+    assert _fingerprint(spark.read.parquet(root)) == before
+
+
 # ------------------------------------------------------------- policies
 def test_time_window_string_compare_semantics():
     from datetime import datetime
