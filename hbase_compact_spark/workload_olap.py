@@ -317,6 +317,35 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than twice their
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join — written as SQL to exercise the subquery planner (the
+    DataFrame equivalent is an explicit groupBy + join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM _sq_orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM _sq_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 @query("approx_stats")  # rows-only: sketch values are
 # engine-specific; tests assert <5% error vs the exact answers
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,6 +135,35 @@ def test_multimodal_frames(spark, planted_dir):
     assert again == {k: v["frames_md5"] for k, v in out.items()}
 
 
+def test_lsh_sketch_sql_and_blas_agree(spark):
+    """The pure-SQL lsh_sketch (reference implementation) and the
+    BLAS path inside lsh_topk must compute the same sign sketch from
+    the same literal hyperplanes (sign boundaries at |dot| ~ 1e-16
+    could in principle differ — the fixtures stay far from them)."""
+    import numpy as np
+
+    from hbase_compact_spark.functions.similarity import (
+        N_HYPERPLANES,
+        _hyperplane,
+        lsh_sketch,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sql_sk = {
+        r["vec_id"]: list(r["s"])
+        for r in emb.select("vec_id", lsh_sketch("embedding").alias("s")).collect()
+    }
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    H = np.array(
+        [[_hyperplane(i, d) for d in range(64)] for i in range(N_HYPERPLANES)]
+    )
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    blas = (M @ H.T > 0).astype(int)
+    blas_sk = {int(v): list(map(int, row)) for v, row in zip(pdf["vec_id"], blas)}
+    assert sql_sk == blas_sk
+
+
 def test_shingles_short_doc_fallback(spark):
     df = spark.createDataFrame([("ab cd",)], "text string").select(
         TX.shingles("text", 5).alias("sh")
