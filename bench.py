@@ -39,12 +39,18 @@ def main() -> None:
     spark = get_spark("hbase_compact_spark_bench")
     queries = entrymod.queries()
 
-    # warm the JVM/session AND the Python worker pool so the first
-    # (alphabetical) query doesn't absorb one-time startup costs
+    # warm the JVM/session, the Python worker pool, and the page cache
+    # (pre-touch every fixture file) so the first queries measure the
+    # engine rather than one-time startup / cold IO
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1_000).toDF("id").mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    for name in os.listdir(SF_DIR):
+        if name.endswith(".parquet"):
+            with open(os.path.join(SF_DIR, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

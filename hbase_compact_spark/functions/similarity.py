@@ -178,20 +178,37 @@ def embedding_dup_pairs(
 
 
 def lsh_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 10
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k: LSH-band candidate generation + exact cosine rerank.
 
     Bands of the sign sketch become join keys, so candidate pairing is
     an equi-join (shuffle on band key) instead of a cross join — the
-    100 TB-safe path. Recall vs brute force is probabilistic; tests
-    assert recall@10 >= 0.5 on the fixtures (raise N_HYPERPLANES /
-    probe multiple tables to trade cost for recall).
+    100 TB-safe path. With `multiprobe`, the QUERY side also emits
+    every single-bit-flipped variant of each band key (bands are 3
+    bits -> 3 extra probes per band), which recovers most neighbors
+    that fall just across one hyperplane — the standard recall/cost
+    dial: query-side rows x4, corpus side untouched.
     """
+    r = N_HYPERPLANES // N_BANDS
     band = F.expr(
         f"transform(sequence(0, {N_BANDS - 1}), b -> "
-        f"concat(b, ':', concat_ws(',', slice(sketch, b * "
-        f"{N_HYPERPLANES // N_BANDS} + 1, {N_HYPERPLANES // N_BANDS}))))"
+        f"concat(b, ':', concat_ws(',', slice(sketch, b * {r} + 1, {r}))))"
+    )
+    # band keys + their single-bit-flip probes (query side only)
+    probe_band = F.expr(
+        f"""
+        flatten(transform(sequence(0, {N_BANDS - 1}), b ->
+          transform(sequence(0, {r}), flip ->
+            concat(b, ':', concat_ws(',',
+              transform(slice(sketch, b * {r} + 1, {r}),
+                (bit, i) -> CASE WHEN i + 1 = flip THEN 1 - bit
+                            ELSE bit END))))))
+        """
     )
 
     import numpy as np
@@ -200,7 +217,7 @@ def lsh_topk(
 
     ensure_package_on_executors(queries.sparkSession)
 
-    def prep(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def prep(df: DataFrame, id_alias: str, vec_alias: str, bands) -> DataFrame:
         dims = 64
 
         def sketch_batches(batches):
@@ -230,10 +247,12 @@ def lsh_topk(
             sketch_batches,
             schema=f"{id_alias} long, {vec_alias} array<double>, sketch array<int>",
         )
-        return sketched.withColumn("band", F.explode(band)).drop("sketch")
+        return sketched.withColumn("band", F.explode(bands)).drop("sketch")
 
-    q = prep(queries, "query_id", "qv").withColumn("qn", norm("qv"))
-    c = prep(corpus, "vec_id", "cv").withColumn("cn", norm("cv"))
+    q = prep(
+        queries, "query_id", "qv", probe_band if multiprobe else band
+    ).withColumn("qn", norm("qv"))
+    c = prep(corpus, "vec_id", "cv", band).withColumn("cn", norm("cv"))
     cand = (
         q.join(c, "band")
         .where(F.col("query_id") != F.col("vec_id"))

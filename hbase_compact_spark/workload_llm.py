@@ -531,40 +531,44 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fuzzy_string_match",
     oracle="""
-    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-           a.p_name AS name_a, b.p_name AS name_b,
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS parts_a, b.n_parts AS parts_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_partkey < b.p_partkey
-     AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
 )
 def fuzzy_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching over part names, first-letter
-    blocked (the classic cheap blocking key: levenshtein <= 3 implies
-    the strings share most of their prefix structure in practice, and
-    blocking turns the O(n^2) comparison into per-block work — same
-    scale pattern as the LSH band joins)."""
+    """Edit-distance fuzzy matching over the part-name VOCABULARY:
+    dedupe to distinct names first (pairwise work scales with the
+    entity vocabulary, not the row count — 20k rows at sf0.1 collapse
+    to 64 names), with the provable |len(a)-len(b)| <= max_dist bound
+    as a join-level prefilter so most candidate pairs never reach the
+    O(len^2) levenshtein."""
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_partkey").alias("part_a"),
-        F.col("p_name").alias("name_a"),
-        F.substring("p_name", 1, 1).alias("blk"),
+    names = part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("parts_a")
     )
-    b = part.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_name").alias("name_b"),
-        F.substring("p_name", 1, 1).alias("blk"),
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b")
     )
     return (
-        a.join(b, "blk")
-        .where(F.col("part_a") < F.col("part_b"))
-        .withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 3
+            ),
         )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("edit_dist") <= 3)
-        .select("part_a", "part_b", "name_a", "name_b", "edit_dist")
+        .select("name_a", "name_b", "parts_a", "parts_b", "edit_dist")
     )
 
 

@@ -94,7 +94,7 @@ def test_ann_recall_vs_exact(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"ANN recall@10 too low: {recall}"
+    assert recall >= 0.8, f"ANN recall@10 too low: {recall}"
 
 
 def test_multimodal_stub_contract(spark, planted_dir):
@@ -133,6 +133,33 @@ def test_multimodal_frames(spark, planted_dir):
         for r in llm.multimodal_frames(spark, planted_dir).collect()
     }
     assert again == {k: v["frames_md5"] for k, v in out.items()}
+
+
+def test_embedding_dup_detection_planted(spark):
+    """The oracle can only prove engine-vs-engine equality (and the
+    fixture corpus has no >=0.9 pairs); this proves the operator
+    actually FINDS planted near-duplicate vectors."""
+    import numpy as np
+
+    from hbase_compact_spark.functions.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # vec 100 = near-copy of vec 0 (tiny noise); vec 101 = exact copy of 1
+    near = base[0] + rng.normal(scale=0.01, size=64).astype(np.float32)
+    rows.append((100, near.tolist()))
+    rows.append((101, base[1].tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in embedding_dup_pairs(emb, 0.9).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.99
+    assert (1, 101) in pairs and pairs[(1, 101)] == 1.0
+    # random pairs (cos ~ 0 at d=64) must not appear
+    assert all(a in (0, 1) and b > 99 for (a, b) in pairs)
 
 
 def test_lsh_sketch_sql_and_blas_agree(spark):
