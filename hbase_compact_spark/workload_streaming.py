@@ -39,6 +39,55 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.user_id AS user_id
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (error, click-by-same-user-
+    within-preceding-30-min) pair, as a REAL streaming join — two file
+    streams, watermarks on both sides bounding the join state, then
+    run to completion. The oracle is the batch interval join."""
+    from pyspark.sql import functions as F
+
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND "
+            "c_ts BETWEEN e_ts - INTERVAL 30 MINUTES AND e_ts"
+        ),
+        "inner",
+    ).select("error_id", "click_id", "user_id")
+    return run_bounded(joined, mode="append")
+
+
+@query(
     "stream_sliding",
     oracle="""
     SELECT strftime(make_timestamp(((epoch_us(ts) // 10800000000) - k)
