@@ -61,6 +61,12 @@ def run_bounded(agg: DataFrame, *, mode: str = "complete") -> DataFrame:
     batch never advances the watermark far enough for append mode to
     emit the final windows."""
     spark = agg.sparkSession
+    # a default session's 200 shuffle partitions are pure overhead for
+    # the bounded state shuffles here; match the cluster parallelism
+    # (must be set BEFORE the query starts — it is pinned per query)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    )
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     q = (
         agg.writeStream.format("memory")
