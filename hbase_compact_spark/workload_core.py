@@ -516,6 +516,42 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# point_lookup / range_scan — the HBase Get/Scan access patterns over
+# the engine's sorted-key world view. The reference never reads cell
+# data (admin + fs metadata only), but its domain is a kv-store: these
+# are the data-path analogs, served by parquet min/max pushdown
+# (point/range predicates prune row groups the way a key-ordered HFile
+# scan seeks).
+@query(
+    "point_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey = 1024
+    """,
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") == 1024).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 500 AND 600
+    """,
+)
+def range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").between(500, 600)).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+# --------------------------------------------------------------------
 # json_funcs — JSON extraction over the events.props column (engine
 # extension; the reference's config record A1 is the closest analog of
 # semi-structured input).
