@@ -629,6 +629,62 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts, value,
+             -- >= : session_window's [start, last+gap) is half-open,
+             -- an event exactly gap after the previous starts anew
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) — Spark
+    merges overlapping per-key gaps inside the aggregation operator
+    itself, no explicit lag/cumsum plumbing. The oracle derives the
+    identical sessions with the window-function construction, so this
+    also proves the two formulations agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ====================================================== sessionize
 @query(
     "sessionize",
