@@ -60,6 +60,54 @@ def where_clause(draw):
 
 @pytest.mark.usefixtures("spark")
 @settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    join_type=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    status=st.sampled_from(["O", "F", "P"]),
+    seg_pred=st.booleans(),
+)
+def test_fuzz_join_shapes(spark, join_type, status, seg_pred):
+    """Random join shapes (incl. semi/anti and NULL-producing outer
+    joins) against the DuckDB equivalents."""
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderstatus") == status
+    )
+    cust = load_table(spark, SF_DIR, "customer")
+    if seg_pred:
+        cust = cust.filter(F.col("c_mktsegment") != "BUILDING")
+
+    cust_where = "WHERE c_mktsegment <> 'BUILDING'" if seg_pred else ""
+    if join_type in ("left_semi", "left_anti"):
+        sdf = cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            join_type,
+        ).select("c_custkey", "c_name")
+        op = "IN" if join_type == "left_semi" else "NOT IN"
+        sql = f"""
+            SELECT c_custkey, c_name FROM customer {cust_where}
+            {"AND" if seg_pred else "WHERE"} c_custkey {op}
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = '{status}')
+        """
+    else:
+        sdf = cust.join(
+            orders, cust.c_custkey == orders.o_custkey, join_type
+        ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        jt = "JOIN" if join_type == "inner" else "LEFT JOIN"
+        sql = f"""
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM (SELECT * FROM customer {cust_where}) c
+            {jt} (SELECT * FROM orders WHERE o_orderstatus = '{status}') o
+              ON c.c_custkey = o.o_custkey
+        """
+    assert_matches_oracle(sdf, sql, SF_DIR)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
