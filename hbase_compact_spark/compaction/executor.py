@@ -113,8 +113,8 @@ def list_partition_files(
         path = r["path"]
         parent = posixpath.dirname(path)
         rel = parent.split(root_norm, 1)[-1].strip("/") if root_norm in path else parent
-        if posixpath.basename(parent).startswith(("_", ".")):
-            continue  # temp/trash dirs are not data
+        if any(c.startswith(("_", ".")) for c in rel.split("/") if c):
+            continue  # temp/trash trees are not data (any _-component)
         out.setdefault(rel, []).append((path, int(r["length"])))
     return out
 
@@ -126,6 +126,7 @@ def _compact_one(
     files: list[tuple[str, int]],
     n_bins: int,
     sort_by: list[str] | None,
+    trash_dir: str | None = None,
 ) -> int:
     """Rewrite one partition; returns the verified row count."""
     from pyspark.sql import Observation
@@ -161,7 +162,7 @@ def _compact_one(
             f"compaction verification failed for {rel}: "
             f"rows {n_before}->{n_after}, fingerprint changed"
         )
-    _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files])
+    _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir)
     return n_after
 
 
@@ -176,6 +177,8 @@ def compact_table(
     time_window: tuple[str, str] | None = None,
     max_partitions_per_run: int | None = None,
     concurrency: int = 1,
+    priority: str = "name",
+    trash: bool = False,
 ) -> CompactionReport:
     """Compact every small-file partition of a parquet table in place.
 
@@ -190,16 +193,32 @@ def compact_table(
     design (README.md:8-9); raise it when the rewrite should use the
     cluster's full width — each partition's own write parallelism is
     only its bin count, so serial execution leaves executors idle.
+
+    `priority="fragmentation"` visits the most-fragmented partitions
+    first (most files), so a bounded run (`max_partitions_per_run`)
+    spends its budget where it buys the most; `"name"` is the
+    reference's positional-cursor order. `trash=True` retires old
+    files into `<root>/_trash/<epoch>/` instead of deleting —
+    reclaim with purge_trash().
     """
     ckpt = checkpoint or CompactionCheckpoint(
         posixpath.join(table_root, "_compaction_checkpoint.json")
     )
     report = CompactionReport(table_root)
     partitions = list_partition_files(spark, table_root)
+    trash_dir = (
+        posixpath.join(table_root, "_trash", str(int(time.time())))
+        if trash
+        else None
+    )
+    if priority == "fragmentation":
+        order = sorted(partitions, key=lambda r: (-len(partitions[r]), r))
+    else:  # deterministic name order, like the reference's positional
+        # region cursor (QHC.java:133,146)
+        order = sorted(partitions)
     todo: list[tuple[str, list[tuple[str, int]], int, PartitionResult]] = []
     done = 0
-    for rel in sorted(partitions):  # deterministic order, like the
-        # reference's positional region cursor (QHC.java:133,146)
+    for rel in order:
         files = partitions[rel]
         total = sum(s for _, s in files)
         n_bins = max(1, math.ceil(total / target_bytes))
@@ -223,7 +242,9 @@ def compact_table(
             while not _in_time_window(*time_window):
                 time.sleep(1.0)  # reference sleeps 60 s (QHC.java:54);
                 # 1 s keeps tests responsive, policy not semantics
-        res.rows = _compact_one(spark, table_root, rel, files, n_bins, sort_by)
+        res.rows = _compact_one(
+            spark, table_root, rel, files, n_bins, sort_by, trash_dir
+        )
         ckpt.mark_done(
             rel, files_before=len(files), files_after=n_bins, rows=res.rows
         )
@@ -256,14 +277,20 @@ def compact_table(
 
 
 def _swap_files(
-    spark: SparkSession, tmp_dir: str, dest_dir: str, old_files: list[str]
+    spark: SparkSession,
+    tmp_dir: str,
+    dest_dir: str,
+    old_files: list[str],
+    trash_dir: str | None = None,
 ) -> None:
-    """Move rewritten files into the partition dir and drop the old
+    """Move rewritten files into the partition dir and retire the old
     ones. Rename-based: atomic per file on HDFS/local FS; on object
-    stores pair with a manifest commit. Old files are deleted only
+    stores pair with a manifest commit. Old files are retired only
     AFTER all new files are in place, so a crash mid-swap leaves a
     superset (re-running the verification/compaction heals it) rather
-    than data loss."""
+    than data loss. With `trash_dir`, retired files are MOVED there
+    instead of deleted (rename, cheap on any FS) so a bad rewrite is
+    recoverable until purge_trash runs."""
     fs, _, jvm = _hadoop_fs(spark, tmp_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     new_files = [
@@ -275,9 +302,40 @@ def _swap_files(
         dest = Path(dest_dir, f"compacted-{int(time.time())}-{i:05d}.parquet")
         if not fs.rename(src, dest):
             raise RuntimeError(f"rename failed: {src} -> {dest}")
-    for old in old_files:
-        fs.delete(Path(old), False)
+    if trash_dir:
+        fs.mkdirs(Path(trash_dir))
+        for old in old_files:
+            p = Path(old)
+            fs.rename(p, Path(trash_dir, p.getName()))
+    else:
+        for old in old_files:
+            fs.delete(Path(old), False)
     fs.delete(Path(tmp_dir), True)
+
+
+def purge_trash(
+    spark: SparkSession, table_root: str, *, older_than_s: float = 0.0
+) -> int:
+    """Delete retired pre-compaction files older than the retention
+    window. Returns the number of files removed. The trash layout is
+    `<root>/_trash/<epoch>/...` — one directory per swap batch."""
+    fs, root, jvm = _hadoop_fs(spark, posixpath.join(table_root, "_trash"))
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(root):
+        return 0
+    removed = 0
+    cutoff = time.time() - older_than_s
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        try:
+            batch_ts = int(name)
+        except ValueError:
+            continue
+        if batch_ts <= cutoff:
+            n = len(fs.listStatus(st.getPath()))
+            fs.delete(st.getPath(), True)
+            removed += n
+    return removed
 
 
 def _rm(spark: SparkSession, path: str) -> None:

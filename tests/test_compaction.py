@@ -223,6 +223,66 @@ def test_compaction_preserves_sorted_runs(spark, tmp_path):
         assert ids == sorted(ids), f"{f} not internally sorted"
 
 
+def test_compaction_trash_and_purge(spark, small_files_table):
+    """trash=True retires old files into _trash instead of deleting;
+    purge_trash honors the retention window; the trash tree is never
+    listed as data."""
+    from hbase_compact_spark.compaction.executor import (
+        list_partition_files,
+        purge_trash,
+    )
+
+    root = small_files_table
+    before = _fingerprint(spark.read.parquet(root))
+    n_old = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(root)
+    )
+    report = compact_table(spark, root, target_bytes=64 * 1024 * 1024, trash=True)
+    assert len(report.compacted) == 3
+    # data intact; old files preserved in the trash tree
+    assert _fingerprint(spark.read.parquet(root)) == before
+    trash_files = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(os.path.join(root, "_trash"))
+        for f in fs
+    ]
+    n_compacted_inputs = sum(r.files_before for r in report.compacted)
+    assert len(trash_files) == n_compacted_inputs
+    assert n_compacted_inputs < n_old  # single-file partition not trashed
+    # trash is invisible to the listing
+    assert not any(
+        "_trash" in rel for rel in list_partition_files(spark, root)
+    )
+    # retention: a huge window purges nothing, zero window purges all
+    assert purge_trash(spark, root, older_than_s=3600) == 0
+    assert purge_trash(spark, root, older_than_s=0) == n_compacted_inputs
+    assert purge_trash(spark, root, older_than_s=0) == 0
+
+
+def test_compaction_fragmentation_priority(spark, tmp_path):
+    """priority='fragmentation' + a budget of 1 compacts the
+    most-fragmented partition first."""
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "frag")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.repartition(5).write.mode("overwrite").parquet(f"{root}/region=few")
+    docs.repartition(30).write.mode("overwrite").parquet(f"{root}/region=many")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    report = compact_table(
+        spark,
+        root,
+        target_bytes=64 * 1024 * 1024,
+        priority="fragmentation",
+        max_partitions_per_run=1,
+    )
+    assert [r.partition for r in report.compacted] == ["region=many"]
+
+
 def test_compaction_verification_failure_aborts(spark, small_files_table, monkeypatch):
     """If the rewritten data does not fingerprint-match the source,
     the partition swap must NOT happen and the error must surface
