@@ -119,6 +119,17 @@ def list_partition_files(
     return out
 
 
+def fileset_signature(names: list[str]) -> str:
+    """Order-insensitive signature of a partition's file NAMES. Lets
+    the checkpoint distinguish 'done and unchanged' from 'done but new
+    files arrived since' — the arrival of any file re-opens the
+    partition for compaction."""
+    import hashlib
+
+    items = sorted(posixpath.basename(n) for n in names)
+    return hashlib.md5("\n".join(items).encode()).hexdigest()[:16]
+
+
 def _compact_one(
     spark: SparkSession,
     table_root: str,
@@ -127,8 +138,9 @@ def _compact_one(
     n_bins: int,
     sort_by: list[str] | None,
     trash_dir: str | None = None,
-) -> int:
-    """Rewrite one partition; returns the verified row count."""
+) -> tuple[int, list[str]]:
+    """Rewrite one partition; returns (verified row count, new file
+    names)."""
     from pyspark.sql import Observation
 
     part_dir = posixpath.join(table_root, rel) if rel else table_root
@@ -162,8 +174,10 @@ def _compact_one(
             f"compaction verification failed for {rel}: "
             f"rows {n_before}->{n_after}, fingerprint changed"
         )
-    _swap_files(spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir)
-    return n_after
+    new_names = _swap_files(
+        spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir
+    )
+    return n_after, new_names
 
 
 def compact_table(
@@ -218,12 +232,18 @@ def compact_table(
         order = sorted(partitions)
     todo: list[tuple[str, list[tuple[str, int]], int, PartitionResult]] = []
     done = 0
+    ck_state = ckpt.load()
     for rel in order:
         files = partitions[rel]
         total = sum(s for _, s in files)
         n_bins = max(1, math.ceil(total / target_bytes))
         res = PartitionResult(rel, len(files), n_bins, total, rows=0)
-        if ckpt.is_done(rel):
+        ck_entry = ck_state.get(rel)
+        cur_sig = fileset_signature([p for p, _ in files])
+        if ck_entry is not None and ck_entry.get("fileset") in (None, cur_sig):
+            # done AND unchanged since (legacy entries without a
+            # fileset are honored as plain done-markers); a changed
+            # listing — new files arrived — re-opens the partition
             res.skipped = "checkpointed"
         elif len(files) <= 1:
             res.skipped = "single_file"  # the >1 gate, QHC.java:151
@@ -242,11 +262,15 @@ def compact_table(
             while not _in_time_window(*time_window):
                 time.sleep(1.0)  # reference sleeps 60 s (QHC.java:54);
                 # 1 s keeps tests responsive, policy not semantics
-        res.rows = _compact_one(
+        res.rows, new_names = _compact_one(
             spark, table_root, rel, files, n_bins, sort_by, trash_dir
         )
         ckpt.mark_done(
-            rel, files_before=len(files), files_after=n_bins, rows=res.rows
+            rel,
+            files_before=len(files),
+            files_after=n_bins,
+            rows=res.rows,
+            fileset=fileset_signature(new_names),
         )
         if pacing_seconds:
             time.sleep(pacing_seconds)  # QHC.java:195 inter-region pause
@@ -282,7 +306,7 @@ def _swap_files(
     dest_dir: str,
     old_files: list[str],
     trash_dir: str | None = None,
-) -> None:
+) -> list[str]:
     """Move rewritten files into the partition dir and retire the old
     ones. Rename-based: atomic per file on HDFS/local FS; on object
     stores pair with a manifest commit. Old files are retired only
@@ -298,10 +322,13 @@ def _swap_files(
         for st in fs.listStatus(Path(tmp_dir))
         if st.getPath().getName().endswith(".parquet")
     ]
+    dest_names: list[str] = []
     for i, src in enumerate(new_files):
-        dest = Path(dest_dir, f"compacted-{int(time.time())}-{i:05d}.parquet")
+        name = f"compacted-{int(time.time())}-{i:05d}.parquet"
+        dest = Path(dest_dir, name)
         if not fs.rename(src, dest):
             raise RuntimeError(f"rename failed: {src} -> {dest}")
+        dest_names.append(name)
     if trash_dir:
         fs.mkdirs(Path(trash_dir))
         for old in old_files:
@@ -311,6 +338,7 @@ def _swap_files(
         for old in old_files:
             fs.delete(Path(old), False)
     fs.delete(Path(tmp_dir), True)
+    return dest_names
 
 
 def purge_trash(

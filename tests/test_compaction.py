@@ -223,6 +223,38 @@ def test_compaction_preserves_sorted_runs(spark, tmp_path):
         assert ids == sorted(ids), f"{f} not internally sorted"
 
 
+def test_compaction_reopens_on_new_arrivals(spark, small_files_table, tmp_path):
+    """A checkpointed partition must become eligible again when new
+    files arrive after its compaction (the checkpoint records the
+    post-compaction file-set signature, not a forever-done marker)."""
+    from hbase_compact_spark.tables import load_table
+
+    root = small_files_table
+    ckpt = CompactionCheckpoint(str(tmp_path / "inc.json"))
+    r1 = compact_table(spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt)
+    assert len(r1.compacted) == 3
+
+    # ingest a fresh batch of small files into one compacted partition
+    ev = load_table(spark, SF_DIR, "events").drop("ts").limit(200)
+    ev.repartition(5).write.mode("append").parquet(f"{root}/region=p0")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    before = _fingerprint(spark.read.parquet(root))
+
+    r2 = compact_table(spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt)
+    assert [r.partition for r in r2.compacted] == ["region=p0"]
+    skipped = {r.partition: r.skipped for r in r2.results if r.skipped}
+    assert skipped["region=p1"] == "checkpointed"
+    assert skipped["region=p2"] == "checkpointed"
+    assert _fingerprint(spark.read.parquet(root)) == before
+
+    # and a third run is a full no-op again
+    r3 = compact_table(spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt)
+    assert r3.compacted == []
+
+
 def test_compaction_trash_and_purge(spark, small_files_table):
     """trash=True retires old files into _trash instead of deleting;
     purge_trash honors the retention window; the trash tree is never
