@@ -77,6 +77,26 @@ def stats_report(spark: SparkSession, table_root: str) -> DataFrame:
     )
 
 
+def daemon_config_from_properties(
+    properties_path: str, table_root: str, **overrides
+) -> DaemonConfig:
+    """Build a DaemonConfig from a reference-format properties file
+    (sources/config.py) — the same record the reference daemon boots
+    from (QHBaseCompact.java:75-100): starttime/endtime become the
+    window; the documented-but-dead directcompactsize becomes the
+    rewrite target cap. Pass keyword overrides for anything else."""
+    from hbase_compact_spark.sources.config import load_config
+
+    props = load_config(properties_path)
+    defaults = dict(
+        table_root=table_root,
+        window=(props.starttime, props.endtime),
+        target_bytes=min(props.directcompactsize, 1 << 30),
+    )
+    defaults.update(overrides)
+    return DaemonConfig(**defaults)
+
+
 def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
     """One bounded daemon run: startup stats report, then
     `max_cycles` passes over the table, each compacting up to

@@ -72,6 +72,36 @@ def test_daemon_full_run(spark, small_files_table):
     assert json.load(open(f"{root}/_compaction_checkpoint.json")) == {}
 
 
+def test_daemon_from_reference_properties(spark, small_files_table, tmp_path):
+    """The reference's full boot story: properties file -> typed
+    config -> daemon (window from starttime/endtime, target from
+    directcompactsize) -> compaction -> resumable checkpoint."""
+    from hbase_compact_spark.compaction import daemon_config_from_properties
+
+    props = tmp_path / "config.properties"
+    props.write_text(
+        "regionindex=0\n"
+        "tablename=t\n"
+        "starttime=00\\:00\\:00\n"
+        "endtime=23\\:59\\:59\n"
+        "marjorfilesize=530000000000\n"
+        "directcompactsize=100000000000\n"
+    )
+    cfg = daemon_config_from_properties(
+        str(props),
+        small_files_table,
+        inter_partition_pause_s=0.0,
+        cycle_pause_s=0.0,
+        partitions_per_iteration=10,
+    )
+    assert cfg.window == ("00:00:00", "23:59:59")
+    assert cfg.target_bytes == 1 << 30  # capped below directcompactsize
+    before = _fingerprint(spark.read.parquet(small_files_table))
+    run = run_daemon(spark, cfg)
+    assert sum(len(c.compacted) for c in run.cycles) == 2  # p0, p1
+    assert _fingerprint(spark.read.parquet(small_files_table)) == before
+
+
 def test_watch_detects_rewrite(spark, small_files_table):
     part_dir = f"{small_files_table}/region=p0"
     before = current_argmax_file(spark, part_dir)
