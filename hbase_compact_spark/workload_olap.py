@@ -318,6 +318,61 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_agg",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+               AS statuses,
+           array_to_string(list_sort(list_distinct(list(CAST(l_linenumber % 3
+               AS VARCHAR)))), ',') AS line_mod3
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) with deterministic output:
+    sorted + string-joined, since raw collected arrays have no
+    cross-engine ordering contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.sort_array(F.collect_set((F.col("l_linenumber") % 3).cast("string"))),
+            ",",
+        ).alias("line_mod3"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           (o_orderstatus IS DISTINCT FROM 'O') AS not_open,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NULL THEN 'was_P'
+                ELSE 'other' END AS null_probe
+    FROM orders
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL algebra: NULLIF / COALESCE / IS DISTINCT FROM / IS NULL
+    branches — three-valued logic must agree with the oracle
+    engine exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    son = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return orders.select(
+        "o_orderkey",
+        son.alias("status_or_null"),
+        F.coalesce(son, F.lit("PENDING")).alias("status_filled"),
+        F.col("o_orderstatus").eqNullSafe("O").__invert__().alias("not_open"),
+        F.when(son.isNull(), "was_P").otherwise("other").alias("null_probe"),
+    )
+
+
+@query(
     "scalar_subquery",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice

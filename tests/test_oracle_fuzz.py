@@ -108,6 +108,40 @@ def test_fuzz_join_shapes(spark, join_type, status, seg_pred):
 
 @pytest.mark.usefixtures("spark")
 @settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part_mod=st.integers(min_value=1, max_value=7),
+    func=st.sampled_from(["sum", "min", "max", "count", "avg_r"]),
+    status=st.sampled_from(["O", "F", None]),
+)
+def test_fuzz_window_functions(spark, part_mod, func, status):
+    """Random window shapes over orders (unique o_orderkey -> total
+    order -> deterministic frames) against DuckDB."""
+    where = f"WHERE o_orderstatus = '{status}'" if status else ""
+    sparkf = {
+        "sum": "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+        "min": "min(o_totalprice) OVER w",
+        "max": "max(o_totalprice) OVER w",
+        "count": "count(*) OVER w",
+        "avg_r": "round(avg(o_totalprice) OVER w, 4)",
+    }[func]
+    body = f"""
+        SELECT o_orderkey, {sparkf} AS wval
+        FROM __T__ {where}
+        WINDOW w AS (PARTITION BY o_custkey % {part_mod}
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("_fuzz_orders")
+    sdf = spark.sql(body.replace("__T__", "_fuzz_orders"))
+    assert_matches_oracle(sdf, body.replace("__T__", "orders"), SF_DIR)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
