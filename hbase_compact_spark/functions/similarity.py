@@ -125,6 +125,84 @@ def lsh_sketch(vec_col: str, dims: int = 64) -> Column:
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (per-label mean
+    vectors stand in for learned k-means centroids — same plan shape),
+    vectors assigned to their nearest centroid list; a query probes
+    its `n_probe` nearest centroids and reranks only those lists
+    exactly. Search cost is corpus/n_lists * n_probe instead of the
+    full corpus; the centroid table is tiny and broadcast.
+
+    Recall honesty: on CLUSTERED embeddings (the real-world case IVF
+    exists for) neighbors share lists and recall approaches 1 at small
+    n_probe. The synthetic fixtures are isotropic-random, where list
+    membership is uncorrelated with proximity, so recall ~= n_probe /
+    n_lists by construction — the tests assert exactly that dial
+    (and that probing all lists recovers the exact answer)."""
+    import numpy as np
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    spark = queries.sparkSession
+    ensure_package_on_executors(spark)
+
+    # build centroids on the driver (bounded: n_lists x dims)
+    pdf = corpus.select("label", "embedding").toPandas()
+    labels = sorted(pdf["label"].unique())
+    cents = {
+        lab: np.stack(
+            pdf[pdf["label"] == lab]["embedding"].to_numpy()
+        ).astype(np.float64).mean(axis=0)
+        for lab in labels
+    }
+    cent_rows = [(int(lab), [float(x) for x in v]) for lab, v in cents.items()]
+    cent_df = spark.createDataFrame(cent_rows, "list_id int, cv array<double>")
+
+    def nearest_lists(df: DataFrame, id_alias: str, vec_alias: str, n: int):
+        scored = (
+            df.select(
+                F.col("vec_id").alias(id_alias),
+                as_double_array("embedding").alias(vec_alias),
+            )
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("d", dot(vec_alias, "cv"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("d"), F.asc("list_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= n)
+            .select(id_alias, vec_alias, "list_id")
+        )
+
+    c = nearest_lists(corpus, "vec_id", "cv2", 1).withColumn("cn", norm("cv2"))
+    q = nearest_lists(queries, "query_id", "qv", n_probe).withColumn(
+        "qn", norm("qv")
+    )
+    cand = (
+        q.join(c, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qv", "cv2", "qn", "cn"), 6).alias("cos_sim"),
+            F.round(cosine("qv", "cv2", "qn", "cn"), 9).alias("_ord"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_ord"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_ord")
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float, *, round_to: int = 6
 ) -> DataFrame:

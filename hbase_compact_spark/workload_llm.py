@@ -499,6 +499,42 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, gs.i AS dim,
+           round(avg(CAST(embedding[gs.i] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, generate_series(1, 64) AS gs(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors (the IVF coarse-quantizer build), as
+    (label, dim, value) rows — posexplode + a single grouped avg, so
+    the centroid build is one shuffle regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select("label", (F.col("pos") + 1).cast("long").alias("dim"), "col")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("col"), 6).alias("centroid_val"))
+    )
+
+
+@query("ann_ivf")  # rows-only: ANN candidates; recall vs the exact
+# baseline asserted in tests/test_llm.py
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant: coarse-quantizer lists + n_probe=2 probing +
+    exact rerank (see functions/similarity.ivf_topk)."""
+    from hbase_compact_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("ann_lsh")  # rows-only: probabilistic candidates; recall
 # vs the exact baseline is asserted in tests/test_llm.py
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,6 +97,34 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.8, f"ANN recall@10 too low: {recall}"
 
 
+def test_ivf_recall_dial(spark):
+    """IVF recall must track n_probe/n_lists on isotropic data and
+    reach the exact answer when every list is probed."""
+    from hbase_compact_spark.functions.similarity import ivf_topk
+    from hbase_compact_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.similarity_topk(spark, sf).collect()
+    }
+    n_lists = emb.select("label").distinct().count()
+    lo = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(q, emb, k=10, n_probe=2).collect()
+    }
+    hi = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(q, emb, k=10, n_probe=n_lists).collect()
+    }
+    assert len(exact & lo) / len(exact) >= 0.1  # ~ n_probe/n_lists
+    assert len(exact & hi) / len(exact) == 1.0  # all lists = exhaustive
+    assert len(lo) <= len(hi)
+
+
 def test_multimodal_stub_contract(spark, planted_dir):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
