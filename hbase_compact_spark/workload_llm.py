@@ -812,6 +812,85 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST({_QUAL_D["n_tokens"]} AS BIGINT) AS n_tokens,
+             round(least(1.0, {_QUAL_D["n_tokens"]} / 100.0)
+                   * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST({_QUAL_D["punct"]} AS DOUBLE)
+                                 / length(text) END)
+                   * (0.5 + 0.5 * CASE WHEN {_QUAL_D["n_tokens"]} = 0 THEN 0.0
+                            ELSE CAST({_QUAL_D["stop"]} AS DOUBLE)
+                                 / {_QUAL_D["n_tokens"]} END), 4) AS quality
+      FROM documents
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT q.doc_id, q.n_tokens, q.quality
+    FROM q JOIN keepers USING (doc_id)
+    WHERE q.quality >= 0.2 AND q.n_tokens BETWEEN 10 AND 1000
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the pipeline: training-corpus selection =
+    exact-dedup survivors ∩ quality threshold ∩ length band — composed
+    from the same building blocks as the individual queries, in one
+    declarative plan (Catalyst fuses the quality projection into the
+    dedup join's probe side; one shuffle for the dedup groupBy, one
+    broadcast-able join back)."""
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    keepers = dedup_exact(spark, sf_dir).select(F.col("keep_id").alias("doc_id"))
+    return q.join(keepers, "doc_id").where(
+        (F.col("quality") >= 0.2) & F.col("n_tokens").between(10, 1000)
+    )
+
+
+@query("embedding_quantize")  # rows-only: np.round is half-even,
+# SQL round() half-away — per-element parity is not portable; accuracy
+# and determinism asserted in tests/test_llm.py
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization per vector (scale = max|x|/127) via
+    Arrow-batched mapInPandas — the 4x memory lever for 100 TB
+    embedding stores. Emits per-vector scale + reconstruction error
+    so accuracy is observable, not assumed."""
+    import numpy as np
+
+    ensure_package_on_executors(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def quantize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scale = np.abs(M).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            Q = np.clip(np.round(M / scale[:, None]), -127, 127)
+            R = Q * scale[:, None]
+            err = np.abs(M - R).max(axis=1)
+            mn = np.linalg.norm(M, axis=1)
+            rn = np.linalg.norm(R, axis=1)
+            dotp = (M * R).sum(axis=1)
+            cos = np.where((mn > 0) & (rn > 0), dotp / (mn * rn), 1.0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": np.round(scale, 9),
+                    "max_abs_err": np.round(err, 9),
+                    "cos_to_original": np.round(cos, 9),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        quantize,
+        schema="vec_id long, scale double, max_abs_err double, cos_to_original double",
+    )
+
+
 # ====================================================== sessionize
 @query(
     "sessionize",

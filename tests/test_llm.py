@@ -219,6 +219,28 @@ def test_lsh_sketch_sql_and_blas_agree(spark):
     assert sql_sk == blas_sk
 
 
+def test_embedding_quantize_accuracy(spark):
+    """Int8 quantization must reconstruct within scale/2 per element
+    and keep cosine-to-original ~1, deterministically."""
+    out = llm.embedding_quantize(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    for r in out:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        assert r["cos_to_original"] > 0.999
+    again = {r["vec_id"]: r["scale"] for r in
+             llm.embedding_quantize(spark, "/root/testdata/sf0.001").collect()}
+    assert again == {r["vec_id"]: r["scale"] for r in out}
+
+
+def test_corpus_filter_composes(spark, planted_dir):
+    """corpus_filter = dedup survivors ∩ quality ∩ length band: the
+    planted exact duplicate (doc 1) must be gone, its original kept
+    (given it passes the length band)."""
+    out = {r["doc_id"] for r in llm.corpus_filter(spark, planted_dir).collect()}
+    assert 1 not in out  # exact dup of doc 0 never survives
+    assert 0 in out  # original survives (45 tokens, quality > 0.2)
+
+
 def test_shingles_short_doc_fallback(spark):
     df = spark.createDataFrame([("ab cd",)], "text string").select(
         TX.shingles("text", 5).alias("sh")
