@@ -126,7 +126,12 @@ def test_fuzz_window_functions(spark, part_mod, func, status):
         "min": "min(o_totalprice) OVER w",
         "max": "max(o_totalprice) OVER w",
         "count": "count(*) OVER w",
-        "avg_r": "round(avg(o_totalprice) OVER w, 4)",
+        # NOT round(avg(...), 4): windowed averages of 2-decimal money
+        # are exact k-way-division ties, and the engines' float avg
+        # paths differ by ~1ulp — exact decimal sum / count instead
+        # (hypothesis found this with o_custkey%5, avg, status='O')
+        "avg_r": "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w "
+        "AS DOUBLE) / (count(*) OVER w)",
     }[func]
     body = f"""
         SELECT o_orderkey, {sparkf} AS wval
