@@ -315,6 +315,45 @@ def test_compaction_fragmentation_priority(spark, tmp_path):
     assert [r.partition for r in report.compacted] == ["region=many"]
 
 
+def test_concurrent_partial_failure_heals_on_rerun(
+    spark, small_files_table, tmp_path, monkeypatch
+):
+    """One partition failing mid-run (concurrency > 1) must not corrupt
+    data or the checkpoint: completed partitions stay checkpointed,
+    the failed one is retried and succeeds on the next run."""
+    import hbase_compact_spark.compaction.executor as ex
+
+    root = small_files_table
+    before = _fingerprint(spark.read.parquet(root))
+    ckpt = CompactionCheckpoint(str(tmp_path / "pf.json"))
+
+    real = ex._compact_one
+
+    def flaky(spark_, table_root, rel, files, n_bins, sort_by, trash_dir=None):
+        if rel == "region=p1":
+            raise RuntimeError("injected failure for region=p1")
+        return real(spark_, table_root, rel, files, n_bins, sort_by, trash_dir)
+
+    monkeypatch.setattr(ex, "_compact_one", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_table(
+            spark, root, target_bytes=64 * 1024 * 1024,
+            checkpoint=ckpt, concurrency=4,
+        )
+    monkeypatch.undo()
+
+    # data never corrupted; p1 not checkpointed
+    assert _fingerprint(spark.read.parquet(root)) == before
+    assert "region=p1" not in ckpt.load()
+
+    r2 = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt, concurrency=4
+    )
+    assert "region=p1" in {r.partition for r in r2.compacted}
+    assert _fingerprint(spark.read.parquet(root)) == before
+    assert set(ckpt.load()) == {"region=p0", "region=p1", "region=p2"}
+
+
 def test_compaction_verification_failure_aborts(spark, small_files_table, monkeypatch):
     """If the rewritten data does not fingerprint-match the source,
     the partition swap must NOT happen and the error must surface
