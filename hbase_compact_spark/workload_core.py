@@ -9,7 +9,7 @@ next to each query so the two dialects stay in sync.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_compact_spark.operators.relational import (
