@@ -54,18 +54,23 @@ def tumbling_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
     )
 
 
-def run_bounded(agg: DataFrame, *, mode: str = "complete") -> DataFrame:
+def run_bounded(
+    agg: DataFrame, *, mode: str = "complete", n_partitions: int | None = None
+) -> DataFrame:
     """Drive a (bounded) streaming aggregation to completion with an
     availableNow trigger into a memory sink and return the result as
     a batch DataFrame. `complete` mode because a single availableNow
     batch never advances the watermark far enough for append mode to
-    emit the final windows."""
+    emit the final windows.
+
+    `n_partitions` sizes the STATE STORE: every stateful operator
+    initializes one store per shuffle partition per side, so a small
+    stream wants far fewer than the cluster's core count (and a 100 TB
+    stream wants more) — it is pinned per query at start time."""
     spark = agg.sparkSession
-    # a default session's 200 shuffle partitions are pure overhead for
-    # the bounded state shuffles here; match the cluster parallelism
-    # (must be set BEFORE the query starts — it is pinned per query)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+        "spark.sql.shuffle.partitions",
+        n_partitions or spark.sparkContext.defaultParallelism,
     )
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     q = (

@@ -84,7 +84,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("error_id", "click_id", "user_id")
-    return run_bounded(joined, mode="append")
+    # stream-stream joins keep TWO stores per partition; the fixture
+    # stream is small, so fewer partitions = far less store init cost
+    return run_bounded(joined, mode="append", n_partitions=8)
 
 
 @query(
