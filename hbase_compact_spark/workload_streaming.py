@@ -90,6 +90,68 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) as a REAL Structured Streaming
+    query: the sessionWindow state operator merges overlapping per-key
+    gap windows incrementally across micro-batches — the streaming
+    dual of batch `session_window_agg`, against the same lag/cumsum
+    oracle. Complete mode: session windows need no watermark there,
+    and a single availableNow batch never advances one far enough for
+    append mode to emit the final sessions anyway."""
+    from pyspark.sql import functions as F
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    # one session-merging state store per partition; size for the
+    # fixture stream, not the core count (see run_bounded docstring)
+    return run_bounded(agg, n_partitions=8)
+
+
+@query(
     "stream_sliding",
     oracle="""
     SELECT strftime(make_timestamp(((epoch_us(ts) // 10800000000) - k)
