@@ -56,11 +56,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["groupby_stats"](spark, SMOKE_SF_DIR)
 
 
+def _verification_priority() -> list[str]:
+    """Order query names so the least-driver-verified come first.
+
+    The per-round correctness harness records at most the first N
+    queries it is handed (r1 recorded exactly 50 of 62), so a fixed
+    registration order starves the tail forever. Rank every
+    registered query by how many past CORRECTNESS_r*.json rounds
+    verified it (hash-green, or rows-only by design); never-verified
+    and previously-mismatched queries sort first, ties broken by
+    registration order. Self-maintaining: each new round's JSON
+    shifts the rotation.
+    """
+    import json
+
+    verified_counts: dict[str, int] = {name: 0 for name in QUERIES}
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if name not in verified_counts or not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+            if ok:
+                verified_counts[name] += 1
+    order = {name: i for i, name in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda n: (verified_counts[n], order[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2,
+    least-verified first (see _verification_priority)."""
+    return {name: QUERIES[name] for name in _verification_priority()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for each SQL-expressible query."""
-    return dict(ORACLE)
+    return {name: ORACLE[name] for name in _verification_priority() if name in ORACLE}
