@@ -125,19 +125,100 @@ def lsh_sketch(vec_col: str, dims: int = 64) -> Column:
     )
 
 
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label mean vectors computed IN SPARK: posexplode + one
+    grouped avg (a single shuffle regardless of corpus size), then
+    only the n_lists x dims result is collected to assemble the
+    broadcast-side centroid table. Nothing corpus-sized ever reaches
+    the driver — the fix for the r1 toPandas() centroid build."""
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(
+            "label", F.posexplode(as_double_array("embedding"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("v"))
+        .collect()
+    )  # bounded: n_lists * dims rows
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(int(r["label"]), {})[int(r["pos"])] = float(r["v"])
+    cent_rows = [
+        (lab, [d[p] for p in sorted(d)]) for lab, d in sorted(cents.items())
+    ]
+    return spark.createDataFrame(cent_rows, "list_id int, cv array<double>")
+
+
+def kmeans_refine(
+    corpus: DataFrame, cent_df: DataFrame, iters: int
+) -> DataFrame:
+    """Lloyd's iterations on top of an initial centroid table, fully
+    distributed: each iteration is one broadcast nearest-centroid
+    assignment (max dot, the same rule ivf_topk searches with) plus
+    one posexplode + grouped-avg re-estimation; only the k x dims
+    result is collected per iteration. Empty lists keep their previous
+    centroid so k is stable. At extreme corpus scale the assignment
+    join would move to an Arrow/BLAS mapInPandas; the plan shape
+    (broadcast join + single shuffle per iteration) is already the
+    100 TB one."""
+    spark = corpus.sparkSession
+    vec = corpus.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    for _ in range(iters):
+        scored = vec.crossJoin(F.broadcast(cent_df)).withColumn(
+            "d", dot("v", "cv")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("list_id"))
+        best = (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("list_id", "v")
+        )
+        rows = (
+            best.select("list_id", F.posexplode("v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )  # bounded: k * dims rows
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
+        prev = {
+            int(r["list_id"]): list(r["cv"]) for r in cent_df.collect()
+        }
+        cent_rows = [
+            (
+                lid,
+                [new[lid][p] for p in sorted(new[lid])]
+                if lid in new
+                else v,
+            )
+            for lid, v in sorted(prev.items())
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, "list_id int, cv array<double>"
+        )
+    return cent_df
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     *,
     n_probe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (per-label mean
-    vectors stand in for learned k-means centroids — same plan shape),
-    vectors assigned to their nearest centroid list; a query probes
-    its `n_probe` nearest centroids and reranks only those lists
-    exactly. Search cost is corpus/n_lists * n_probe instead of the
-    full corpus; the centroid table is tiny and broadcast.
+    """IVF-style ANN: a coarse quantizer (per-label mean vectors,
+    optionally refined with `refine_iters` Lloyd's iterations into
+    real k-means centroids), vectors assigned to their nearest
+    centroid list; a query probes its `n_probe` nearest centroids and
+    reranks only those lists exactly. Search cost is corpus/n_lists *
+    n_probe instead of the full corpus; the centroid table is tiny and
+    broadcast. The centroid build is fully distributed (posexplode +
+    grouped avg; see label_centroids / kmeans_refine) — only the
+    n_lists x dims result is ever collected.
 
     Recall honesty: on CLUSTERED embeddings (the real-world case IVF
     exists for) neighbors share lists and recall approaches 1 at small
@@ -145,24 +226,14 @@ def ivf_topk(
     membership is uncorrelated with proximity, so recall ~= n_probe /
     n_lists by construction — the tests assert exactly that dial
     (and that probing all lists recovers the exact answer)."""
-    import numpy as np
-
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
     spark = queries.sparkSession
     ensure_package_on_executors(spark)
 
-    # build centroids on the driver (bounded: n_lists x dims)
-    pdf = corpus.select("label", "embedding").toPandas()
-    labels = sorted(pdf["label"].unique())
-    cents = {
-        lab: np.stack(
-            pdf[pdf["label"] == lab]["embedding"].to_numpy()
-        ).astype(np.float64).mean(axis=0)
-        for lab in labels
-    }
-    cent_rows = [(int(lab), [float(x) for x in v]) for lab, v in cents.items()]
-    cent_df = spark.createDataFrame(cent_rows, "list_id int, cv array<double>")
+    cent_df = label_centroids(corpus)
+    if refine_iters:
+        cent_df = kmeans_refine(corpus, cent_df, refine_iters)
 
     def nearest_lists(df: DataFrame, id_alias: str, vec_alias: str, n: int):
         scored = (
@@ -204,54 +275,101 @@ def ivf_topk(
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, threshold: float, *, round_to: int = 6
+    emb: DataFrame, threshold: float, *, round_to: int = 6, n_blocks: int = 4
 ) -> DataFrame:
-    """All-pairs cosine near-dup detection via Arrow-batched BLAS.
+    """All-pairs cosine near-dup detection, EXACT, with no driver or
+    broadcast materialization of the corpus (the r1 version collected
+    the whole corpus to the driver — a 100 TB non-starter).
 
-    Spark's higher-order array functions execute on the interpreted
-    (non-codegen) path — ~5 us per 64-dim dot — while a numpy matmul
-    does the same work at memory bandwidth. The corpus matrix is
-    broadcast (N x dims doubles; 2 GB at N=4M — beyond that, switch
-    to the LSH path or block the corpus), and each Arrow batch of
-    rows multiplies against it: O(N^2 * d) FLOPs but BLAS-fast, no
-    shuffle at all.
+    Block-pair decomposition: each vector hashes to one of B blocks
+    (blk = vec_id mod B); every unordered block pair (bi <= bj)
+    becomes one applyInPandas group holding only its two blocks'
+    vectors (~2N/B rows), cross-multiplied with one BLAS matmul. A
+    pair of vectors meets in exactly one group (their own block
+    pair), so output needs no dedup. Total work stays the inherent
+    O(N^2 * d) FLOPs of an exact all-pairs scan, but it is spread
+    over B(B+1)/2 independent tasks, per-task memory is bounded by
+    the block size (pick B ~ N / rows_per_block at scale), and the
+    only shuffle is the B-fold replication — the same replicate-
+    to-block-pairs shape a distributed triangle join uses. Above
+    exactness requirements, the sub-quadratic path is LSH banding
+    (lsh_topk / ann_lsh).
+
+    Thresholding happens Spark-side on the ROUNDED cosine so the
+    result is bit-identical to the SQL oracle; the numpy kernel only
+    prefilters with a 1e-9 slack.
     """
     import numpy as np
 
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
-    spark = emb.sparkSession
-    ensure_package_on_executors(spark)
+    ensure_package_on_executors(emb.sparkSession)
 
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, M))
+    tagged = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # replicate each row to every block pair containing its block
+    keyed = tagged.select(
+        "vec_id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "vec_id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("ki"),
+        F.greatest("blk", "other").alias("kj"),
+    )
 
-    def blocks(batches):
+    def cross_block(pdf):
         import pandas as pd
 
-        cids, C = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            bids = batch["vec_id"].to_numpy()
-            S = np.round(B @ C.T, round_to)
-            mask = (S >= threshold) & (bids[:, None] < cids[None, :])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "vec_a": bids[ai],
-                    "vec_b": cids[bi],
-                    "cos_sim": S[ai, bi],
-                }
+        ki = int(pdf["ki"].iloc[0])
+        kj = int(pdf["kj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        blks = pdf["blk"].to_numpy()
+        if ki == kj:  # diagonal: upper triangle within one block
+            A_ids, A = ids, M
+            B_ids, B = ids, M
+        else:
+            a_mask = blks == ki
+            A_ids, A = ids[a_mask], M[a_mask]
+            B_ids, B = ids[~a_mask], M[~a_mask]
+        if not len(A_ids) or not len(B_ids):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
             )
+        S = A @ B.T
+        mask = S >= threshold - 1e-9
+        if ki == kj:
+            # same set on both axes: keep the upper triangle only
+            mask &= A_ids[:, None] < B_ids[None, :]
+        ai, bi = np.nonzero(mask)
+        left, right = A_ids[ai], B_ids[bi]
+        # disjoint blocks meet once per unordered pair; normalize order
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(left, right),
+                "vec_b": np.maximum(left, right),
+                "cos_raw": S[ai, bi],
+            }
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        blocks, schema="vec_a long, vec_b long, cos_sim double"
+    pairs = keyed.groupBy("ki", "kj").applyInPandas(
+        cross_block, schema="vec_a long, vec_b long, cos_raw double"
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round("cos_raw", round_to).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
     )
 
 

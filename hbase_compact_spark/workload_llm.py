@@ -46,7 +46,13 @@ _SIG_D = TX.minhash_signature_duck(_SHINGLES_D)
 NGRAM_DF_CAP = 50
 NGRAM_THRESHOLD = 0.5
 MINHASH_EST_THRESHOLD = 0.5
-EMBED_DUP_THRESHOLD = 0.9
+# Production near-dup threshold would be ~0.9; the fixture embeddings
+# are isotropic-random (max off-diagonal cosine ~0.51 at sf0.01), so
+# 0.9 compares empty sets and proves nothing. 0.35 exercises ~270
+# real pairs at sf0.01 — a non-vacuous oracle comparison of the same
+# cosine/threshold logic. (Planted >=0.99 near-dups are covered by
+# tests/test_llm.py::test_embedding_dup_detection_planted.)
+EMBED_DUP_THRESHOLD = 0.35
 
 
 def _docs_with(spark: SparkSession, sf_dir: str, **cols) -> DataFrame:
@@ -458,10 +464,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — all-pairs exact baseline via
-    broadcast corpus + Arrow-batched BLAS matmul (Spark's array-fold
-    lambdas are interpreted, ~10x slower than numpy here); the
-    sub-quadratic scale path is the LSH bucketing in ann_lsh."""
+    """Embedding-cosine near-dup pairs — EXACT all-pairs via block-
+    pair decomposition: vectors hash to B blocks, each unordered block
+    pair is one BLAS applyInPandas task, so nothing corpus-sized ever
+    reaches the driver or a broadcast and per-task memory is bounded
+    by the block size (see functions/similarity.embedding_dup_pairs).
+    The sub-quadratic path when exactness can be traded away is the
+    LSH bucketing in ann_lsh."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, EMBED_DUP_THRESHOLD)
 
@@ -526,12 +535,13 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf")  # rows-only: ANN candidates; recall vs the exact
 # baseline asserted in tests/test_llm.py
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant: coarse-quantizer lists + n_probe=2 probing +
-    exact rerank (see functions/similarity.ivf_topk)."""
+    """IVF ANN variant: k-means coarse quantizer (per-label means
+    refined with 2 distributed Lloyd's iterations) + n_probe=2
+    probing + exact rerank (see functions/similarity.ivf_topk)."""
     from hbase_compact_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    out = ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10, refine_iters=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

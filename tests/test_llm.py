@@ -246,3 +246,61 @@ def test_shingles_short_doc_fallback(spark):
         TX.shingles("text", 5).alias("sh")
     )
     assert df.collect()[0]["sh"] == ["ab cd"]
+
+
+def test_embedding_dup_block_decomposition_exact(spark):
+    """The block-pair decomposition must be exact: every unordered
+    vector pair meets in exactly one block-pair task, so the emitted
+    pair set is identical for any block count (including B=1, the
+    single-task degenerate case)."""
+    from hbase_compact_spark.functions.similarity import embedding_dup_pairs
+    from hbase_compact_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def pairs(nb):
+        return {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in embedding_dup_pairs(emb, 0.35, n_blocks=nb).collect()
+        }
+
+    p1, p4, p7 = pairs(1), pairs(4), pairs(7)
+    assert len(p1) > 0  # non-vacuous at this threshold on the fixtures
+    assert p1 == p4 == p7
+    assert all(a < b for (a, b) in p1)
+
+
+def test_ivf_refined_centroids_full_probe_exhaustive(spark):
+    """Lloyd's refinement must keep k stable and keep the search
+    correct: probing every refined list is still an exhaustive exact
+    search, and the default 2-probe path still returns k results."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.functions.similarity import (
+        ivf_topk,
+        kmeans_refine,
+        label_centroids,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n_lists = emb.select("label").distinct().count()
+
+    cents = label_centroids(emb)
+    refined = kmeans_refine(emb, cents, 2)
+    assert refined.count() == n_lists
+    assert all(len(r["cv"]) == 64 for r in refined.collect())
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.similarity_topk(spark, sf).collect()
+    }
+    hi = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(q, emb, k=10, n_probe=n_lists, refine_iters=2).collect()
+    }
+    assert hi == exact  # all lists probed = exhaustive, refined or not
+    lo = ivf_topk(q, emb, k=10, n_probe=2, refine_iters=2).collect()
+    assert len(lo) == 50  # 5 queries x k
