@@ -436,9 +436,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (near-dup candidates =
-    small Hamming distance; banding over hash quarters turns that
-    into an equi-join, same as MinHash-LSH — pair generation is
-    exercised in tests, the sketch itself is oracle-checked)."""
+    small Hamming distance; the pairing step is the declared query
+    dedup_simhash_pairs)."""
     docs = _docs_with(spark, sf_dir, toks=TX.tokens())
     # barrier so the 32 bit-lanes fold over a materialized hash array
     # instead of re-hashing every token per lane (projection collapse)
@@ -447,6 +446,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
         .select("doc_id", TX.simhash32("th").alias("simhash"))
     )
+
+
+# 4 disjoint 8-bit bands over the 32-bit sketch. Pigeonhole: a pair
+# within Hamming distance 3 differs in <= 3 bit positions, which can
+# touch at most 3 of the 4 bands — so the pair agrees on at least one
+# band and the band equi-join finds EVERY qualifying pair. Banding is
+# pure execution strategy here; the declared semantics (and the
+# oracle) are simply "all pairs with Hamming <= 3".
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_PAIR_MAXDIST = SIMHASH_PAIR_BANDS - 1
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, CAST({TX.simhash32_duck(_TOKS_D)} AS BIGINT) AS simhash
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_PAIR_MAXDIST}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: band quarters of the sketch become
+    equi-join keys (never a doc x doc cross join), candidates get the
+    exact popcount Hamming filter. With 4 bands and max distance 3
+    the band join is provably lossless (pigeonhole — see
+    SIMHASH_PAIR_BANDS), so this is an exact operator with an
+    all-pairs SQL oracle, executed in the bucketed 100 TB shape."""
+    sk = dedup_simhash(spark, sf_dir)
+    bands = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_PAIR_BANDS - 1}), b -> "
+                f"concat(b, ':', shiftright(simhash, b * 8) & 255))"
+            )
+        ).alias("band"),
+    ).repartition("band")  # materialized once, reused by both join sides
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("long")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_PAIR_MAXDIST)
 
 
 @query(
