@@ -52,21 +52,22 @@ def main() -> None:
                 while f.read(1 << 22):
                     pass
 
-    RUNS = 2  # min-of-2: the first execution of a query pays one-time
-    # codegen compilation of its expression trees (measured 2-3x on the
-    # sketch-heavy queries); the min reflects steady-state engine cost
+    RUNS = 3  # median-of-3: the first execution of a query pays
+    # one-time codegen compilation of its expression trees (measured
+    # 2-3x on the sketch-heavy queries) and sub-second magnitudes are
+    # noisy; the median is robust to both the warmup outlier and a
+    # lucky fastest run, so round-over-round deltas are signal
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
-        best = None
+        runs: list[float] = []
         try:
             for _ in range(RUNS):
                 t0 = time.perf_counter()
                 df = queries[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception as exc:  # one broken query must not zero the round
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -77,7 +78,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": RUNS,
-        "aggregation": "min",
+        "aggregation": "median",
         "sf": _sf_from_dir(SF_DIR),
     }
     if failures:

@@ -66,19 +66,29 @@ def run_bounded(
     `n_partitions` sizes the STATE STORE: every stateful operator
     initializes one store per shuffle partition per side, so a small
     stream wants far fewer than the cluster's core count (and a 100 TB
-    stream wants more) — it is pinned per query at start time."""
+    stream wants more) — it is pinned per query at start time. The
+    session's own shuffle-partition setting is restored afterwards so
+    the streaming sizing never leaks into later batch queries sharing
+    the session."""
     spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         n_partitions or spark.sparkContext.defaultParallelism,
     )
-    name = f"stream_out_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:10]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
