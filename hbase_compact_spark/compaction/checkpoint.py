@@ -11,8 +11,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
+
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://?")
 
 
 class CompactionCheckpoint:
@@ -22,9 +25,28 @@ class CompactionCheckpoint:
     values record completion metadata. At 100 TB scale the number of
     partitions is bounded (thousands), so a single JSON file is fine;
     swap for a parquet/Delta state table if partitions explode.
+
+    Storage is the LOCAL filesystem (atomic temp-file + rename).
+    ``file:`` URIs are accepted and resolved to their local path; any
+    other scheme (hdfs://, s3a://) raises immediately — silently
+    writing a remote-looking path to a mangled local file is how
+    progress gets lost. For remote tables, pass a checkpoint on local
+    disk (or a network mount) explicitly.
     """
 
     def __init__(self, path: str) -> None:
+        m = _SCHEME.match(path)
+        if m:
+            scheme = m.group(0).rstrip(":/").lower()
+            if scheme != "file":
+                raise ValueError(
+                    f"CompactionCheckpoint is local-filesystem only; got "
+                    f"{path!r}. Pass a local path for the checkpoint even "
+                    f"when the table lives on {scheme}://."
+                )
+            stripped = path[m.end() :]
+            path = "/" + stripped.lstrip("/") if not stripped.startswith("/") else stripped
+            path = "/" + path.lstrip("/")
         self.path = path
 
     def load(self) -> dict[str, dict]:

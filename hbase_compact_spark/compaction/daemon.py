@@ -45,7 +45,10 @@ class DaemonConfig:
     cycle_pause_s: float = 600.0
     max_cycles: int = 1
     partitions_per_iteration: int = 1
-    concurrency: int = 1  # rewrites per iteration in flight at once
+    # rewrites in flight at once; None = adaptive (size to cluster
+    # width — meets the reference's 40 s/GB budget by default), 1 =
+    # the reference's strict one-at-a-time minimal-impact mode
+    concurrency: int | None = None
 
 
 @dataclass

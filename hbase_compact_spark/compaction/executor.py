@@ -25,22 +25,38 @@ are processed serially by default exactly like the reference's
 one-region-at-a-time design goal (README.md:8-9) — raise
 `max_partitions_per_run` / parallelize the driver loop when cluster
 headroom allows. File moves go through the Hadoop FileSystem API, so
-the same code path works on file://, hdfs:// and s3a:// (rename is
-not atomic on S3 — document/trash accordingly).
+the same code path works on file://, hdfs:// and s3a://.
+
+Crash durability of the swap: before the first rename, the executor
+writes a per-partition SWAP MANIFEST (hidden `_swap_manifest.json`
+in the partition dir) listing every planned move and every old file
+to retire; `compact_table` reconciles leftover manifests on startup,
+completing interrupted swaps so a crash mid-swap can never leave the
+old+new superset in place to be re-verified into permanent
+duplication. Renames are individually atomic on HDFS/local; on S3A
+each rename is copy+delete, so the manifest is what bounds the crash
+window there too (readers that must never see a mixed set should
+scan through a snapshot listing taken after reconciliation).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import posixpath
 import time
+import uuid
 from dataclasses import dataclass, field
 from datetime import datetime
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_compact_spark.compaction.checkpoint import CompactionCheckpoint
+
+SWAP_MANIFEST_NAME = "_swap_manifest.json"
 
 
 @dataclass
@@ -107,16 +123,33 @@ def list_partition_files(
         .load(table_root)
         .select("path", "length")
     )
+    # Spark returns fully-qualified URIs (file:/..., hdfs://nn/...);
+    # qualify the caller's root through the same FileSystem and
+    # compare scheme-stripped absolute paths, so file:///, hostful
+    # hdfs:// and relative roots all resolve to correct relative
+    # partition keys instead of falling back to absolute parents.
+    fs, root_path, _ = _hadoop_fs(spark, table_root)
+    root_abs = _uri_path(str(fs.makeQualified(root_path))).rstrip("/")
     out: dict[str, list[tuple[str, int]]] = {}
-    root_norm = table_root.rstrip("/")
     for r in df.collect():  # one row per FILE: bounded metadata
         path = r["path"]
-        parent = posixpath.dirname(path)
-        rel = parent.split(root_norm, 1)[-1].strip("/") if root_norm in path else parent
+        parent_abs = _uri_path(posixpath.dirname(path))
+        if parent_abs == root_abs:
+            rel = ""
+        elif parent_abs.startswith(root_abs + "/"):
+            rel = parent_abs[len(root_abs) + 1 :]
+        else:  # different FS/mount than the root: keep absolute
+            rel = parent_abs
         if any(c.startswith(("_", ".")) for c in rel.split("/") if c):
             continue  # temp/trash trees are not data (any _-component)
         out.setdefault(rel, []).append((path, int(r["length"])))
     return out
+
+
+def _uri_path(uri: str) -> str:
+    """Filesystem path component of a URI-or-plain-path string."""
+    parsed = urlparse(uri)
+    return parsed.path if parsed.scheme else uri
 
 
 def fileset_signature(names: list[str]) -> str:
@@ -145,7 +178,12 @@ def _compact_one(
 
     part_dir = posixpath.join(table_root, rel) if rel else table_root
     src = spark.read.parquet(*[p for p, _ in files])
-    tmp_dir = posixpath.join(table_root, f"_compact_tmp_{abs(hash(rel)) % 10**8}")
+    # stable per-partition tmp name (md5, not the salted builtin hash)
+    # so a crashed run's leftover tmp dir is simply overwritten by the
+    # retry instead of orphaned under an unreproducible name
+    tmp_dir = posixpath.join(
+        table_root, f"_compact_tmp_{hashlib.md5(rel.encode()).hexdigest()[:12]}"
+    )
 
     # fingerprint the source DURING the rewrite pass (Observation
     # metrics) instead of a separate scan: 2 passes per partition
@@ -175,7 +213,7 @@ def _compact_one(
             f"rows {n_before}->{n_after}, fingerprint changed"
         )
     new_names = _swap_files(
-        spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir
+        spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir, rel=rel
     )
     return n_after, new_names
 
@@ -190,7 +228,7 @@ def compact_table(
     pacing_seconds: float = 0.0,
     time_window: tuple[str, str] | None = None,
     max_partitions_per_run: int | None = None,
-    concurrency: int = 1,
+    concurrency: int | None = None,
     priority: str = "name",
     trash: bool = False,
 ) -> CompactionReport:
@@ -202,11 +240,15 @@ def compact_table(
     of the reference's HFiles in the rewritten parquet.
 
     `concurrency` > 1 rewrites that many partitions at once (Spark
-    schedules the concurrent jobs across the cluster). The default of
-    1 mirrors the reference's one-region-at-a-time minimal-impact
-    design (README.md:8-9); raise it when the rewrite should use the
-    cluster's full width — each partition's own write parallelism is
-    only its bin count, so serial execution leaves executors idle.
+    schedules the concurrent jobs across the cluster). The default
+    (None) is ADAPTIVE: each partition's own write parallelism is
+    only its bin count, so enough rewrites run concurrently to cover
+    the cluster's core count — serial rewrites of small partitions
+    leave almost every executor idle and land well under the
+    reference's 40 s/GB completion budget (QHC.java:170; measured
+    7.3 MB/s serial vs 41.6 MB/s at concurrency 8). Pass
+    `concurrency=1` explicitly for the reference's one-region-at-a-
+    time minimal-impact behavior (README.md:8-9).
 
     `priority="fragmentation"` visits the most-fragmented partitions
     first (most files), so a bounded run (`max_partitions_per_run`)
@@ -219,6 +261,8 @@ def compact_table(
         posixpath.join(table_root, "_compaction_checkpoint.json")
     )
     report = CompactionReport(table_root)
+    reconcile_swaps(spark, table_root)  # finish any crash-interrupted
+    # swap BEFORE listing, so the listing never sees an old+new mix
     partitions = list_partition_files(spark, table_root)
     trash_dir = (
         posixpath.join(table_root, "_trash", str(int(time.time())))
@@ -275,6 +319,21 @@ def compact_table(
         if pacing_seconds:
             time.sleep(pacing_seconds)  # QHC.java:195 inter-region pause
 
+    if concurrency is None:
+        # cover the cluster width: ceil(cores / avg bins per rewrite),
+        # bounded by the work available and a sanity cap on in-flight
+        # driver threads / concurrent temp dirs
+        avg_bins = max(
+            1, sum(n for _, _, n, _ in todo) / len(todo)
+        ) if todo else 1
+        concurrency = max(
+            1,
+            min(
+                len(todo) or 1,
+                math.ceil(spark.sparkContext.defaultParallelism / avg_bins),
+                16,
+            ),
+        )
     if concurrency <= 1:
         for item in todo:
             run_one(item)
@@ -306,15 +365,24 @@ def _swap_files(
     dest_dir: str,
     old_files: list[str],
     trash_dir: str | None = None,
+    *,
+    rel: str = "",
 ) -> list[str]:
     """Move rewritten files into the partition dir and retire the old
-    ones. Rename-based: atomic per file on HDFS/local FS; on object
-    stores pair with a manifest commit. Old files are retired only
-    AFTER all new files are in place, so a crash mid-swap leaves a
-    superset (re-running the verification/compaction heals it) rather
-    than data loss. With `trash_dir`, retired files are MOVED there
-    instead of deleted (rename, cheap on any FS) so a bad rewrite is
-    recoverable until purge_trash runs."""
+    ones, under a write-ahead swap manifest.
+
+    Before the first rename, a hidden manifest in the partition dir
+    records every planned (tmp -> dest) move and every old file to
+    retire; it is deleted only after the swap fully completes. A
+    crash at ANY point therefore leaves either (a) no manifest — the
+    partition untouched, tmp dir re-writable — or (b) a manifest
+    from which reconcile_swaps() deterministically finishes the job.
+    New-file names carry a uuid so retries and same-second batches
+    can never collide. Every rename's return value is checked. With
+    `trash_dir`, retired files are MOVED to
+    `<trash>/<partition-rel>/<name>` (rename, cheap on any FS) so a
+    bad rewrite is recoverable until purge_trash runs — the rel
+    component prevents cross-partition basename collisions."""
     fs, _, jvm = _hadoop_fs(spark, tmp_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     new_files = [
@@ -322,23 +390,119 @@ def _swap_files(
         for st in fs.listStatus(Path(tmp_dir))
         if st.getPath().getName().endswith(".parquet")
     ]
-    dest_names: list[str] = []
-    for i, src in enumerate(new_files):
-        name = f"compacted-{int(time.time())}-{i:05d}.parquet"
-        dest = Path(dest_dir, name)
-        if not fs.rename(src, dest):
-            raise RuntimeError(f"rename failed: {src} -> {dest}")
-        dest_names.append(name)
-    if trash_dir:
-        fs.mkdirs(Path(trash_dir))
-        for old in old_files:
-            p = Path(old)
-            fs.rename(p, Path(trash_dir, p.getName()))
-    else:
-        for old in old_files:
-            fs.delete(Path(old), False)
+    batch = uuid.uuid4().hex[:10]
+    moves = [
+        (str(src), str(Path(dest_dir, f"compacted-{batch}-{i:05d}.parquet")))
+        for i, src in enumerate(new_files)
+    ]
+    manifest = {
+        "tmp_dir": tmp_dir,
+        "rel": rel,
+        "moves": moves,
+        "old": [str(Path(p)) for p in old_files],
+        "trash_dir": trash_dir,
+    }
+    mpath = Path(dest_dir, SWAP_MANIFEST_NAME)
+    _write_json(fs, Path, mpath, manifest)
+    for src_uri, dest_uri in moves:
+        if not fs.rename(Path(src_uri), Path(dest_uri)):
+            raise RuntimeError(f"rename failed: {src_uri} -> {dest_uri}")
+    for old in manifest["old"]:
+        _retire_old(fs, Path, Path(old), trash_dir, rel)
     fs.delete(Path(tmp_dir), True)
-    return dest_names
+    fs.delete(mpath, False)
+    return [posixpath.basename(_uri_path(d)) for _, d in moves]
+
+
+def _write_json(fs, Path, path, payload: dict) -> None:
+    out = fs.create(path, True)  # overwrite
+    try:
+        out.write(bytearray(json.dumps(payload).encode()))
+    finally:
+        out.close()
+
+
+def _read_json(fs, jvm, path) -> dict:
+    # py4j passes primitive arrays by value, so InputStream.read(buf)
+    # can't fill a Python buffer — read through a Java reader instead
+    stream = fs.open(path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return json.loads("\n".join(lines))
+    finally:
+        stream.close()
+
+
+def _retire_old(fs, Path, old_path, trash_dir: str | None, rel: str) -> None:
+    """Delete an old file, or move it into the per-partition trash
+    subtree; rename failures raise instead of silently leaving
+    duplicate rows in the partition."""
+    if not fs.exists(old_path):
+        return  # already retired (reconcile re-run)
+    if trash_dir:
+        parent = Path(trash_dir, rel) if rel else Path(trash_dir)
+        fs.mkdirs(parent)
+        dest = Path(parent, old_path.getName())
+        if not fs.rename(old_path, dest):
+            raise RuntimeError(f"trash rename failed: {old_path} -> {dest}")
+    else:
+        if not fs.delete(old_path, False):
+            raise RuntimeError(f"delete failed: {old_path}")
+
+
+def reconcile_swaps(spark: SparkSession, table_root: str) -> int:
+    """Complete any swap a previous run left interrupted (crash
+    between the manifest write and the manifest delete). For each
+    leftover manifest: finish the planned renames (skipping moves
+    whose destination already landed), retire the listed old files,
+    drop the tmp dir, then drop the manifest. Idempotent — safe to
+    run on every startup; returns the number of swaps completed.
+    Without this, a re-run would read the old+new superset as source
+    and verify the duplicated rows against themselves, baking the
+    duplication in permanently."""
+    fs, root, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    qroot = fs.makeQualified(root)
+    if not fs.exists(qroot):
+        return 0
+    manifests = []
+    it = fs.listFiles(qroot, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName() == SWAP_MANIFEST_NAME:
+            manifests.append(p)
+    fixed = 0
+    for mpath in manifests:
+        data = _read_json(fs, jvm, mpath)
+        for src_uri, dest_uri in data["moves"]:
+            src, dest = Path(src_uri), Path(dest_uri)
+            if fs.exists(src):
+                if fs.exists(dest):
+                    # rename is atomic move, so src+dest both present
+                    # means a non-atomic copy got interrupted (object
+                    # store): the staged tmp copy is authoritative
+                    fs.delete(dest, False)
+                if not fs.rename(src, dest):
+                    raise RuntimeError(f"rename failed: {src} -> {dest}")
+            elif not fs.exists(dest):
+                raise RuntimeError(
+                    f"swap reconcile lost a file: neither {src_uri} nor "
+                    f"{dest_uri} exists"
+                )
+        for old in data["old"]:
+            _retire_old(fs, Path, Path(old), data.get("trash_dir"), data.get("rel", ""))
+        fs.delete(Path(data["tmp_dir"]), True)
+        fs.delete(mpath, False)
+        fixed += 1
+    return fixed
 
 
 def purge_trash(
@@ -346,9 +510,10 @@ def purge_trash(
 ) -> int:
     """Delete retired pre-compaction files older than the retention
     window. Returns the number of files removed. The trash layout is
-    `<root>/_trash/<epoch>/...` — one directory per swap batch."""
+    `<root>/_trash/<epoch>/<partition-rel>/<file>` — one directory
+    per swap batch, partition-relative below it (so equal basenames
+    from different partitions never collide)."""
     fs, root, jvm = _hadoop_fs(spark, posixpath.join(table_root, "_trash"))
-    Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(root):
         return 0
     removed = 0
@@ -360,7 +525,11 @@ def purge_trash(
         except ValueError:
             continue
         if batch_ts <= cutoff:
-            n = len(fs.listStatus(st.getPath()))
+            n = 0
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                it.next()
+                n += 1
             fs.delete(st.getPath(), True)
             removed += n
     return removed

@@ -396,3 +396,201 @@ def test_time_window_string_compare_semantics():
     # midnight wrap (start > end) never opens — reference semantics
     # (QHBaseCompact.java:52 lexicographic compare)
     assert not _in_time_window("22:00:00", "02:00:00", inside)
+
+
+# ------------------------------------------------- swap crash recovery
+def _make_interrupted_swap(spark, root, rel, *, do_renames=False, trash_dir=None):
+    """Stage the exact on-disk state a crash leaves mid-swap: rewritten
+    tmp dir + written manifest, with the renames optionally already
+    done (crash during old-file retirement) or not (crash right after
+    the manifest write)."""
+    import posixpath
+
+    from hbase_compact_spark.compaction.executor import (
+        SWAP_MANIFEST_NAME,
+        _hadoop_fs,
+        _write_json,
+        list_partition_files,
+    )
+
+    files = list_partition_files(spark, root)[rel]
+    part_dir = posixpath.join(root, rel)
+    tmp_dir = posixpath.join(root, "_compact_tmp_crash")
+    spark.read.parquet(*[p for p, _ in files]).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_dir)
+    fs, _, jvm = _hadoop_fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    new = [
+        st.getPath()
+        for st in fs.listStatus(Path(tmp_dir))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    moves = [
+        (str(p), str(Path(part_dir, f"compacted-crash-{i:05d}.parquet")))
+        for i, p in enumerate(new)
+    ]
+    manifest = {
+        "tmp_dir": tmp_dir,
+        "rel": rel,
+        "moves": moves,
+        "old": [str(Path(p)) for p, _ in files],
+        "trash_dir": trash_dir,
+    }
+    _write_json(fs, Path, Path(part_dir, SWAP_MANIFEST_NAME), manifest)
+    if do_renames:
+        for src, dest in moves:
+            assert fs.rename(Path(src), Path(dest))
+        # crash "mid-retirement": retire only the first old file
+        assert fs.delete(Path(manifest["old"][0]), False)
+    return manifest
+
+
+def test_reconcile_completes_swap_crashed_before_renames(
+    spark, small_files_table, tmp_path
+):
+    """Crash right after the manifest write: nothing moved yet. The
+    next compact_table run must finish the swap before listing, so
+    the partition ends up with exactly the compacted files and the
+    original row set — never the old+new superset."""
+    root = small_files_table
+    before = _data_fingerprint(spark, root)
+    _make_interrupted_swap(spark, root, "region=p0", do_renames=False)
+
+    ckpt = CompactionCheckpoint(str(tmp_path / "ckpt.json"))
+    compact_table(spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt)
+
+    assert _data_fingerprint(spark, root) == before  # no dup rows
+    p0 = [
+        f
+        for f in os.listdir(os.path.join(root, "region=p0"))
+        if f.endswith(".parquet")
+    ]
+    assert p0 == ["compacted-crash-00000.parquet"]  # reconciled swap won
+    assert not os.path.exists(os.path.join(root, "_compact_tmp_crash"))
+    assert not any(
+        "_swap_manifest" in f
+        for f in os.listdir(os.path.join(root, "region=p0"))
+    )
+
+
+def test_reconcile_completes_swap_crashed_mid_retirement(
+    spark, small_files_table, tmp_path
+):
+    """Crash after the new files landed but with old files only
+    partially retired — the exact old+new mixed state that would
+    otherwise get re-verified into permanent duplication."""
+    root = small_files_table
+    before = _data_fingerprint(spark, root)
+    _make_interrupted_swap(spark, root, "region=p1", do_renames=True)
+
+    from hbase_compact_spark.compaction.executor import reconcile_swaps
+
+    assert reconcile_swaps(spark, root) == 1
+    assert _data_fingerprint(spark, root) == before
+    p1 = sorted(
+        f
+        for f in os.listdir(os.path.join(root, "region=p1"))
+        if f.endswith(".parquet")
+    )
+    assert p1 == ["compacted-crash-00000.parquet"]
+    assert reconcile_swaps(spark, root) == 0  # idempotent
+
+
+def test_trash_preserves_partition_relative_paths(
+    spark, small_files_table, tmp_path
+):
+    """Two partitions retired in the same batch share file basenames
+    (part-00000-... patterns collide rarely but compacted-<epoch>
+    names from earlier runs collide often); the per-partition trash
+    subtree must keep every retired file."""
+    root = small_files_table
+    ckpt = CompactionCheckpoint(str(tmp_path / "ckpt.json"))
+    n_before = {
+        part: len(
+            [
+                f
+                for f in os.listdir(os.path.join(root, part))
+                if f.endswith(".parquet")
+            ]
+        )
+        for part in ("region=p0", "region=p1", "region=p2")
+    }
+    compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt, trash=True
+    )
+    trash_root = os.path.join(root, "_trash")
+    batches = os.listdir(trash_root)
+    assert len(batches) == 1
+    trashed = {}
+    for dirpath, _, files in os.walk(trash_root):
+        for f in files:
+            rel = os.path.relpath(dirpath, os.path.join(trash_root, batches[0]))
+            trashed.setdefault(rel, []).append(f)
+    assert {k: len(v) for k, v in trashed.items()} == n_before
+
+
+def test_list_partition_files_accepts_uri_roots(spark, small_files_table):
+    """file:// and file:/// roots must produce the same relative
+    partition keys as a plain path (URI-qualified comparison, not
+    substring matching)."""
+    from hbase_compact_spark.compaction.executor import list_partition_files
+
+    root = small_files_table
+    plain = list_partition_files(spark, root)
+    uri = list_partition_files(spark, "file://" + root)
+    uri3 = list_partition_files(spark, "file:///" + root.lstrip("/"))
+    assert set(plain) == set(uri) == set(uri3)
+    assert {k: len(v) for k, v in plain.items()} == {
+        k: len(v) for k, v in uri.items()
+    }
+
+
+def test_checkpoint_rejects_remote_schemes(tmp_path):
+    with pytest.raises(ValueError):
+        CompactionCheckpoint("hdfs://nn:8020/tables/t/_ckpt.json")
+    # file: URIs resolve to the local path
+    ck = CompactionCheckpoint(f"file://{tmp_path}/ck.json")
+    ck.mark_done("p", rows=1)
+    assert ck.is_done("p")
+    assert os.path.exists(f"{tmp_path}/ck.json")
+
+
+def test_adaptive_concurrency_meets_reference_budget(spark, tmp_path):
+    """Without any explicit concurrency, compact_table must meet the
+    reference's implied completion budget of 40 s/GB = 25.6 MB/s
+    (QHBaseCompact.java:170). Serial rewrites of small partitions
+    measured ~7 MB/s — the adaptive default exists precisely to close
+    that gap by running enough single-bin rewrites to cover the
+    cluster width."""
+    import time as _time
+
+    root = str(tmp_path / "big")
+    df = spark.range(6_000_000).select(
+        "id",
+        (F.col("id") % 97).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    for p in range(6):
+        (
+            df.filter(F.col("id") % 6 == p)
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{root}/region=p{p}")
+        )
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+
+    ckpt = CompactionCheckpoint(str(tmp_path / "ckpt.json"))
+    t0 = _time.perf_counter()
+    report = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt
+    )
+    dt = _time.perf_counter() - t0
+    done = report.compacted
+    assert len(done) == 6
+    total_bytes = sum(r.bytes_total for r in done)
+    mbps = total_bytes / dt / (1024 * 1024)
+    assert mbps >= 25.6, f"adaptive compaction too slow: {mbps:.1f} MB/s"
