@@ -2,18 +2,22 @@
 
 Images/audio/video ride through the engine as opaque `binary` columns
 plus typed metadata. The Spark-side mechanics are fully real — schema,
-Arrow-batched `mapInPandas`, partition-preserving flow; only the
-codec calls are stubbed (`decode_image` raises NotImplementedError:
-no imaging/audio libraries ship in this environment), with a
-deterministic byte-level feature extractor standing in so the
-pipeline is end-to-end testable.
+Arrow-batched `mapInPandas`, partition-preserving flow. Formats whose
+container is header + raw samples are decoded FOR REAL with
+numpy-only parsers (BMP 24/32-bit BI_RGB, WAV PCM 8/16-bit);
+compressed codecs (PNG/JPEG/MP3/H.264) genuinely need external
+libraries the environment doesn't ship, so `decode_image` on those
+raises NotImplementedError and the deterministic byte-level
+extractors keep the pipeline end-to-end testable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -22,14 +26,106 @@ from hbase_compact_spark.shipping import ensure_package_on_executors
 PAYLOAD_META_SCHEMA = "doc_id long, n_bytes long, payload_md5 string"
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode would go through PIL/libvips; the environment ships
-    neither, so this is a clearly-marked stub. The surrounding Spark
-    plumbing (binary column -> Arrow batch -> per-batch decode) is the
-    production shape."""
+# --------------------------------------------------------- BMP codec
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BI_RGB BMP into an (H, W, 3)
+    uint8 RGB array — pure struct/numpy, no imaging library. Raises
+    ValueError on anything that isn't a plain BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]  # stored BGR(A) -> RGB
+    if not top_down:
+        rgb = rgb[::-1]  # bottom-up storage order
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up) — the test/e2e twin of decode_bmp."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    header = struct.pack(
+        "<2sIHHI" + "IiiHHIIiiII",
+        b"BM", 54 + body.size, 0, 0, 54,
+        40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0,
+    )
+    return header + body.tobytes()
+
+
+# --------------------------------------------------------- WAV codec
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM 8/16-bit RIFF/WAVE payload into (sample_rate,
+    (n_samples, n_channels) int array) — pure struct/numpy chunk walk,
+    no audio library. Raises ValueError on non-PCM."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    if bits == 8:  # 8-bit WAV is unsigned, center it
+        samples = samples.astype(np.int16) - 128
+    n = len(samples) - len(samples) % n_channels
+    return sample_rate, samples[:n].reshape(-1, n_channels)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as PCM 16-bit
+    RIFF/WAVE — the test/e2e twin of decode_wav."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+    body = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload. BMP decodes for real (decode_bmp);
+    compressed formats (PNG/JPEG/...) require codec libraries the
+    environment doesn't ship and raise — clearly-marked boundary, the
+    surrounding Spark plumbing (binary column -> Arrow batch ->
+    per-batch decode) is identical either way."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; see extract_payload_meta for the byte-level path"
+        "only uncompressed BMP decodes without an imaging library; "
+        "PNG/JPEG need codecs not present in this environment"
     )
 
 
@@ -75,6 +171,147 @@ def extract_frame_meta(df: DataFrame, every_n: int = 100) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         frame_batches, schema=FRAME_META_SCHEMA
+    )
+
+
+def _det_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random byte stream (md5 counter chain) —
+    the fixture generator for synthetic payloads; no RNG state, same
+    bytes on every executor."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def with_bmp_payload(df: DataFrame, side: int = 16) -> DataFrame:
+    """Attach a synthetic (side x side) 24-bit BMP payload derived
+    deterministically from each row's text — real container bytes, so
+    the downstream decode exercises the actual parser."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    np.frombuffer(
+                        _det_bytes(f"bmp:{t}", side * side * 3), dtype=np.uint8
+                    ).reshape(side, side, 3)
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", "text").mapInPandas(
+        attach, schema="doc_id long, payload binary"
+    )
+
+
+def with_wav_payload(df: DataFrame, n_samples: int = 1024) -> DataFrame:
+    """Attach a synthetic 16-bit PCM mono WAV payload derived
+    deterministically from each row's text."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    np.frombuffer(
+                        _det_bytes(f"wav:{t}", n_samples * 2), dtype="<i2"
+                    ).reshape(-1, 1),
+                    sample_rate=8000,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", "text").mapInPandas(
+        attach, schema="doc_id long, payload binary"
+    )
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, mean_r double, mean_g double, "
+    "mean_b double, img_md5 string"
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Decoded-image features through the real BMP parser: dimensions,
+    per-channel means, pixel digest. Arrow-batched mapInPandas over
+    the binary column — the exact plumbing a PIL/libvips decoder
+    would slot into."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        img.shape[1],
+                        img.shape[0],
+                        round(float(means[0]), 6),
+                        round(float(means[1]), 6),
+                        round(float(means[2]), 6),
+                        hashlib.md5(img.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "img_md5",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feats, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, duration_ms double, "
+    "rms double, peak long"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decoded-audio features through the real PCM/WAV parser:
+    sample rate, length, RMS energy, peak amplitude."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                flat = samples.astype(np.float64).ravel()
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        samples.shape[0],
+                        round(samples.shape[0] / rate * 1000.0, 6),
+                        round(float(np.sqrt(np.mean(flat**2))), 6),
+                        int(np.max(np.abs(samples))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -22,9 +22,13 @@ from pyspark.sql import functions as F
 
 from hbase_compact_spark.functions import text as TX
 from hbase_compact_spark.functions.multimodal import (
+    extract_audio_features,
     extract_frame_meta,
+    extract_image_features,
     extract_payload_meta,
     with_binary_payload,
+    with_bmp_payload,
+    with_wav_payload,
 )
 from hbase_compact_spark.functions.similarity import (
     brute_force_topk,
@@ -775,6 +779,27 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-stride sampling; decoder stubbed — see functions/multimodal)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_frame_meta(with_binary_payload(docs), every_n=100)
+
+
+@query("multimodal_image_decode")  # rows-only: decoded-pixel features
+# (BMP container synthesized per doc; codec correctness is pytest's
+# encode->decode round-trip, determinism asserted there too)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: per-document synthetic 24-bit BMP
+    container bytes -> numpy BMP parser -> dimensions + per-channel
+    means + pixel digest. No codec library involved; PNG/JPEG would
+    slot into the identical mapInPandas plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(with_bmp_payload(docs))
+
+
+@query("multimodal_audio_decode")  # rows-only: decoded-sample features
+# (PCM/WAV container synthesized per doc; round-trip tested)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: per-document synthetic 16-bit PCM WAV
+    -> numpy RIFF chunk walk -> sample rate / length / RMS / peak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(with_wav_payload(docs))
 
 
 # ======================================================= UDF surface

@@ -175,3 +175,55 @@ def test_stateful_user_totals(spark, tmp_path):
         "SELECT count(*) AS c FROM user_totals WHERE batch_events < total_events"
     ).collect()[0]["c"]
     assert multi > 0
+
+
+# ----------------------------------------------- streaming file watch
+def test_stream_watch_fires_on_fileset_change(spark, tmp_path):
+    """The Flow-3 quickPoll analog as a REAL file-source stream: the
+    watch must fire when (and only when) a new largest file lands in
+    the watched directory."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.compaction.watch import current_argmax_file
+    from hbase_compact_spark.streaming.watch import stream_until_changed
+
+    d = str(tmp_path / "store")
+    spark.range(1000).coalesce(1).write.parquet(d)
+    before = current_argmax_file(spark, d)
+    assert before is not None
+
+    def land_bigger_file():
+        (
+            spark.range(100_000)
+            .select("id", F.md5(F.col("id").cast("string")).alias("pad"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+
+    t = threading.Timer(1.0, land_bigger_file)
+    t.start()
+    try:
+        res = stream_until_changed(spark, d, before, budget_s=60.0)
+    finally:
+        t.join()
+    assert res.changed
+    assert res.final_argmax != before
+    assert res.batches >= 1
+    assert res.final_argmax == current_argmax_file(spark, d)
+
+
+def test_stream_watch_reports_exhaustion_honestly(spark, tmp_path):
+    """No file-set change within the budget -> changed=False (the
+    reference soft-fails here, QHBaseCompact.java:71-72; we report)."""
+    from hbase_compact_spark.compaction.watch import current_argmax_file
+    from hbase_compact_spark.streaming.watch import stream_until_changed
+
+    d = str(tmp_path / "store")
+    spark.range(1000).coalesce(1).write.parquet(d)
+    before = current_argmax_file(spark, d)
+    res = stream_until_changed(spark, d, before, budget_s=3.0)
+    assert not res.changed
+    assert res.final_argmax == before
