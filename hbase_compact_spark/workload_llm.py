@@ -278,10 +278,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_fuzzy",
-    oracle=f"""
-    WITH sigs AS (
+# MinHash signature / band / pair / estimate CTE block — shared by the
+# dedup_fuzzy oracle and the dedup_clusters recursive-closure oracle
+_FUZZY_CTES = f"""sigs AS (
       SELECT doc_id, {_SIG_D} AS sig FROM documents
     ),
     bands AS (
@@ -303,7 +302,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
       JOIN sigs sa ON sa.doc_id = doc_a
       JOIN sigs sb ON sb.doc_id = doc_b
-    )
+    )"""
+
+
+@query(
+    "dedup_fuzzy",
+    oracle=f"""
+    WITH {_FUZZY_CTES}
     SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
     FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
     """,
@@ -363,6 +368,77 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD).select(
         "doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim")
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_CTES},
+    fedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM est
+      WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+      UNION
+      SELECT doc_b, doc_a FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN fedges e ON reach.r = e.src
+    ),
+    comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph, every document labeled with its component's minimum
+    doc_id (the canonical survivor a training pipeline keeps). The
+    pair list alone under-delivers — transitive duplicates (A~B, B~C)
+    must collapse into one cluster.
+
+    Distributed min-label propagation: each iteration is one
+    edges-to-labels broadcast-free equi-join + a min aggregation, and
+    labels only ever decrease, so the label SUM is a convergence
+    certificate (equal sums two iterations running = fixpoint). Dup
+    components are shallow (near-dups of near-dups), so iterations ~
+    graph diameter ~ a handful; each iteration's result is
+    checkpointed to keep the plan linear. The same loop at 100 TB is
+    the standard CC-over-joins shape (upgrade path: small-star/
+    large-star contraction if components ever get deep). Oracle:
+    DuckDB recursive CTE computing the identical transitive closure.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    prs = dedup_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            prs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # materialize the pair graph once
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    prev_sum = None
+    for _ in range(15):  # >> dup-component diameter; sum check exits early
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
     )
 
 
@@ -482,7 +558,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band join is provably lossless (pigeonhole — see
     SIMHASH_PAIR_BANDS), so this is an exact operator with an
     all-pairs SQL oracle, executed in the bucketed 100 TB shape."""
-    sk = dedup_simhash(spark, sf_dir)
+    # materialize the sketches ONCE: plan-level exchange reuse does
+    # not fire across the self-join's aliased subtrees, so without
+    # the checkpoint the whole md5-token pipeline runs twice
+    sk = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
     bands = sk.select(
         "doc_id",
         "simhash",
@@ -940,6 +1019,145 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = dedup_exact(spark, sf_dir).select(F.col("keep_id").alias("doc_id"))
     return q.join(keepers, "doc_id").where(
         (F.col("quality") >= 0.2) & F.col("n_tokens").between(10, 1000)
+    )
+
+
+# per-mille keep rates per language stratum: downsample the dominant
+# language, keep more of the rarer ones — the standard data-mixing
+# move when rebalancing a pretraining corpus
+SAMPLE_PERMILLE_EN = 100
+SAMPLE_PERMILLE_OTHER = 300
+
+
+@query(
+    "corpus_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {TX.hash60_duck("text")} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN {SAMPLE_PERMILLE_EN}
+                        ELSE {SAMPLE_PERMILLE_OTHER} END
+    """,
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document hashes to a
+    stable per-mille bucket (content-hash, not RNG — reproducible on
+    any engine, any partitioning, any retry), and per-language keep
+    rates rebalance the corpus. At 100 TB this is a single
+    scan+filter with no shuffle and no driver coordination, unlike
+    seeded sample() whose result depends on partition layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"{TX.hash60_sql('text')} % 1000").alias("bucket"),
+    )
+    return b.where(
+        F.col("bucket")
+        < F.when(F.col("lang") == "en", F.lit(SAMPLE_PERMILLE_EN)).otherwise(
+            F.lit(SAMPLE_PERMILLE_OTHER)
+        )
+    )
+
+
+@query(
+    "repetition_ratio",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                  ELSE [array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - 1)]
+             END AS grams
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams), 6) AS rep_ratio
+    FROM g
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram fraction per document — the classic boilerplate
+    / low-quality-repetition signal used to filter pretraining data
+    (a doc whose trigrams mostly repeat is navigation chrome, tables,
+    or degenerate generation). Pure array expressions over one scan;
+    the 3-gram window reuses the shingle builder."""
+    docs = _docs_with(spark, sf_dir, grams=TX.shingles(w=3))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct("grams")).cast("double")
+            / F.size("grams"),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+PACK_TOKEN_BUDGET = 512
+
+
+@query("doc_pack")  # rows-only: greedy FFD assignment is procedural
+# (invariants asserted in tests: every doc exactly once, no pack over
+# budget unless single oversize doc, deterministic)
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per language shard,
+    documents are FFD-packed into sequences of <= PACK_TOKEN_BUDGET
+    tokens (sort desc by token count, first bin that fits) — the same
+    shape that cuts padding waste when assembling fixed-length
+    training examples. Token counts are metadata (one row per doc),
+    so the applyInPandas groups shuffle almost nothing and each
+    group's pack runs in microseconds — bin_packing_plan's exact
+    pattern applied to the LLM-pipeline substrate."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens()).select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        remaining = np.empty(len(pdf), dtype="int64")
+        n_packs = 0
+        assignment = np.empty(len(pdf), dtype="int32")
+        for row, n in enumerate(pdf["n_tokens"].to_numpy()):
+            fits = remaining[:n_packs] >= n
+            if fits.any():
+                b = int(np.argmax(fits))
+                remaining[b] -= n
+            else:
+                b = n_packs
+                remaining[b] = PACK_TOKEN_BUDGET - n
+                n_packs += 1
+            assignment[row] = b
+        out = pdf.copy()
+        out["pack_id"] = pd.array(assignment, dtype="int32")
+        stats = out.groupby("pack_id")["n_tokens"].agg(["count", "sum"])
+        out["pack_docs"] = out["pack_id"].map(stats["count"]).astype("int64")
+        out["pack_tokens"] = out["pack_id"].map(stats["sum"]).astype("int64")
+        return out[
+            ["doc_id", "lang", "n_tokens", "pack_id", "pack_docs", "pack_tokens"]
+        ]
+
+    return docs.groupBy("lang").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, lang string, n_tokens long, pack_id int, "
+            "pack_docs long, pack_tokens long"
+        ),
     )
 
 

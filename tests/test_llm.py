@@ -389,3 +389,53 @@ def test_multimodal_decode_queries_deterministic_and_correct(spark, planted_dir)
     assert audio[0]["n_samples"] == 1024
     assert audio[0]["rms"] == round(float(np.sqrt(np.mean(flat**2))), 6)
     assert audio[0]["peak"] == int(np.max(np.abs(samples)))
+
+
+def test_dedup_clusters_transitive_closure(spark, planted_dir):
+    """Pairs (0,1) and (0,2) must collapse into one cluster {0,1,2}
+    labeled by the minimum doc_id; unrelated docs stay singletons."""
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in llm.dedup_clusters(spark, planted_dir).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert out[3] == (3, 1) and out[4] == (4, 1)
+    assert len(out) == 5  # every document labeled exactly once
+
+
+def test_doc_pack_invariants(spark):
+    """FFD sequence packing: every doc in exactly one pack, packs
+    never exceed the budget unless they hold a single oversize doc,
+    pack stats are consistent, and the assignment is deterministic."""
+    from hbase_compact_spark.workload_llm import PACK_TOKEN_BUDGET
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm.doc_pack(spark, sf).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows) == 500
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r["lang"], r["pack_id"]), []).append(r)
+    for (lang, _), members in by_pack.items():
+        tokens = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_tokens"] == tokens for m in members)
+        assert all(m["pack_docs"] == len(members) for m in members)
+        if len(members) > 1:
+            assert tokens <= PACK_TOKEN_BUDGET
+    again = {r["doc_id"]: (r["lang"], r["pack_id"])
+             for r in llm.doc_pack(spark, sf).collect()}
+    assert again == {r["doc_id"]: (r["lang"], r["pack_id"]) for r in rows}
+
+
+def test_repetition_ratio_detects_repeats(spark, tmp_path):
+    """A degenerate doc of one repeated word must score near 1; a
+    doc of all-distinct words must score 0."""
+    d = str(tmp_path / "rep")
+    rows = [
+        (0, " ".join(["spam"] * 50), "en", "s", 0),
+        (1, " ".join(f"w{i}" for i in range(50)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r["rep_ratio"] for r in
+           llm.repetition_ratio(spark, d).collect()}
+    assert out[0] > 0.97  # 48 identical trigrams
+    assert out[1] == 0.0
