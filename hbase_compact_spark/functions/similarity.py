@@ -165,6 +165,7 @@ def kmeans_refine(
     vec = corpus.select(
         "vec_id", as_double_array("embedding").alias("v")
     )
+    prev: dict[int, list[float]] | None = None
     for _ in range(iters):
         scored = vec.crossJoin(F.broadcast(cent_df)).withColumn(
             "d", dot("v", "cv")
@@ -184,20 +185,14 @@ def kmeans_refine(
         new: dict[int, dict[int, float]] = {}
         for r in rows:
             new.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
+        if prev is None:  # collect the initial table once, not per iter
+            prev = {int(r["list_id"]): list(r["cv"]) for r in cent_df.collect()}
         prev = {
-            int(r["list_id"]): list(r["cv"]) for r in cent_df.collect()
-        }
-        cent_rows = [
-            (
-                lid,
-                [new[lid][p] for p in sorted(new[lid])]
-                if lid in new
-                else v,
-            )
+            lid: [new[lid][p] for p in sorted(new[lid])] if lid in new else v
             for lid, v in sorted(prev.items())
-        ]
+        }
         cent_df = spark.createDataFrame(
-            cent_rows, "list_id int, cv array<double>"
+            sorted(prev.items()), "list_id int, cv array<double>"
         )
     return cent_df
 

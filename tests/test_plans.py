@@ -64,3 +64,30 @@ def test_partition_pruning(spark, tmp_path):
 def test_no_cartesian_in_linear_ops(spark, name):
     p = _plan(spark, name)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_pairs_single_sketch_materialization(spark):
+    """The sketch self-join must read the checkpointed sketches, not
+    re-run the md5-token pipeline per join side."""
+    p = _plan(spark, "dedup_simhash_pairs")
+    assert "Scan ExistingRDD" in p  # checkpoint barrier in the plan
+    assert p.count("md5") == 0  # hashing happened before the barrier
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_sample_is_scan_and_filter(spark):
+    """Deterministic sampling must stay a single scan + filter: no
+    shuffle, no join, nothing driver-side."""
+    p = _plan(spark, "corpus_sample")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_embedding_dedup_has_no_broadcast_of_corpus(spark):
+    """Block-pair exact dedup: the only wide operator is the
+    block-pair shuffle feeding applyInPandas — no broadcast of
+    corpus-scale data, no cartesian product."""
+    p = _plan(spark, "dedup_embedding")
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastExchange" not in p
+    assert "CartesianProduct" not in p
