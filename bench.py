@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from hbase_compact_spark import registry  # noqa: E402
 from hbase_compact_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,6 +64,10 @@ def main() -> None:
         runs: list[float] = []
         try:
             for _ in range(RUNS):
+                # drop session-scoped shared-intermediate memos so every
+                # run pays the query's full cost — medians must measure
+                # the engine, not a result cache
+                registry.clear_session_caches()
                 t0 = time.perf_counter()
                 df = queries[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()

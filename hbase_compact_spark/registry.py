@@ -31,6 +31,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Session-scoped memo dicts registered by workload modules (shared
+# intermediates such as the MinHash pair list). bench.py clears them
+# before every timed run so benchmark medians measure the engine, not
+# a result cache; the driver's one-pass correctness run keeps them.
+SESSION_CACHES: list[dict] = []
+
+
+def session_cache() -> dict:
+    """Create and register a session-scoped memo dict."""
+    cache: dict = {}
+    SESSION_CACHES.append(cache)
+    return cache
+
+
+def clear_session_caches() -> None:
+    for cache in SESSION_CACHES:
+        cache.clear()
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; `oracle` is the DuckDB twin (omit for

@@ -35,7 +35,7 @@ from hbase_compact_spark.functions.similarity import (
     embedding_dup_pairs,
     lsh_topk,
 )
-from hbase_compact_spark.registry import query
+from hbase_compact_spark.registry import query, session_cache
 from hbase_compact_spark.shipping import ensure_package_on_executors
 from hbase_compact_spark.tables import load_table
 
@@ -305,20 +305,24 @@ _FUZZY_CTES = f"""sigs AS (
     )"""
 
 
-@query(
-    "dedup_fuzzy",
-    oracle=f"""
-    WITH {_FUZZY_CTES}
-    SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
-    FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
-    """,
-)
-def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection via MinHash + LSH banding: shingle ->
-    16-hash signature -> 4 bands of 4 -> band-bucket equi-join ->
-    signature-agreement estimate. The join is on band keys, so work
-    scales with collisions (true near-dups), not with n^2. Seedless
-    deterministic hashing keeps it oracle-checkable."""
+# Session-scoped memo for the MinHash pair pipeline: dedup_fuzzy and
+# dedup_clusters both need the identical (doc_a, doc_b, est_sim) set,
+# and bench/driver run every query in one session — computing the
+# signature+band+join pipeline twice would double the heaviest stage.
+# Keyed by (applicationId, sf_dir) so a fresh session never sees a
+# stale localCheckpoint; the cached frame is a few rows per thousand
+# docs (pairs above threshold), not corpus-scale. Registered with the
+# registry so bench.py can clear it between timed runs.
+_FUZZY_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = session_cache()
+
+
+def _fuzzy_pair_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (doc_a, doc_b, est_sim) at or above
+    MINHASH_EST_THRESHOLD, memoized per session + sf_dir."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _FUZZY_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = _docs_with(spark, sf_dir, sh=TX.shingles())
     # Two materialization tricks, both load-bearing at scale:
     # 1) the repartition barrier stops Catalyst's projection collapse
@@ -366,7 +370,29 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / TX.MINHASH_K
         ).alias("est_sim"),
     )
-    return est.filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD).select(
+    result = (
+        est.filter(F.col("est_sim") >= MINHASH_EST_THRESHOLD)
+        .localCheckpoint(eager=False)
+    )
+    _FUZZY_PAIRS_CACHE[key] = result
+    return result
+
+
+@query(
+    "dedup_fuzzy",
+    oracle=f"""
+    WITH {_FUZZY_CTES}
+    SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
+    FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+    """,
+)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding: shingle ->
+    16-hash signature -> 4 bands of 4 -> band-bucket equi-join ->
+    signature-agreement estimate. The join is on band keys, so work
+    scales with collisions (true near-dups), not with n^2. Seedless
+    deterministic hashing keeps it oracle-checkable."""
+    return _fuzzy_pair_estimates(spark, sf_dir).select(
         "doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim")
     )
 
@@ -412,7 +438,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive CTE computing the identical transitive closure.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    prs = dedup_fuzzy(spark, sf_dir).select("doc_a", "doc_b")
+    prs = _fuzzy_pair_estimates(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -420,7 +446,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # materialize the pair graph once
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    # Only documents that appear in at least one near-dup pair take part
+    # in label propagation — at corpus scale the dup-graph vertex set is
+    # a small fraction of the corpus, so the iterative shuffles run over
+    # |V(dup graph)| rows, never |corpus|. Isolated docs are their own
+    # singleton cluster and join back in after the fixpoint.
+    verts = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
     prev_sum = None
     for _ in range(15):  # >> dup-component diameter; sum check exits early
         msgs = edges.join(
@@ -430,12 +462,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # truncate the iterative lineage
+            # truncate the iterative lineage; lazy so the convergence
+            # aggregation below is the action that materializes it —
+            # one Spark job per iteration instead of two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    singletons = docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    labels = labels.unionByName(singletons)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
