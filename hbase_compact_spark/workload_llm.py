@@ -1140,6 +1140,76 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic pseudo eval split (doc_id % EVAL_MOD == 0) stands in
+# for a benchmark test set; threshold flags docs sharing >= half their
+# shingles with the eval set (near-dup leakage).
+EVAL_MOD = 7
+CONTAM_THRESHOLD = 0.5
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest(list_distinct({_SHINGLES_D})) AS s
+      FROM documents WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_D})) AS s
+      FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    ov AS (
+      SELECT tr.doc_id, count(*) AS n_overlap
+      FROM tr JOIN ev USING (s) GROUP BY tr.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                 / tot.n_shingles, 6) AS contamination_rate,
+           CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / tot.n_shingles
+             >= {CONTAM_THRESHOLD} AS contaminated
+    FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: the fraction of each training
+    document's distinct 5-gram shingles that also occur anywhere in the
+    eval split. The eval shingle index is DISTINCT'd and broadcast —
+    benchmark eval sets are tiny next to a pretraining corpus, so the
+    corpus-side scan never shuffles on shingles; each train doc's
+    overlap is a broadcast-semi-join + count. Flags full or partial
+    containment (near-dup leakage) that an exact-match check misses."""
+    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    ev = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.array_distinct("sh")).alias("s"))
+        .distinct()
+    )
+    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    )
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ov = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    rate = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        tot.join(ov, "doc_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0).cast("long")))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(rate, 6).alias("contamination_rate"),
+            (rate >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
 PACK_TOKEN_BUDGET = 512
 
 

@@ -415,3 +415,145 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total_spend,
+           CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend, o_custkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles: ntile / percent_rank / cume_dist over
+    per-customer totals. The window orders by (spend, custkey) — ntile
+    splits ties by position, so the ordering must be total for the
+    answer to be well-defined on any engine. One aggregation shuffle
+    plus one global-sort window over the already-reduced per-customer
+    rows (cardinality = customers, not orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: sample stddev/variance,
+    covariance and Pearson correlation — single-pass mergeable
+    aggregates (sum, sum-of-squares, cross-products), so they partial-
+    aggregate map-side like any SUM. Columns chosen with O(1..1e5)
+    magnitudes so float summation-order noise stays far below the
+    rounding grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "cov_qty_disc"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (the inverse of pivot_wide): each lineitem
+    measure becomes a (metric, value) row. Spark's native unpivot is a
+    Generate (one pass, no shuffle, no UDF); output is 4x rows but
+    narrow — the melt shape feature stores and metric pipelines
+    ingest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.expr("substr(metric, 3)"))
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface over order dates: month truncation,
+    month end, day-of-week (Sunday=1 convention pinned explicitly —
+    engines disagree), quarter, and day arithmetic against a fixed
+    epoch. All whole-stage-codegen scalar expressions; dates are
+    emitted as strings per the cross-engine hashing rules."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("days_since_95"),
+    )

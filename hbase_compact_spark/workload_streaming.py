@@ -152,6 +152,25 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence of each (user_id,
+    event_type) key across the stream, via the dropDuplicates state
+    operator (one state store entry per distinct key). Projecting to
+    the key columns BEFORE dedup makes any survivor identical, so the
+    streaming answer equals batch DISTINCT exactly. Global dedup keeps
+    state per distinct key forever by design — the bounded-state
+    production variant is dropDuplicatesWithinWatermark when duplicate
+    arrivals are time-bounded; distinct-key state here is the same
+    cardinality a batch DISTINCT would shuffle."""
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    return run_bounded(deduped, mode="append", n_partitions=8)
+
+
+@query(
     "stream_sliding",
     oracle="""
     SELECT strftime(make_timestamp(((epoch_us(ts) // 10800000000) - k)
