@@ -44,7 +44,11 @@ class DaemonConfig:
     inter_partition_pause_s: float = 1.0
     cycle_pause_s: float = 600.0
     max_cycles: int = 1
-    partitions_per_iteration: int = 1
+    # partitions compacted per inner-loop pass; None = adaptive (one
+    # unbounded compact_table pass whose adaptive concurrency saturates
+    # the cluster — meets the 40 s/GB budget by default). 1 = the
+    # reference's strict one-region-per-iteration cursor pacing.
+    partitions_per_iteration: int | None = None
     # rewrites in flight at once; None = adaptive (size to cluster
     # width — meets the reference's 40 s/GB budget by default), 1 =
     # the reference's strict one-at-a-time minimal-impact mode

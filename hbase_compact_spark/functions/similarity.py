@@ -461,3 +461,202 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .drop("_ord")
     )
+
+
+# ------------------------------------------------ product quantization
+PQ_M = 8  # subspaces (codes per vector)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def _l2(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, dims: int) -> DataFrame:
+    """(id, sub_id, sv): each vector unit-normalized (PQ trains and
+    scores in L2; on unit vectors L2 ranking == cosine ranking) then
+    split into PQ_M contiguous subvectors — one Generate, no
+    shuffle."""
+    dsub = dims // PQ_M
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        as_double_array("embedding").alias("dv"),
+    ).withColumn("nrm", norm("dv")).select(
+        id_col,
+        F.expr("transform(dv, x -> x / nrm)").alias("uv"),
+    ).select(
+        id_col,
+        F.expr(
+            f"explode(transform(sequence(0, {PQ_M - 1}), "
+            f"i -> struct(i AS sub_id, slice(uv, i * {dsub} + 1, {dsub}) AS sv)))"
+        ).alias("s"),
+    ).select(id_col, F.col("s.sub_id").alias("sub_id"), F.col("s.sv").alias("sv"))
+
+
+def pq_codebook(
+    corpus: DataFrame, dims: int = 64, iters: int = 2
+) -> DataFrame:
+    """Train the PQ codebook — PQ_K centroids in each of the PQ_M
+    subspaces — with distributed Lloyd's iterations, ALL subspaces in
+    the same frame (one broadcast assignment join + one grouped-avg
+    re-estimation per iteration covers every subspace at once). Only
+    the PQ_M x PQ_K x dsub codebook (~1k doubles) is ever collected.
+    Initial assignment is a deterministic hash split of the ids, so
+    training is seedless and reproducible."""
+    spark = corpus.sparkSession
+    dsub = dims // PQ_M
+    sub = _subvectors(corpus, "vec_id", dims).localCheckpoint(eager=False)
+    assign = sub.withColumn(
+        "code", F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int")
+    )
+    cb = None
+    prev: dict[tuple[int, int], list[float]] = {}
+    for _ in range(iters + 1):  # first pass estimates from hash init
+        rows = (
+            assign.select("sub_id", "code", F.posexplode("sv"))
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )  # bounded: PQ_M * PQ_K * dsub rows
+        cents: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            cents.setdefault((int(r["sub_id"]), int(r["code"])), {})[
+                int(r["pos"])
+            ] = float(r["m"])
+        # the codebook must stay a FULL PQ_M x PQ_K grid — ADC indexes
+        # it flat as sub*PQ_K+code — so a cell that lost all its
+        # members keeps its previous centroid (zeros before the first
+        # estimate: far from unit-sphere data, it just stays empty)
+        grid = []
+        for s in range(PQ_M):
+            for c in range(PQ_K):
+                d = cents.get((s, c))
+                v = (
+                    [d[p] for p in sorted(d)]
+                    if d is not None
+                    else prev.get((s, c), [0.0] * dsub)
+                )
+                grid.append((s, c, v))
+        prev = {(s, c): v for s, c, v in grid}
+        cb = spark.createDataFrame(
+            grid, "sub_id int, code int, cv array<double>"
+        )
+        scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
+            "d", _l2("sv", "cv")
+        )
+        w = Window.partitionBy("vec_id", "sub_id").orderBy(
+            F.asc("d"), F.asc("code")
+        )
+        assign = (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("vec_id", "sub_id", "sv", "code")
+        )
+    return cb
+
+
+def pq_encode(corpus: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
+    """(vec_id, codes): each vector's PQ_M nearest-centroid codes —
+    PQ_M small ints replace dims floats (here 8 bytes for a 64-dim
+    vector, a 32x compression of the search structure)."""
+    sub = _subvectors(corpus, "vec_id", dims)
+    scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
+        "d", _l2("sv", "cv")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d"), F.asc("code"))
+    best = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub_id, code))), "
+            "s -> s.code)"
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    refine_iters: int = 2,
+    rerank_factor: int = 10,
+) -> DataFrame:
+    """ANN top-k via product quantization + asymmetric distance
+    computation (ADC): each corpus vector is searched through its
+    PQ_M 4-bit codes, never its floats. Per query, a PQ_M x PQ_K
+    distance table (query subvector -> every codebook centroid) is
+    built in Spark and broadcast flattened; scoring a document is then
+    PQ_M array lookups + adds (JVM codegen, no Python). The ADC
+    top rerank_factor*k candidates are reranked with exact cosines, so
+    precision at the top comes from true distances while the scan cost
+    is the compressed representation's. The default rerank pool (10x
+    k) is sized for the worst case — isotropic vectors, where
+    quantization error is maximal; clustered real-world embeddings
+    rank far better per candidate. The classic IVF-PQ memory
+    argument at 100 TB: codes fit in RAM where raw vectors cannot.
+
+    Generalizes the reference's scan+filter access path (QHC.java's
+    HFile scans) to the vector-similarity surface; complements
+    lsh_topk (bucketing) and ivf_topk (partition pruning)."""
+    cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
+    enc = pq_encode(corpus, cb, dims=dims).localCheckpoint(eager=False)
+    qsub = _subvectors(queries, "query_id", dims)
+    dt = qsub.join(F.broadcast(cb), "sub_id").select(
+        "query_id", "sub_id", "code", _l2("sv", "cv").alias("pd")
+    )
+    # flat per-query distance table ordered by (sub_id, code):
+    # index of (sub m, code c) = m * PQ_K + c
+    qt = dt.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub_id, code, pd))), "
+            "s -> s.pd)"
+        ).alias("dtf")
+    )
+    scored = enc.crossJoin(F.broadcast(qt)).where(
+        F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"aggregate(transform(sequence(0, {PQ_M - 1}), "
+            f"i -> dtf[i * {PQ_K} + codes[i]]), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank_factor * k)
+        .select("query_id", "vec_id")
+    )
+    # exact rerank of the candidate pool
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    ).withColumn("qn", norm("qv"))
+    c = corpus.select(
+        "vec_id", as_double_array("embedding").alias("cv")
+    ).withColumn("cn", norm("cv"))
+    exact = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine("qv", "cv", "qn", "cn"), 6).alias("cos_sim"),
+            F.round(cosine("qv", "cv", "qn", "cn"), 9).alias("_ord"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("_ord"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .drop("_ord")
+    )

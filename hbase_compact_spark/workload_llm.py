@@ -736,6 +736,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("ann_pq")  # rows-only: quantized-scan candidates; recall vs
+# the exact baseline is asserted in tests/test_llm.py
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via product quantization + ADC scan + exact
+    rerank (see functions/similarity.pq_topk): the memory-bound 100 TB
+    path — each corpus vector is searched through 8 four-bit codes
+    instead of 64 floats."""
+    from hbase_compact_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ======================================================== multimodal
 @query(
     "multimodal_meta",
@@ -1187,8 +1201,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.array_distinct("sh")).alias("s"))
         .distinct()
     )
-    tr = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    tr = (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+        # materialized once for its two consumers (totals + overlap) —
+        # without the barrier the shingle pipeline evaluates twice
+        .localCheckpoint(eager=False)
     )
     tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ov = (

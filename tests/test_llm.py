@@ -439,3 +439,37 @@ def test_repetition_ratio_detects_repeats(spark, tmp_path):
            llm.repetition_ratio(spark, d).collect()}
     assert out[0] > 0.97  # 48 identical trigrams
     assert out[1] == 0.0
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ+ADC with exact rerank: the ADC candidate pool then a
+    true-cosine rerank should recover most of the exact top-10 even on
+    isotropic fixtures — the hardest case for quantized ordering."""
+    sf = "/root/testdata/sf0.001"
+    exact = llm.similarity_topk(spark, sf)
+    approx = llm.ann_pq(spark, sf)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_codes_compact_and_deterministic(spark):
+    from hbase_compact_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebook,
+        pq_encode,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cb = pq_codebook(emb, iters=1)
+    assert cb.count() == PQ_M * PQ_K
+    enc1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    enc2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    assert enc1 == enc2  # seedless training/encoding is reproducible
+    assert all(len(c) == PQ_M for c in enc1.values())
+    assert all(0 <= x < PQ_K for c in enc1.values() for x in c)
+

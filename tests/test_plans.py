@@ -91,3 +91,43 @@ def test_embedding_dedup_has_no_broadcast_of_corpus(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "BroadcastExchange" not in p
     assert "CartesianProduct" not in p
+
+
+def test_contamination_eval_index_broadcasts(spark):
+    """The eval shingle index must broadcast-join against the train
+    side — a shuffle on raw shingle strings would move the whole
+    corpus's shingles at scale."""
+    p = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_is_generate_no_shuffle(spark):
+    """Native unpivot = one Generate over the scan; a shuffle here
+    would move 4x the table for a purely row-local melt."""
+    p = _plan(spark, "unpivot_long")
+    assert "Expand" in p or "Generate" in p
+    assert "Exchange" not in p
+
+
+def test_date_funcs_single_scan_no_exchange(spark):
+    p = _plan(spark, "date_funcs")
+    assert "Exchange" not in p
+    assert "*(1)" in p  # whole-stage-codegen'd scan+project
+
+
+def test_window_ntile_reduces_before_global_window(spark):
+    """The global-order window must run over per-customer aggregates
+    (cardinality = customers), never over raw orders."""
+    p = _plan(spark, "window_ntile")
+    # aggregation happens below the single-partition window exchange
+    assert p.index("HashAggregate") > p.index("Window") or p.count(
+        "HashAggregate"
+    ) >= 2
+    assert "Exchange SinglePartition" in p
+
+
+def test_stats_moments_two_phase_agg(spark):
+    p = _plan(spark, "stats_moments")
+    assert p.count("HashAggregate") >= 2  # partial + final moments
