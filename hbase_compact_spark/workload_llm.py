@@ -1116,6 +1116,76 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language mixture for corpus_mix (sums to 1). The binding
+# language (least over-supplied vs its share) is kept whole; every
+# other language is hash-downsampled toward the target proportions.
+MIX_TARGET = {"en": 0.30, "zh": 0.20, "es": 0.20, "de": 0.15, "fr": 0.15}
+
+_MIX_SHARES_D = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET.items())
+
+
+@query(
+    "corpus_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY lang
+    ),
+    shares(lang, share_d) AS (VALUES {_MIX_SHARES_D}),
+    j AS (
+      SELECT c.lang, n, CAST(share_d AS DOUBLE) AS share
+      FROM counts c JOIN shares s USING (lang)
+    ),
+    r AS (
+      SELECT lang,
+             CAST(least(1000, floor(
+               1000 * (SELECT min(n / share) FROM j) * share / n
+             )) AS BIGINT) AS rate_permille
+      FROM j
+    )
+    SELECT d.doc_id, d.lang, r.rate_permille
+    FROM documents d JOIN r USING (lang)
+    WHERE {TX.hash60_duck("text")} % 1000 < rate_permille
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: compute per-language keep rates so
+    the sampled corpus matches a target mixture (the binding language
+    — least over-supplied relative to its share — survives whole, all
+    others downsample proportionally), then keep documents via the
+    same deterministic content-hash per-mille buckets corpus_sample
+    uses. Rates derive from a per-language count aggregate (tiny) and
+    broadcast back over one corpus scan — two passes total, no RNG,
+    reproducible under any partitioning. The standard pretraining
+    recipe for re-weighting source domains without duplicating data."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    shares = spark.createDataFrame(
+        list(MIX_TARGET.items()), "lang string, share double"
+    )
+    j = counts.join(shares, "lang")
+    w_all = Window.partitionBy()
+    rates = (
+        j.withColumn("scale", F.min(F.col("n") / F.col("share")).over(w_all))
+        .withColumn(
+            "rate_permille",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.floor(1000 * F.col("scale") * F.col("share") / F.col("n")),
+            ),
+        )
+        .select("lang", "rate_permille")
+    )
+    return (
+        docs.withColumn("bucket", F.expr(f"{TX.hash60_sql('text')} % 1000"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_permille"))
+        .select("doc_id", "lang", "rate_permille")
+    )
+
+
 @query(
     "repetition_ratio",
     oracle=r"""

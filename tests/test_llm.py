@@ -473,3 +473,16 @@ def test_pq_codes_compact_and_deterministic(spark):
     assert all(len(c) == PQ_M for c in enc1.values())
     assert all(0 <= x < PQ_K for c in enc1.values() for x in c)
 
+
+
+def test_corpus_mix_hits_target_mixture(spark):
+    """The rebalanced corpus's language proportions must sit near the
+    declared target mixture (hash-sampling granularity is 1/1000)."""
+    from collections import Counter
+
+    kept = llm.corpus_mix(spark, "/root/testdata/sf0.01").collect()
+    n = len(kept)
+    got = Counter(r["lang"] for r in kept)
+    assert set(got) == set(llm.MIX_TARGET)
+    for lang, share in llm.MIX_TARGET.items():
+        assert abs(got[lang] / n - share) < 0.06, (lang, got[lang] / n)

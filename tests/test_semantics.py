@@ -41,3 +41,70 @@ def test_inventory_file_names_unique_per_group(spark):
     assert (
         inv.select("table_name", "region", "family", "file").distinct().count() == n
     )
+
+
+# ---------------------------------------------------- skew mitigation
+def test_salted_join_equals_plain_join(spark):
+    from hbase_compact_spark.operators.skew import salted_join
+    from hbase_compact_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_partkey"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, ["l_orderkey"])
+    salted = salted_join(li, orders, ["l_orderkey"], salt=4)
+    assert salted.count() == plain.count()
+    p = plain.agg(
+        F.sum("l_quantity"), F.sum("o_totalprice"), F.sum("l_partkey")
+    ).collect()[0]
+    s = salted.agg(
+        F.sum("l_quantity"), F.sum("o_totalprice"), F.sum("l_partkey")
+    ).collect()[0]
+    assert tuple(p) == tuple(s)
+    assert sorted(salted.columns) == sorted(plain.columns)
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    from hbase_compact_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1, 10.0), (1, 11.0)], "k int, w double")
+    out = salted_join(left, right, ["k"], salt=3, how="left").collect()
+    assert len(out) == 4  # k=1 matches twice, k=2/k=3 survive unmatched
+    assert {r["k"] for r in out if r["w"] is None} == {2, 3}
+
+
+def test_salted_groupby_agg_equals_plain(spark):
+    from hbase_compact_spark.operators.skew import salted_groupby_agg
+    from hbase_compact_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["n"], r["qty"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["qty"], r["mx"])
+        for r in salted_groupby_agg(
+            li,
+            ["l_returnflag"],
+            {"n": "count(*)", "qty": "sum(l_quantity)", "mx": "max(l_extendedprice)"},
+            salt=8,
+        ).collect()
+    }
+    assert plain == salted
