@@ -1116,6 +1116,40 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT len(regexp_extract_all(text, '\S+')) AS nt FROM documents
+    )
+    SELECT CAST(CASE WHEN nt >= 400 THEN 21 ELSE nt // 20 + 1 END AS BIGINT)
+             AS bin,
+           count(*) AS n_docs,
+           CAST(min(nt) AS BIGINT) AS min_tokens,
+           CAST(max(nt) AS BIGINT) AS max_tokens
+    FROM t
+    GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram over fixed-width token-count bins
+    (width_bucket) — the length-distribution report every pretraining
+    ingest runs before choosing packing budgets and truncation
+    policies. One scan + one tiny aggregation (20 bins), whatever the
+    corpus size."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    n = F.size("toks")
+    return (
+        docs.select(F.width_bucket(n, F.lit(0), F.lit(400), F.lit(20)).alias("bin"), n.alias("nt"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nt").cast("long").alias("min_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 # Target language mixture for corpus_mix (sums to 1). The binding
 # language (least over-supplied vs its share) is kept whole; every
 # other language is hash-downsampled toward the target proportions.
