@@ -4,8 +4,11 @@ Images/audio/video ride through the engine as opaque `binary` columns
 plus typed metadata. The Spark-side mechanics are fully real — schema,
 Arrow-batched `mapInPandas`, partition-preserving flow. Formats whose
 container is header + raw samples are decoded FOR REAL with
-numpy-only parsers (BMP 24/32-bit BI_RGB, WAV PCM 8/16-bit);
-compressed codecs (PNG/JPEG/MP3/H.264) genuinely need external
+numpy-only parsers (BMP 24/32-bit BI_RGB, WAV PCM 8/16-bit), and PNG
+(8-bit RGB/RGBA, non-interlaced) decodes for real too — its only
+compression is DEFLATE, which the stdlib `zlib` provides; the filter
+reconstruction (None/Sub/Up/Average/Paeth) is implemented here in
+numpy. Entropy-coded codecs (JPEG/MP3/H.264) genuinely need external
 libraries the environment doesn't ship, so `decode_image` on those
 raises NotImplementedError and the deterministic byte-level
 extractors keep the pipeline end-to-end testable.
@@ -15,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -115,17 +119,137 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
+# --------------------------------------------------------- PNG codec
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG into an (H, W, 3)
+    uint8 RGB array — stdlib zlib for the DEFLATE stream, numpy for
+    the per-row filter reconstruction (filters 0-4: None, Sub, Up,
+    Average, Paeth per the PNG spec §9). No imaging library. Raises
+    ValueError on anything outside that profile."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * ch
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth depend on the pixel ch bytes left
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur
+        prev = out[y]
+    px = out.reshape(height, width, ch)
+    return np.ascontiguousarray(px[:, :, :3])  # drop alpha if present
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    — the test/e2e twin of decode_png. `filter_type` picks the
+    per-row filter (0=None default; 1/2/3/4 exercise the decoder's
+    Sub/Up/Average/Paeth reconstruction paths)."""
+    h, w, _ = rgb.shape
+    img = rgb.astype(np.int32)
+    lines = []
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = img[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            filt = (row - left) & 0xFF
+        elif filter_type == 2:  # Up
+            filt = (row - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
+            filt = (row - (left + prev) // 2) & 0xFF
+        elif filter_type == 4:  # Paeth
+            filt = np.zeros_like(row)
+            for x in range(w):
+                for k in range(3):
+                    a = int(row[x - 1, k]) if x else 0
+                    b = int(prev[x, k])
+                    c = int(prev[x - 1, k]) if x else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    filt[x, k] = (row[x, k] - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. BMP decodes for real (decode_bmp);
-    compressed formats (PNG/JPEG/...) require codec libraries the
-    environment doesn't ship and raise — clearly-marked boundary, the
-    surrounding Spark plumbing (binary column -> Arrow batch ->
-    per-batch decode) is identical either way."""
+    """Decode an image payload by container sniffing. BMP and PNG
+    decode for real (decode_bmp / decode_png — PNG's DEFLATE comes
+    from stdlib zlib); entropy-coded formats (JPEG/WebP/...) require
+    codec libraries the environment doesn't ship and raise — a
+    clearly-marked boundary, the surrounding Spark plumbing (binary
+    column -> Arrow batch -> per-batch decode) is identical either
+    way."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decodes without an imaging library; "
-        "PNG/JPEG need codecs not present in this environment"
+        "only BMP and PNG decode without an imaging library; "
+        "JPEG/WebP need entropy codecs not present in this environment"
     )
 
 
@@ -209,6 +333,33 @@ def with_bmp_payload(df: DataFrame, side: int = 16) -> DataFrame:
     )
 
 
+def with_image_payload(df: DataFrame, side: int = 16) -> DataFrame:
+    """Attach a synthetic image payload in a MIXED container format —
+    even doc_ids get 24-bit BMP, odd doc_ids get 8-bit truecolor PNG
+    (filter type rotating over doc_id % 5 so every PNG reconstruction
+    path — None/Sub/Up/Average/Paeth — is exercised in the pipeline,
+    not just in unit tests). Same deterministic pixels either way, so
+    downstream features depend only on content, not container."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                rgb = np.frombuffer(
+                    _det_bytes(f"img:{t}", side * side * 3), dtype=np.uint8
+                ).reshape(side, side, 3)
+                if doc_id % 2 == 0:
+                    payloads.append(encode_bmp(rgb))
+                else:
+                    payloads.append(encode_png(rgb, filter_type=int(doc_id % 5)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id", "text").mapInPandas(
+        attach, schema="doc_id long, payload binary"
+    )
+
+
 def with_wav_payload(df: DataFrame, n_samples: int = 1024) -> DataFrame:
     """Attach a synthetic 16-bit PCM mono WAV payload derived
     deterministically from each row's text."""
@@ -233,27 +384,29 @@ def with_wav_payload(df: DataFrame, n_samples: int = 1024) -> DataFrame:
 
 
 IMAGE_FEATURES_SCHEMA = (
-    "doc_id long, width long, height long, mean_r double, mean_g double, "
-    "mean_b double, img_md5 string"
+    "doc_id long, container string, width long, height long, mean_r double, "
+    "mean_g double, mean_b double, img_md5 string"
 )
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
-    """Decoded-image features through the real BMP parser: dimensions,
-    per-channel means, pixel digest. Arrow-batched mapInPandas over
-    the binary column — the exact plumbing a PIL/libvips decoder
-    would slot into."""
+    """Decoded-image features through the real parsers (BMP + PNG via
+    container sniffing): dimensions, per-channel means, pixel digest.
+    Arrow-batched mapInPandas over the binary column — the exact
+    plumbing a PIL/libvips decoder would slot into."""
     ensure_package_on_executors(df.sparkSession)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_bmp(bytes(payload))
+                raw = bytes(payload)
+                img = decode_image(raw)
                 means = img.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
                         doc_id,
+                        "png" if raw[:8] == PNG_SIG else "bmp",
                         img.shape[1],
                         img.shape[0],
                         round(float(means[0]), 6),
@@ -265,7 +418,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "width", "height",
+                    "doc_id", "container", "width", "height",
                     "mean_r", "mean_g", "mean_b", "img_md5",
                 ],
             )

@@ -27,7 +27,7 @@ from hbase_compact_spark.functions.multimodal import (
     extract_image_features,
     extract_payload_meta,
     with_binary_payload,
-    with_bmp_payload,
+    with_image_payload,
     with_wav_payload,
 )
 from hbase_compact_spark.functions.similarity import (
@@ -914,15 +914,17 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("multimodal_image_decode")  # rows-only: decoded-pixel features
-# (BMP container synthesized per doc; codec correctness is pytest's
-# encode->decode round-trip, determinism asserted there too)
+# (BMP/PNG containers synthesized per doc; codec correctness is
+# pytest's encode->decode round-trips, determinism asserted there too)
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode path: per-document synthetic 24-bit BMP
-    container bytes -> numpy BMP parser -> dimensions + per-channel
-    means + pixel digest. No codec library involved; PNG/JPEG would
-    slot into the identical mapInPandas plumbing."""
+    """REAL image decode path over MIXED containers: even docs carry
+    24-bit BMP, odd docs 8-bit truecolor PNG (stdlib-zlib DEFLATE +
+    numpy filter reconstruction, rotating through all five PNG row
+    filters) -> container sniff -> dimensions + per-channel means +
+    pixel digest. No imaging library involved; JPEG would slot into
+    the identical mapInPandas plumbing behind an entropy codec."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_image_features(with_bmp_payload(docs))
+    return extract_image_features(with_image_payload(docs))
 
 
 @query("multimodal_audio_decode")  # rows-only: decoded-sample features

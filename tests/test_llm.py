@@ -126,8 +126,9 @@ def test_ivf_recall_dial(spark):
 
 
 def test_multimodal_stub_contract(spark, planted_dir):
+    # entropy-coded formats (JPEG here) stay an honest stub boundary
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi")
     frames = sample_frames(b"x" * 2500, every_n=1000)
     assert len(frames) == 3 and frames == sample_frames(b"x" * 2500, every_n=1000)
 
@@ -339,15 +340,73 @@ def test_wav_codec_roundtrip_exact():
         decode_wav(b"RIFFxxxxNOPE")
 
 
-def test_decode_image_dispatches_bmp_and_rejects_compressed():
+def test_png_codec_roundtrip_all_filters():
+    """decode(encode(img)) must be bit-exact for every PNG row-filter
+    type (None/Sub/Up/Average/Paeth) and odd sizes."""
     import numpy as np
 
-    from hbase_compact_spark.functions.multimodal import decode_image, encode_bmp
+    from hbase_compact_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    for ft in range(5):
+        for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_png(encode_png(img, filter_type=ft))
+            assert out.shape == (h, w, 3), (ft, h, w)
+            assert (out == img).all(), (ft, h, w)
+    with pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+
+
+def test_png_decoder_handles_rgba_and_rejects_exotic():
+    """Colortype 6 (RGBA) decodes with alpha dropped; interlaced or
+    16-bit profiles raise ValueError rather than mis-decoding."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from hbase_compact_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(14)
+    h, w = 4, 3
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    payload = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == rgba[:, :, :3]).all()
+    interlaced = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(interlaced)
+
+
+def test_decode_image_dispatches_by_container_and_rejects_compressed():
+    import numpy as np
+
+    from hbase_compact_spark.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     assert (decode_image(encode_bmp(img)) == img).all()
+    assert (decode_image(encode_png(img)) == img).all()
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg soi")
 
 
 def test_multimodal_decode_queries_deterministic_and_correct(spark, planted_dir):
@@ -370,12 +429,18 @@ def test_multimodal_decode_queries_deterministic_and_correct(spark, planted_dir)
         k: v["img_md5"] for k, v in out2.items()
     }
     docs = {r["doc_id"]: r["text"] for r in load_table(spark, planted_dir, "documents").collect()}
-    # independently recompute doc 0's features from the generator spec
-    raw = np.frombuffer(_det_bytes(f"bmp:{docs[0]}", 16 * 16 * 3), dtype=np.uint8)
-    img = raw.reshape(16, 16, 3)
-    assert out1[0]["width"] == 16 and out1[0]["height"] == 16
-    assert out1[0]["img_md5"] == _hl.md5(img.tobytes()).hexdigest()
-    assert abs(out1[0]["mean_r"] - round(float(img[:, :, 0].mean()), 6)) < 1e-9
+    # independently recompute features from the generator spec: doc 0
+    # rides a BMP container, doc 1 a PNG — identical pixel derivation
+    for doc_id, container in [(0, "bmp"), (1, "png")]:
+        raw = np.frombuffer(
+            _det_bytes(f"img:{docs[doc_id]}", 16 * 16 * 3), dtype=np.uint8
+        )
+        img = raw.reshape(16, 16, 3)
+        row = out1[doc_id]
+        assert row["container"] == container
+        assert row["width"] == 16 and row["height"] == 16
+        assert row["img_md5"] == _hl.md5(img.tobytes()).hexdigest()
+        assert abs(row["mean_r"] - round(float(img[:, :, 0].mean()), 6)) < 1e-9
 
     audio = {r["doc_id"]: r for r in llm.multimodal_audio_decode(spark, planted_dir).collect()}
     rate, samples = decode_wav(
