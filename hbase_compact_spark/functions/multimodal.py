@@ -154,33 +154,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = width * ch
     rows = raw.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    out = np.zeros((height, width, ch), dtype=np.int32)
+    prev = np.zeros((width, ch), dtype=np.int32)
     for y in range(height):
-        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32).reshape(width, ch)
         if ftype == 0:
             cur = line
+        elif ftype == 1:  # Sub: per-lane running sum mod 256
+            cur = np.cumsum(line, axis=0) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth depend on the pixel ch bytes left
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+        elif ftype in (3, 4):  # Average/Paeth: sequential in x,
+            cur = np.zeros_like(line)  # vectorized across channels
+            for x in range(width):
+                a = cur[x - 1] if x else np.zeros(ch, np.int32)
+                b = prev[x]
+                if ftype == 3:
                     pred = (a + b) // 2
-                elif ftype == 4:
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
+                    c = prev[x - 1] if x else np.zeros(ch, np.int32)
+                    pa = np.abs(b - c)
+                    pb = np.abs(a - c)
+                    pc = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
                 cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
-        prev = out[y]
-    px = out.reshape(height, width, ch)
+        prev = cur
+    px = out.astype(np.uint8)
     return np.ascontiguousarray(px[:, :, :3])  # drop alpha if present
 
 
@@ -198,34 +203,34 @@ def encode_png(rgb: np.ndarray, *, filter_type: int = 0) -> bytes:
     Sub/Up/Average/Paeth reconstruction paths)."""
     h, w, _ = rgb.shape
     img = rgb.astype(np.int32)
-    lines = []
-    prev = np.zeros((w, 3), dtype=np.int32)
-    for y in range(h):
-        row = img[y]
-        if filter_type == 0:
-            filt = row
-        elif filter_type == 1:  # Sub
-            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
-            filt = (row - left) & 0xFF
-        elif filter_type == 2:  # Up
-            filt = (row - prev) & 0xFF
-        elif filter_type == 3:  # Average
-            left = np.vstack([np.zeros((1, 3), np.int32), row[:-1]])
-            filt = (row - (left + prev) // 2) & 0xFF
-        elif filter_type == 4:  # Paeth
-            filt = np.zeros_like(row)
-            for x in range(w):
-                for k in range(3):
-                    a = int(row[x - 1, k]) if x else 0
-                    b = int(prev[x, k])
-                    c = int(prev[x - 1, k]) if x else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    filt[x, k] = (row[x, k] - pred) & 0xFF
-        else:
-            raise ValueError(f"bad filter_type {filter_type}")
-        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
-        prev = row
+    # filtering predicts from ORIGINAL neighbor bytes, so every filter
+    # vectorizes over the whole image: left/up/up-left shifted views
+    left = np.zeros_like(img)
+    left[:, 1:] = img[:, :-1]
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]
+    upleft = np.zeros_like(img)
+    upleft[1:, 1:] = img[:-1, :-1]
+    if filter_type == 0:
+        filt = img
+    elif filter_type == 1:  # Sub
+        filt = (img - left) & 0xFF
+    elif filter_type == 2:  # Up
+        filt = (img - up) & 0xFF
+    elif filter_type == 3:  # Average
+        filt = (img - (left + up) // 2) & 0xFF
+    elif filter_type == 4:  # Paeth
+        pa = np.abs(up - upleft)
+        pb = np.abs(left - upleft)
+        pc = np.abs(left + up - 2 * upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filt = (img - pred) & 0xFF
+    else:
+        raise ValueError(f"bad filter_type {filter_type}")
+    fb = filt.astype(np.uint8).reshape(h, w * 3)
+    lines = [bytes([filter_type]) + fb[y].tobytes() for y in range(h)]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         PNG_SIG

@@ -1487,3 +1487,208 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+# ============================================ chunking / scrub / LM
+@query(
+    "doc_chunk",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+             len(regexp_extract_all(text, '\S+')) AS nt
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, nt,
+             unnest(generate_series(0, nt - 1, 48)) AS start
+      FROM t WHERE nt >= 1
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           CAST(least(64, nt - start) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 64 tokens, stride 48
+    => 16-token overlap) — the RAG-ingest / context-packing primitive.
+    One scan, per-row array math, a generator explode, zero shuffles:
+    chunking 100 TB is exactly as parallel as reading it.
+
+    Reference analogy: the per-region positional iteration of
+    QHBaseCompact.java:150-168 applied inside each document."""
+    win, stride = 64, 48
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    nt = F.size("toks")
+    starts = docs.where(nt >= 1).select(
+        "doc_id",
+        "toks",
+        nt.alias("nt"),
+        F.explode(F.sequence(F.lit(0), nt - 1, F.lit(stride))).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, win)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(win), F.col("nt") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# Terms a corpus-hygiene pass refuses to train on. 'slow' and 'big'
+# appear in the fixture vocabulary so the filter is non-vacuous; the
+# others exercise the miss path.
+BLOCKLIST = ("slow", "big", "casino", "lottery")
+
+
+@query(
+    "blocklist_filter",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(list_intersect(list_distinct(regexp_extract_all(text, '\\S+')),
+                {list(BLOCKLIST)!r})) AS BIGINT) AS n_blocked,
+           len(list_intersect(list_distinct(regexp_extract_all(text, '\\S+')),
+                {list(BLOCKLIST)!r})) = 0 AS keep
+    FROM documents
+    """,
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening: count distinct blocked terms per document
+    and flag survivors. The blocklist is a literal array column —
+    `array_intersect` runs inside codegen per row, so there is no
+    explode, no join, and no shuffle; at 100 TB this is a pure scan.
+    (A million-term blocklist would instead broadcast-semi-join the
+    exploded token index — same output contract.)"""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"),
+            F.array(*[F.lit(t) for t in BLOCKLIST]),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.cast("long").alias("n_blocked"),
+        (hits == 0).alias("keep"),
+    )
+
+
+# PII patterns: conservative syntax that means the same thing to both
+# Java regex (Spark) and RE2 (DuckDB).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "pii_scrub",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') || ' now'
+               AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM t
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-match emails/phone numbers, count the
+    hits, and emit a digest of the scrubbed text. The fixture corpus
+    carries no real PII, so a deterministic synthetic contact line is
+    appended per document first — the scrub logic (and its oracle
+    twin) then operates on genuinely matching text rather than
+    vacuously counting zero. Pure per-row regex inside codegen: one
+    scan, no shuffle, trivially 100 TB-parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text2, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text2, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text2, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "ngram_lm_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT bg, count(*) AS c FROM b GROUP BY bg),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CAST(c AS DOUBLE) / s)), 4) AS avg_logp
+    FROM b JOIN cnt USING (bg) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring: each document's
+    mean log-probability under the corpus's own bigram frequency
+    distribution — the classic cheap fluency/outlier signal (gibberish
+    and boilerplate both sit far from the corpus mean).
+
+    Scale shape: one explode of per-doc bigrams feeds (a) a grouped
+    count — the "trained model", vocabulary-bounded, and (b) an
+    equi-join back against that model. The model side is tiny after
+    aggregation, so AQE turns the join broadcast; the normalizing
+    constant is a single-row crossJoin broadcast. No all-pairs
+    anything; 100 TB just widens the two map sides."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    bigrams = docs.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("s"))
+    return (
+        bigrams.join(counts, "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c").cast("double") / F.col("s"))), 4)
+            .alias("avg_logp"),
+        )
+    )

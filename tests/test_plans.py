@@ -131,3 +131,31 @@ def test_window_ntile_reduces_before_global_window(spark):
 def test_stats_moments_two_phase_agg(spark):
     p = _plan(spark, "stats_moments")
     assert p.count("HashAggregate") >= 2  # partial + final moments
+
+
+def test_doc_chunk_zero_shuffle(spark):
+    """Chunking is row-local: scan -> sequence explode -> slice. Any
+    Exchange here would shuffle the full corpus for per-row work."""
+    p = _plan(spark, "doc_chunk")
+    assert "Generate" in p
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_blocklist_and_pii_scrub_are_pure_scans(spark):
+    """Literal-array intersect / regex redaction run inside codegen
+    over one scan — no explode, no join, no shuffle."""
+    for name in ("blocklist_filter", "pii_scrub"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
+        assert "*(1)" in p, name  # whole-stage-codegen'd scan
+
+
+def test_ngram_lm_model_join_broadcasts(spark):
+    """The trained bigram table is aggregation-bounded; joining it
+    back to doc bigrams must broadcast, not sort-merge the corpus."""
+    p = _plan(spark, "ngram_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
