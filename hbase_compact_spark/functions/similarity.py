@@ -149,52 +149,123 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
     return spark.createDataFrame(cent_rows, "list_id int, cv array<double>")
 
 
+def _cent_rows(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the (bounded, k x dims) centroid table into sorted
+    (list_id, vector) rows — the only thing that ever leaves Spark."""
+    return sorted(
+        (int(r["list_id"]), [float(x) for x in r["cv"]])
+        for r in cent_df.collect()
+    )
+
+
+def _assign_lists_pandas(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    cents: list[tuple[int, list[float]]],
+    n: int,
+) -> DataFrame:
+    """Top-n nearest-centroid assignment via Arrow-batched numpy: one
+    (batch x dims) @ (dims x k) BLAS matmul per batch, stable argsort
+    so score ties break to the LOWER list_id (cents arrive sorted).
+    The centroid matrix (k x dims, bounded) ships inside the task
+    closure — no join, no window, no shuffle; assignment cost is a
+    corpus scan. This is the documented 100 TB shape: the r1 version
+    crossJoined a broadcast centroid table and ranked with a window,
+    shuffling the corpus once per assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    ids = np.array([lid for lid, _ in cents], dtype=np.int32)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]])
+            order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :n]
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias].to_numpy().repeat(n),
+                    vec_alias: [v for v in pdf[vec_alias] for _ in range(n)],
+                    "list_id": ids[order].ravel(),
+                }
+            )
+
+    vec = df.select(
+        F.col("vec_id").alias(id_alias),
+        as_double_array("embedding").alias(vec_alias),
+    )
+    return vec.mapInPandas(
+        run, schema=f"{id_alias} long, {vec_alias} array<double>, list_id int"
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame, cent_df: DataFrame, iters: int
 ) -> DataFrame:
     """Lloyd's iterations on top of an initial centroid table, fully
-    distributed: each iteration is one broadcast nearest-centroid
-    assignment (max dot, the same rule ivf_topk searches with) plus
-    one posexplode + grouped-avg re-estimation; only the k x dims
-    result is collected per iteration. Empty lists keep their previous
-    centroid so k is stable. At extreme corpus scale the assignment
-    join would move to an Arrow/BLAS mapInPandas; the plan shape
-    (broadcast join + single shuffle per iteration) is already the
-    100 TB one."""
+    distributed with the classic partial-aggregation shape: each
+    iteration is ONE shuffle-free mapInPandas pass that both assigns
+    every vector (BLAS matmul against the bounded centroid matrix)
+    and emits per-partition (list_id, count, sum-vector) partials —
+    k rows per partition — which the driver merges into new means.
+    Nothing corpus-sized moves; an iteration costs exactly one corpus
+    scan. Empty lists keep their previous centroid so k is stable."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
     spark = corpus.sparkSession
-    vec = corpus.select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    prev: dict[int, list[float]] | None = None
+    ensure_package_on_executors(spark)
+    vec = corpus.select(as_double_array("embedding").alias("v"))
+    prev = dict(_cent_rows(cent_df))
+    k = len(prev)
     for _ in range(iters):
-        scored = vec.crossJoin(F.broadcast(cent_df)).withColumn(
-            "d", dot("v", "cv")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("list_id"))
-        best = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("list_id", "v")
-        )
-        rows = (
-            best.select("list_id", F.posexplode("v"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )  # bounded: k * dims rows
-        new: dict[int, dict[int, float]] = {}
+        cents = sorted(prev.items())
+        C = np.array([cv for _, cv in cents], dtype=np.float64)
+        dims = C.shape[1]
+
+        def partials(batches, C=C, k=k, dims=dims):
+            sums = np.zeros((k, dims), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                # stable argmax -> ties to the lower centroid index
+                a = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, 0]
+                np.add.at(sums, a, V)
+                np.add.at(cnts, a, 1)
+            yield pd.DataFrame(
+                {
+                    "ci": np.arange(k, dtype=np.int32),
+                    "cnt": cnts,
+                    "s": [row.tolist() for row in sums],
+                }
+            )
+
+        rows = vec.mapInPandas(
+            partials, schema="ci int, cnt long, s array<double>"
+        ).collect()  # bounded: k rows per partition
+        sums = np.zeros((k, dims), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
         for r in rows:
-            new.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(r["m"])
-        if prev is None:  # collect the initial table once, not per iter
-            prev = {int(r["list_id"]): list(r["cv"]) for r in cent_df.collect()}
+            sums[r["ci"]] += np.asarray(r["s"])
+            cnts[r["ci"]] += r["cnt"]
         prev = {
-            lid: [new[lid][p] for p in sorted(new[lid])] if lid in new else v
-            for lid, v in sorted(prev.items())
+            lid: (sums[i] / cnts[i]).tolist() if cnts[i] else cv
+            for i, (lid, cv) in enumerate(cents)
         }
-        cent_df = spark.createDataFrame(
-            sorted(prev.items()), "list_id int, cv array<double>"
-        )
-    return cent_df
+    return spark.createDataFrame(
+        sorted(prev.items()), "list_id int, cv array<double>"
+    )
 
 
 def ivf_topk(
@@ -229,25 +300,12 @@ def ivf_topk(
     cent_df = label_centroids(corpus)
     if refine_iters:
         cent_df = kmeans_refine(corpus, cent_df, refine_iters)
+    cents = _cent_rows(cent_df)
 
-    def nearest_lists(df: DataFrame, id_alias: str, vec_alias: str, n: int):
-        scored = (
-            df.select(
-                F.col("vec_id").alias(id_alias),
-                as_double_array("embedding").alias(vec_alias),
-            )
-            .crossJoin(F.broadcast(cent_df))
-            .withColumn("d", dot(vec_alias, "cv"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("d"), F.asc("list_id"))
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") <= n)
-            .select(id_alias, vec_alias, "list_id")
-        )
-
-    c = nearest_lists(corpus, "vec_id", "cv2", 1).withColumn("cn", norm("cv2"))
-    q = nearest_lists(queries, "query_id", "qv", n_probe).withColumn(
+    c = _assign_lists_pandas(corpus, "vec_id", "cv2", cents, 1).withColumn(
+        "cn", norm("cv2")
+    )
+    q = _assign_lists_pandas(queries, "query_id", "qv", cents, n_probe).withColumn(
         "qn", norm("qv")
     )
     cand = (
@@ -496,88 +554,139 @@ def _subvectors(df: DataFrame, id_col: str, dims: int) -> DataFrame:
     ).select(id_col, F.col("s.sub_id").alias("sub_id"), F.col("s.sv").alias("sv"))
 
 
+def _unit_subvecs(pdf, np):
+    """(b, PQ_M, dsub) unit-normalized subvector tensor for a batch."""
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["dv"]])
+    nrm = np.sqrt((V * V).sum(axis=1, keepdims=True))
+    U = V / np.where(nrm == 0, 1.0, nrm)
+    return U.reshape(len(U), PQ_M, -1)
+
+
+def _pq_assign(S, C, np):
+    """Stable nearest-centroid codes per (row, subspace): (b, PQ_M)
+    int array; L2 ties break to the lower code."""
+    d = ((S[:, :, None, :] - C[None]) ** 2).sum(axis=-1)  # (b, M, K)
+    return np.argsort(d, axis=2, kind="stable")[:, :, 0]
+
+
 def pq_codebook(
     corpus: DataFrame, dims: int = 64, iters: int = 2
 ) -> DataFrame:
     """Train the PQ codebook — PQ_K centroids in each of the PQ_M
-    subspaces — with distributed Lloyd's iterations, ALL subspaces in
-    the same frame (one broadcast assignment join + one grouped-avg
-    re-estimation per iteration covers every subspace at once). Only
-    the PQ_M x PQ_K x dsub codebook (~1k doubles) is ever collected.
-    Initial assignment is a deterministic hash split of the ids, so
-    training is seedless and reproducible."""
+    subspaces — with distributed Lloyd's iterations in the
+    partial-aggregation shape: every pass is ONE shuffle-free
+    Arrow/numpy mapInPandas scan that assigns all subspaces (one
+    batched tensor distance per batch) and emits per-partition
+    (sub, code, count, sum) partials — PQ_M x PQ_K rows per
+    partition — merged driver-side into new centroids. Only the
+    PQ_M x PQ_K x dsub codebook (~1k doubles) ever leaves the
+    executors. Initial assignment is a deterministic hash split of
+    the ids (computed JVM-side with xxhash64), so training is
+    seedless and reproducible."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
     spark = corpus.sparkSession
+    ensure_package_on_executors(spark)
     dsub = dims // PQ_M
-    sub = _subvectors(corpus, "vec_id", dims).localCheckpoint(eager=False)
-    assign = sub.withColumn(
-        "code", F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int")
-    )
-    cb = None
-    prev: dict[tuple[int, int], list[float]] = {}
+    vec = corpus.select(
+        as_double_array("embedding").alias("dv"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(PQ_K)).cast("int").alias("code0"),
+    ).localCheckpoint(eager=False)
+    C = None  # (M, K, dsub) after the first estimation pass
     for _ in range(iters + 1):  # first pass estimates from hash init
-        rows = (
-            assign.select("sub_id", "code", F.posexplode("sv"))
-            .groupBy("sub_id", "code", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )  # bounded: PQ_M * PQ_K * dsub rows
-        cents: dict[tuple[int, int], dict[int, float]] = {}
+        Ccur = C
+
+        def partials(batches, C=Ccur):
+            sums = np.zeros((PQ_M, PQ_K, dsub))
+            cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                S = _unit_subvecs(pdf, np)
+                if C is None:  # hash init: same code for every subspace
+                    a = np.repeat(
+                        pdf["code0"].to_numpy()[:, None], PQ_M, axis=1
+                    )
+                else:
+                    a = _pq_assign(S, C, np)
+                m_idx = np.broadcast_to(
+                    np.arange(PQ_M)[None, :], a.shape
+                ).ravel()
+                np.add.at(sums, (m_idx, a.ravel()), S.reshape(-1, dsub))
+                np.add.at(cnts, (m_idx, a.ravel()), 1)
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(np.arange(PQ_M), PQ_K).astype("int32"),
+                    "c": np.tile(np.arange(PQ_K), PQ_M).astype("int32"),
+                    "cnt": cnts.ravel(),
+                    "s": [r.tolist() for r in sums.reshape(-1, dsub)],
+                }
+            )
+
+        rows = vec.mapInPandas(
+            partials, schema="m int, c int, cnt long, s array<double>"
+        ).collect()  # bounded: PQ_M * PQ_K rows per partition
+        sums = np.zeros((PQ_M, PQ_K, dsub))
+        cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
         for r in rows:
-            cents.setdefault((int(r["sub_id"]), int(r["code"])), {})[
-                int(r["pos"])
-            ] = float(r["m"])
+            sums[r["m"], r["c"]] += np.asarray(r["s"])
+            cnts[r["m"], r["c"]] += r["cnt"]
         # the codebook must stay a FULL PQ_M x PQ_K grid — ADC indexes
         # it flat as sub*PQ_K+code — so a cell that lost all its
         # members keeps its previous centroid (zeros before the first
         # estimate: far from unit-sphere data, it just stays empty)
-        grid = []
-        for s in range(PQ_M):
-            for c in range(PQ_K):
-                d = cents.get((s, c))
-                v = (
-                    [d[p] for p in sorted(d)]
-                    if d is not None
-                    else prev.get((s, c), [0.0] * dsub)
-                )
-                grid.append((s, c, v))
-        prev = {(s, c): v for s, c, v in grid}
-        cb = spark.createDataFrame(
-            grid, "sub_id int, code int, cv array<double>"
+        newC = np.where(
+            cnts[:, :, None] > 0,
+            sums / np.where(cnts == 0, 1, cnts)[:, :, None],
+            C if C is not None else np.zeros((PQ_M, PQ_K, dsub)),
         )
-        scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
-            "d", _l2("sv", "cv")
-        )
-        w = Window.partitionBy("vec_id", "sub_id").orderBy(
-            F.asc("d"), F.asc("code")
-        )
-        assign = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("vec_id", "sub_id", "sv", "code")
-        )
-    return cb
+        C = newC
+    return spark.createDataFrame(
+        [
+            (s, c, C[s, c].tolist())
+            for s in range(PQ_M)
+            for c in range(PQ_K)
+        ],
+        "sub_id int, code int, cv array<double>",
+    )
 
 
 def pq_encode(corpus: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
     """(vec_id, codes): each vector's PQ_M nearest-centroid codes —
     PQ_M small ints replace dims floats (here 8 bytes for a 64-dim
-    vector, a 32x compression of the search structure)."""
-    sub = _subvectors(corpus, "vec_id", dims)
-    scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
-        "d", _l2("sv", "cv")
-    )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(F.asc("d"), F.asc("code"))
-    best = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "sub_id", "code")
-    )
-    return best.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub_id, code))), "
-            "s -> s.code)"
-        ).alias("codes")
-    )
+    vector, a 32x compression of the search structure). One
+    shuffle-free Arrow/numpy scan against the bounded codebook (the
+    r2.0 version broadcast-joined subvectors and ranked a window —
+    two shuffles for a per-row computation)."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    C = np.zeros((PQ_M, PQ_K, dims // PQ_M))
+    for r in cb.collect():
+        C[int(r["sub_id"]), int(r["code"])] = np.asarray(r["cv"])
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            S = _unit_subvecs(pdf, np)
+            a = _pq_assign(S, C, np)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [row.astype(int).tolist() for row in a],
+                }
+            )
+
+    return corpus.select(
+        "vec_id", as_double_array("embedding").alias("dv")
+    ).mapInPandas(encode, schema="vec_id long, codes array<int>")
 
 
 def pq_topk(
