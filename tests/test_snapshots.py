@@ -1,0 +1,136 @@
+"""Snapshot log (compaction/snapshots.py): versioned atomic commits,
+append-only compaction, time travel, and expiry — readers can never
+observe a mixed file set, and old versions stay readable until
+explicitly expired."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.snapshots import (
+    SnapshotLog,
+    expire_snapshots,
+    read_table_at,
+    snapshot_compact,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "table")
+    ev = load_table(spark, SF_DIR, "events").drop("ts")
+    for i, part in enumerate(["p0", "p1"]):
+        (
+            ev.filter(F.col("event_id") % 2 == i)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(f"{root}/region={part}")
+        )
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    return root
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bootstrap_and_commit_sequence(spark, part_table):
+    log = SnapshotLog(spark, part_table)
+    assert log.latest() is None
+    v1 = log.bootstrap()
+    assert v1 == 1 and log.versions() == [1]
+    assert log.bootstrap() == 1  # idempotent
+    files = log.files()
+    assert len(files) == 8  # 2 partitions x 4 files
+    assert all(p.endswith(".parquet") and s > 0 for p, s in files)
+    # a second commit claims the next number and records lineage
+    v2 = log.commit(files[:4], op="test")
+    assert v2 == 2 and log.read(2)["parent"] == 1
+    assert len(log.files(2)) == 4 and len(log.files(1)) == 8
+
+
+def test_snapshot_compact_time_travel_and_isolation(spark, part_table):
+    before = _sorted_rows(spark.read.parquet(part_table))
+    rep = snapshot_compact(spark, part_table, target_bytes=1 << 40)
+    assert rep["rewritten"] == 2 and rep["version"] == 2
+    # latest snapshot: same data, 1 file per partition
+    log = SnapshotLog(spark, part_table)
+    assert len(log.files(2)) == 2
+    assert _sorted_rows(read_table_at(spark, part_table)) == before
+    # time travel: v1 (pre-compaction files) still reads identically
+    assert _sorted_rows(read_table_at(spark, part_table, version=1)) == before
+    # old files remain physically present -> a PLAIN recursive read
+    # sees duplicated rows; only snapshot resolution is safe
+    plain = spark.read.option("recursiveFileLookup", "true").parquet(part_table)
+    assert plain.count() == 2 * len(before)
+    # nothing qualified -> no new version
+    rep2 = snapshot_compact(spark, part_table, target_bytes=1 << 40)
+    assert rep2 == {"version": 2, "rewritten": 0, "new_files": 0}
+
+
+def test_expire_reclaims_only_dead_files(spark, part_table):
+    before = _sorted_rows(spark.read.parquet(part_table))
+    snapshot_compact(spark, part_table, target_bytes=1 << 40)
+    out = expire_snapshots(spark, part_table, keep_last=1)
+    assert out == {"expired": 1, "deleted_files": 8}
+    log = SnapshotLog(spark, part_table)
+    assert log.versions() == [2]
+    # the survivor still reads completely
+    assert _sorted_rows(read_table_at(spark, part_table)) == before
+    # and the physical tree now holds exactly the live set
+    plain = spark.read.option("recursiveFileLookup", "true").parquet(part_table)
+    assert plain.count() == len(before)
+    # keep_last larger than history: no-op
+    assert expire_snapshots(spark, part_table, keep_last=5) == {
+        "expired": 0,
+        "deleted_files": 0,
+    }
+
+
+def test_uncommitted_files_are_invisible_and_unharmed(spark, part_table):
+    """Crash between data-file landing and snapshot commit: the new
+    files are garbage to readers (latest snapshot ignores them) and
+    expire_snapshots must not delete files it has never referenced."""
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    before = _sorted_rows(read_table_at(spark, part_table))
+    # simulate the crash: land an orphan data file, commit nothing
+    orphan_dir = f"{part_table}/region=p0"
+    spark.range(5).select(
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("append").parquet(orphan_dir)
+    assert _sorted_rows(read_table_at(spark, part_table)) == before
+    n_before = len(
+        [f for f in os.listdir(orphan_dir) if f.endswith(".parquet")]
+    )
+    expire_snapshots(spark, part_table, keep_last=1)
+    n_after = len(
+        [f for f in os.listdir(orphan_dir) if f.endswith(".parquet")]
+    )
+    assert n_after == n_before  # orphans untouched by expiry
+
+
+def test_commit_race_yields_distinct_versions(spark, part_table):
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    files = log.files()
+    # two "concurrent" committers from the same base: both land,
+    # consecutive versions, no clobber
+    va = log.commit(files, op="a")
+    vb = log.commit(files, op="b")
+    assert {va, vb} == {2, 3}
+    assert log.read(2)["op"] == "a" and log.read(3)["op"] == "b"
