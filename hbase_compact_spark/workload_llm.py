@@ -1692,3 +1692,139 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logp"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_D})) AS s
+      FROM documents
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}
+    ),
+    sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL shingle containment |A∩B| / |A| — catches the
+    sub-document duplication Jaccard misses (a short doc copied into
+    a long one scores low Jaccard but containment ~1 from the short
+    side). Same 100 TB shape as dedup_ngram_jaccard: inverted-index
+    equi-join with the DF cap dropping exactly the skew keys, one
+    hash-partitioned shingle exchange reused by all consumers; the
+    only difference is both pair directions survive and the
+    denominator is the LEFT side's shingle count."""
+    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    ).repartition("s")
+    keep = sh.groupBy("s").count().filter(F.col("count") <= NGRAM_DF_CAP).select("s")
+    sh2 = sh.join(keep, "s")
+    sizes = sh2.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh2.alias("a"), sh2.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    cont = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).withColumn("c_raw", F.col("i").cast("double") / F.col("na"))
+    return cont.filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("c_raw", 6).alias("containment")
+    )
+
+
+@query(
+    "interval_join",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS w_id, event_type,
+             ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT w_id, w.event_type,
+           strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+           CAST(count(e.event_id) AS BIGINT) AS n_events,
+           round(coalesce(sum(e.value), 0.0), 4) AS sum_value
+    FROM w LEFT JOIN events e
+      ON e.event_type = w.event_type
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2, 3
+    """,
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every sampled 30-minute alert window is
+    joined to the events falling inside it. Spark has no native range
+    join, and the naive theta-join is a cartesian blowup at scale —
+    so the interval side explodes into its (<=2) covering 30-minute
+    BUCKETS and the probe side computes one bucket per event; the
+    join is then a plain (type, bucket) equi-join refined by the
+    range predicate, shuffling each event once. Left semantics keep
+    empty windows (an event matches in exactly its own bucket, so no
+    double counting)."""
+    bucket_s = 1800
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("w_id"),
+        F.col("event_type").alias("w_type"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    wb = w.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.unix_seconds("w_start") / bucket_s),
+                    F.floor(F.unix_seconds("w_end") / bucket_s),
+                )
+            )
+        ),
+    )
+    eb = ev.select(
+        "event_id",
+        F.col("event_type").alias("e_type"),
+        F.col("ts").alias("e_ts"),
+        "value",
+        F.floor(F.unix_seconds("ts") / bucket_s).alias("bucket"),
+    )
+    joined = wb.join(
+        eb,
+        (F.col("w_type") == F.col("e_type"))
+        & (wb["bucket"] == eb["bucket"])
+        & (F.col("e_ts") >= F.col("w_start"))
+        & (F.col("e_ts") < F.col("w_end")),
+        "left",
+    )
+    return joined.groupBy("w_id", "w_type", "w_start").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias("sum_value"),
+    ).select(
+        "w_id",
+        F.col("w_type").alias("event_type"),
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "n_events",
+        "sum_value",
+    )

@@ -159,3 +159,23 @@ def test_ngram_lm_model_join_broadcasts(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The range join must decompose into a (type, bucket) equi-join —
+    a theta-only join would plan as a cartesian/BNLJ corpus blowup."""
+    p = _plan(spark, "interval_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_containment_reuses_single_shingle_exchange(spark):
+    """Like dedup_ngram_jaccard: one hash-partitioned shingle exchange
+    feeds the DF-cap agg, the cap join and the self-join — AQE's
+    runtime exchange reuse must fire (visible only post-execution)."""
+    df = _Q["dedup_containment"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert p.count("ReusedExchange") >= 3
