@@ -134,3 +134,72 @@ def test_commit_race_yields_distinct_versions(spark, part_table):
     vb = log.commit(files, op="b")
     assert {va, vb} == {2, 3}
     assert log.read(2)["op"] == "a" and log.read(3)["op"] == "b"
+
+
+def test_streaming_ingest_commits_atomic_versions(spark, tmp_path):
+    """Each micro-batch = one snapshot version; readers see batch
+    boundaries exactly; replayed batch_ids are skipped; compaction of
+    the accumulated small files interleaves through the same log."""
+    from hbase_compact_spark.streaming.ingest import (
+        committed_batch_ids,
+        snapshot_ingest,
+        snapshot_sink_batch,
+    )
+
+    root = str(tmp_path / "ingest_table")
+    # seed the table (v1 bootstrap is the empty/seed listing)
+    spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(root)
+
+    # stream: one availableNow pass over a 3-file source directory
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 100, i * 100 + 5).select(
+            F.col("id").alias("event_id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = snapshot_ingest(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    log = SnapshotLog(spark, root)
+    assert len(log.versions()) >= 2  # bootstrap + >=1 batch commit
+    assert len(committed_batch_ids(log)) >= 1
+    total = read_table_at(spark, root)
+    assert total.count() == 10 + 15
+    # replay protection: re-delivering an already-committed batch id
+    # must be a no-op (same count, no new version)
+    n_versions = len(log.versions())
+    batch_df = spark.range(999).select(
+        F.col("id").alias("event_id"), F.col("id").alias("v")
+    )
+    already = max(committed_batch_ids(log))
+    from hbase_compact_spark.streaming import ingest as ing
+
+    def sink_replay(bdf, bid):
+        if bid in ing.committed_batch_ids(log):
+            return
+        ing._commit_batch(spark, log, bdf, root, "", op=f"append:batch={bid}")
+
+    sink_replay(batch_df, already)
+    assert len(log.versions()) == n_versions
+    assert read_table_at(spark, root).count() == 25
+    # direct batch sink commits a version too
+    v = snapshot_sink_batch(
+        spark.range(5).select(
+            F.col("id").alias("event_id"), F.col("id").alias("v")
+        ),
+        root,
+    )
+    assert v == max(log.versions())
+    assert read_table_at(spark, root).count() == 30
+    # and snapshot compaction can now squash the accumulated files
+    rep = snapshot_compact(spark, root, target_bytes=1 << 40)
+    assert rep["rewritten"] == 1
+    assert read_table_at(spark, root).count() == 30
+    assert len(log.files()) == 1
