@@ -1185,21 +1185,31 @@ _MIX_SHARES_D = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET.items())
     """,
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing toward MIX_TARGET — see
+    corpus_mix_with, the weights-as-input API this query binds to the
+    module's default mixture."""
+    return corpus_mix_with(spark, sf_dir, MIX_TARGET)
+
+
+def corpus_mix_with(
+    spark: SparkSession, sf_dir: str, target: dict[str, float]
+) -> DataFrame:
     """Domain-mixture rebalancing: compute per-language keep rates so
-    the sampled corpus matches a target mixture (the binding language
-    — least over-supplied relative to its share — survives whole, all
-    others downsample proportionally), then keep documents via the
-    same deterministic content-hash per-mille buckets corpus_sample
-    uses. Rates derive from a per-language count aggregate (tiny) and
-    broadcast back over one corpus scan — two passes total, no RNG,
-    reproducible under any partitioning. The standard pretraining
-    recipe for re-weighting source domains without duplicating data."""
+    the sampled corpus matches the caller's `target` mixture (the
+    binding language — least over-supplied relative to its share —
+    survives whole, all others downsample proportionally), then keep
+    documents via the same deterministic content-hash per-mille
+    buckets corpus_sample uses. Rates derive from a per-language count
+    aggregate (tiny) and broadcast back over one corpus scan — two
+    passes total, no RNG, reproducible under any partitioning. The
+    standard pretraining recipe for re-weighting source domains
+    without duplicating data."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(
         F.count("*").cast("double").alias("n")
     )
     shares = spark.createDataFrame(
-        list(MIX_TARGET.items()), "lang string, share double"
+        list(target.items()), "lang string, share double"
     )
     j = counts.join(shares, "lang")
     w_all = Window.partitionBy()

@@ -557,3 +557,64 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_95"),
     )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4)
+             AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable) rollup: events pre-aggregate
+    into MINUTE partials (count / decimal sum / min / max — all
+    mergeable), and the HOUR level is computed by MERGING partials,
+    never re-touching raw rows; avg is reconstructed as merged-sum /
+    merged-count. This is the TimescaleDB/materialized-rollup pattern
+    that makes dashboard queries O(partials) instead of O(raw) at
+    100 TB — the oracle aggregates raw events directly, so the hash
+    match PROVES the merge is lossless (decimal sums make addition
+    order irrelevant). Two shuffles, the second over minute-level
+    cardinality only.
+
+    Generalizes the reference's per-region -> global rollup
+    (QHC.java:200-212, filenum/totalsize counters) to time
+    hierarchies."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    hour = minute.groupBy(
+        "event_type",
+        F.date_trunc("hour", "minute_start").alias("hour_start"),
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    return hour.select(
+        "event_type",
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("vsum").cast("double"), 4).alias("sum_value"),
+        F.round("vmin", 4).alias("min_value"),
+        F.round("vmax", 4).alias("max_value"),
+        F.round(F.col("vsum").cast("double") / F.col("n_events"), 4)
+        .alias("avg_value"),
+    )

@@ -551,3 +551,17 @@ def test_corpus_mix_hits_target_mixture(spark):
     assert set(got) == set(llm.MIX_TARGET)
     for lang, share in llm.MIX_TARGET.items():
         assert abs(got[lang] / n - share) < 0.06, (lang, got[lang] / n)
+
+
+def test_corpus_mix_with_custom_target(spark):
+    """Weights-as-input API: an arbitrary caller mixture (subset of
+    languages included) rebalances to ITS shares, not MIX_TARGET's."""
+    from collections import Counter
+
+    target = {"en": 0.5, "de": 0.5}
+    kept = llm.corpus_mix_with(spark, "/root/testdata/sf0.01", target).collect()
+    n = len(kept)
+    got = Counter(r["lang"] for r in kept)
+    assert set(got) == set(target)  # other languages fully dropped
+    for lang, share in target.items():
+        assert abs(got[lang] / n - share) < 0.06, (lang, got[lang] / n)
