@@ -234,6 +234,43 @@ def snapshot_compact(
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
 
 
+def sweep_orphans(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    grace_seconds: float = 3600.0,
+) -> dict:
+    """Delete data files referenced by NO snapshot at all — the
+    leftovers of commits that crashed between landing files and
+    claiming a version. A grace period protects in-flight commits:
+    a file younger than `grace_seconds` may belong to a commit that
+    has not claimed its version yet, so it is kept. Bounded metadata
+    work: one listing + the log's file sets."""
+    log = SnapshotLog(spark, table_root)
+    if not log.versions():
+        return {"deleted_files": 0}
+    referenced = {p for v in log.versions() for p, _ in log.files(v)}
+    fs, _, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    deleted = 0
+    listing = list_partition_files(spark, table_root)
+    for rel, files in listing.items():
+        for uri, _ in files:
+            relpath = posixpath.join(rel, posixpath.basename(uri)) if rel else (
+                posixpath.basename(uri)
+            )
+            if relpath in referenced:
+                continue
+            p = Path(posixpath.join(table_root, relpath))
+            age_s = (now_ms - fs.getFileStatus(p).getModificationTime()) / 1000.0
+            if age_s < grace_seconds:
+                continue  # possibly an in-flight commit
+            if fs.delete(p, False):
+                deleted += 1
+    return {"deleted_files": deleted}
+
+
 def expire_snapshots(
     spark: SparkSession, table_root: str, *, keep_last: int = 2
 ) -> dict:

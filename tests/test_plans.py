@@ -170,12 +170,16 @@ def test_interval_join_is_bucketed_equi_join(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
 
 
-def test_containment_reuses_single_shingle_exchange(spark):
-    """Like dedup_ngram_jaccard: one hash-partitioned shingle exchange
-    feeds the DF-cap agg, the cap join and the self-join — AQE's
-    runtime exchange reuse must fire (visible only post-execution)."""
-    df = _Q["dedup_containment"](spark, SF_DIR)
-    df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in p
-    assert p.count("ReusedExchange") >= 3
+def test_containment_reuses_single_shingle_index(spark):
+    """dedup_containment and dedup_ngram_jaccard share ONE memoized,
+    checkpointed shingle index: both plans must read the checkpoint
+    (ExistingRDD), never re-run the explode/DF-cap pipeline per
+    consumer branch, and never cartesian."""
+    for name in ("dedup_containment", "dedup_ngram_jaccard"):
+        df = _Q[name](spark, SF_DIR)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name
+        assert "Scan ExistingRDD" in p, name
+        # the shingle explode ran before the checkpoint barrier
+        assert "Generate explode" not in p, name

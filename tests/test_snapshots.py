@@ -203,3 +203,35 @@ def test_streaming_ingest_commits_atomic_versions(spark, tmp_path):
     assert rep["rewritten"] == 1
     assert read_table_at(spark, root).count() == 30
     assert len(log.files()) == 1
+
+
+def test_sweep_orphans_respects_grace_and_references(spark, part_table):
+    """Orphans older than the grace period are deleted; fresh orphans
+    (possibly an in-flight commit) and referenced files survive."""
+    import time as _t
+
+    from hbase_compact_spark.compaction.snapshots import sweep_orphans
+
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    before = _sorted_rows(read_table_at(spark, part_table))
+    orphan_dir = f"{part_table}/region=p1"
+    spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("append").parquet(orphan_dir)
+    # fresh orphan inside the grace period: kept
+    assert sweep_orphans(spark, part_table, grace_seconds=3600) == {
+        "deleted_files": 0
+    }
+    # age it past the (shortened) grace period: swept
+    _t.sleep(1.1)
+    out = sweep_orphans(spark, part_table, grace_seconds=1.0)
+    assert out["deleted_files"] == 1
+    # referenced data intact, reader unaffected throughout
+    assert _sorted_rows(read_table_at(spark, part_table)) == before
+    plain = spark.read.option("recursiveFileLookup", "true").parquet(part_table)
+    assert plain.count() == len(before)
