@@ -171,9 +171,12 @@ def _compact_one(
     n_bins: int,
     sort_by: list[str] | None,
     trash_dir: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> tuple[int, list[str]]:
     """Rewrite one partition; returns (verified row count, new file
-    names)."""
+    names). `cluster_by` z-orders the rewrite across those columns
+    (multi-column min/max pruning) instead of the plain
+    repartition + per-file sort."""
     from pyspark.sql import Observation
 
     part_dir = posixpath.join(table_root, rel) if rel else table_root
@@ -185,23 +188,33 @@ def _compact_one(
         table_root, f"_compact_tmp_{hashlib.md5(rel.encode()).hexdigest()[:12]}"
     )
 
-    # fingerprint the source DURING the rewrite pass (Observation
-    # metrics) instead of a separate scan: 2 passes per partition
-    # (write+observe, verify read-back) rather than 3
-    obs = Observation()
-    observed = src.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + "))"
-        ).alias("fp"),
-    )
-    writer = observed.repartition(n_bins)
-    if sort_by:
-        writer = writer.sortWithinPartitions(*sort_by)
-    writer.write.mode("overwrite").parquet(tmp_dir)
-    metrics = obs.get
-    n_before, fp_before = int(metrics["n"]), int(metrics["fp"] or 0)
+    if cluster_by:
+        # repartitionByRange SAMPLES its child to pick split points, so
+        # Observation metrics would double-count; fingerprint with a
+        # dedicated pass instead (3 passes total on this path)
+        from hbase_compact_spark.functions.zorder import cluster_by_zorder
+
+        n_before, fp_before = _fingerprint(src)
+        writer = cluster_by_zorder(src, cluster_by, n_bins)
+        writer.write.mode("overwrite").parquet(tmp_dir)
+    else:
+        # fingerprint the source DURING the rewrite pass (Observation
+        # metrics) instead of a separate scan: 2 passes per partition
+        # (write+observe, verify read-back) rather than 3
+        obs = Observation()
+        observed = src.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + "))"
+            ).alias("fp"),
+        )
+        writer = observed.repartition(n_bins)
+        if sort_by:
+            writer = writer.sortWithinPartitions(*sort_by)
+        writer.write.mode("overwrite").parquet(tmp_dir)
+        metrics = obs.get
+        n_before, fp_before = int(metrics["n"]), int(metrics["fp"] or 0)
 
     rewritten = spark.read.parquet(tmp_dir)
     n_after, fp_after = _fingerprint(rewritten)
@@ -231,6 +244,7 @@ def compact_table(
     concurrency: int | None = None,
     priority: str = "name",
     trash: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> CompactionReport:
     """Compact every small-file partition of a parquet table in place.
 
@@ -256,6 +270,14 @@ def compact_table(
     reference's positional-cursor order. `trash=True` retires old
     files into `<root>/_trash/<epoch>/` instead of deleting —
     reclaim with purge_trash().
+
+    `cluster_by=[c1, c2, ...]` Z-ORDERS each rewrite across those
+    columns (range-partition + sort on the interleaved-bit Morton
+    value, functions/zorder.py): every output file covers a compact
+    hyper-rectangle of the clustered columns, so parquet min/max
+    pruning works for predicates on ANY of them — the Delta
+    OPTIMIZE ZORDER BY / Iceberg sort-order layout move, here as
+    part of the compaction rewrite it shares a pass with.
     """
     ckpt = checkpoint or CompactionCheckpoint(
         posixpath.join(table_root, "_compaction_checkpoint.json")
@@ -307,7 +329,8 @@ def compact_table(
                 time.sleep(1.0)  # reference sleeps 60 s (QHC.java:54);
                 # 1 s keeps tests responsive, policy not semantics
         res.rows, new_names = _compact_one(
-            spark, table_root, rel, files, n_bins, sort_by, trash_dir
+            spark, table_root, rel, files, n_bins, sort_by, trash_dir,
+            cluster_by=cluster_by,
         )
         ckpt.mark_done(
             rel,

@@ -329,10 +329,12 @@ def test_concurrent_partial_failure_heals_on_rerun(
 
     real = ex._compact_one
 
-    def flaky(spark_, table_root, rel, files, n_bins, sort_by, trash_dir=None):
+    def flaky(spark_, table_root, rel, files, n_bins, sort_by,
+              trash_dir=None, **kw):
         if rel == "region=p1":
             raise RuntimeError("injected failure for region=p1")
-        return real(spark_, table_root, rel, files, n_bins, sort_by, trash_dir)
+        return real(spark_, table_root, rel, files, n_bins, sort_by,
+                    trash_dir, **kw)
 
     monkeypatch.setattr(ex, "_compact_one", flaky)
     with pytest.raises(RuntimeError, match="injected"):
@@ -594,3 +596,61 @@ def test_adaptive_concurrency_meets_reference_budget(spark, tmp_path):
     total_bytes = sum(r.bytes_total for r in done)
     mbps = total_bytes / dt / (1024 * 1024)
     assert mbps >= 25.6, f"adaptive compaction too slow: {mbps:.1f} MB/s"
+
+
+def test_zorder_cluster_by_tightens_minmax_on_all_columns(spark, tmp_path):
+    """cluster_by z-orders the rewrite: per-file parquet min/max spans
+    on BOTH clustered columns must tighten vs a plain rewrite of the
+    same partition, and content must survive (fingerprint gate ran)."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    from hbase_compact_spark.compaction.executor import compact_table
+    from hbase_compact_spark.tables import load_table
+
+    def build(root):
+        ev = load_table(spark, "/root/testdata/sf0.01", "events").drop("ts")
+        ev.repartition(6).write.mode("overwrite").parquet(f"{root}/p=a")
+        import os as _os
+
+        for dirpath, _, files in _os.walk(root):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    _os.unlink(_os.path.join(dirpath, f))
+
+    def spans(root, col):
+        out = []
+        for path in _g.glob(f"{root}/p=a/*.parquet"):
+            md = _pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mn = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            out.append(mx - mn)
+        return out
+
+    target = 1  # force multi-file output via tiny target_bytes
+    plain_root = str(tmp_path / "plain")
+    z_root = str(tmp_path / "zord")
+    build(plain_root)
+    build(z_root)
+    total = sum(
+        s for _, s in
+        __import__("hbase_compact_spark.compaction.executor",
+                   fromlist=["list_partition_files"])
+        .list_partition_files(spark, plain_root)["p=a"]
+    )
+    tb = max(1, total // 4)  # ~4 output files
+    rep_p = compact_table(spark, plain_root, target_bytes=tb)
+    rep_z = compact_table(spark, z_root, target_bytes=tb,
+                          cluster_by=["user_id", "value"])
+    n_rows = load_table(spark, "/root/testdata/sf0.01", "events").count()
+    assert sum(r.rows for r in rep_p.results if not r.skipped) == n_rows
+    assert sum(r.rows for r in rep_z.results if not r.skipped) == n_rows
+    assert spark.read.parquet(z_root).count() == n_rows
+    for col in ["user_id", "value"]:
+        sp, sz = spans(plain_root, col), spans(z_root, col)
+        assert len(sz) >= 2  # clustering actually produced multiple files
+        assert sum(sz) < 0.8 * sum(sp), (col, sp, sz)
