@@ -34,6 +34,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hbase_compact_spark.compaction.executor import (
     _fingerprint,
@@ -87,9 +88,22 @@ class SnapshotLog:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
         return [(f[0], int(f[1])) for f in self.read(v)["files"]]
 
+    def stats(self, version: int | None = None) -> dict[str, dict]:
+        """Per-file column stats of the given (default: latest)
+        snapshot: {relpath: {"rows": n, "cols": {col: [min, max]}}}.
+        Empty if the snapshot was never annotated."""
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return self.read(v).get("stats") or {}
+
     # --------------------------------------------------------- writes
     def commit(
-        self, files: list[tuple[str, int]], op: str, parent: int | None = None
+        self,
+        files: list[tuple[str, int]],
+        op: str,
+        parent: int | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> int:
         """Atomically claim the next version. The temp file is fully
         written first; rename-if-absent is the only commit point, so a
@@ -102,6 +116,8 @@ class SnapshotLog:
             "committed_at": int(time.time()),
             "files": [[p, int(s)] for p, s in sorted(files)],
         }
+        if stats:
+            payload["stats"] = stats
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
         for _ in range(50):
             n = (self.latest() or 0) + 1
@@ -150,12 +166,193 @@ def read_table_at(
     return spark.read.option("basePath", table_root).parquet(*paths)
 
 
+def _footer_stats(local_path: str, cols: list[str] | None) -> tuple[int, dict]:
+    """(num_rows, {col: [min, max]}) from ONE parquet footer — metadata
+    only, no data pages. Values are kept only for JSON-stable types
+    (int/float/str; binary stats decoded as UTF-8); anything else
+    (timestamps, decimals, missing writer stats) is skipped, which the
+    pruner treats as "cannot prune" — always conservative."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols if cols is not None else idx:
+        i = idx.get(c)
+        if i is None:
+            continue
+        mns, mxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                mns = []
+                break
+            mns.append(st.min)
+            mxs.append(st.max)
+        if not mns:
+            continue
+        mn, mx = min(mns), max(mxs)
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+        if isinstance(mn, bool) or not isinstance(mn, (int, float, str)):
+            continue
+        out[c] = [mn, mx]
+    return int(md.num_rows), out
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    table_root: str,
+    relpaths: list[str],
+    cols: list[str] | None = None,
+) -> dict[str, dict]:
+    """Distributed footer-only stats pass: one task batch per group of
+    files, each reading parquet METADATA (a few KB) — never data pages.
+    Returns {relpath: {"rows": n, "cols": {col: [min, max]}}}; the
+    driver holds O(files x cols) numbers, nothing row-scale. Local /
+    posix paths here; an object-store deployment would route the same
+    footer read through a pyarrow filesystem."""
+    import json as _json
+
+    import pandas as pd  # noqa: F401 (executor import)
+
+    if not relpaths:
+        return {}
+    root_local = _uri_path(table_root)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for rel in pdf["relpath"]:
+                try:
+                    nrows, st = _footer_stats(
+                        posixpath.join(root_local, rel), cols
+                    )
+                    recs.append((rel, _json.dumps({"rows": nrows, "cols": st})))
+                except OSError:
+                    continue  # vanished/corrupt file: no stats, no prune
+            yield pd.DataFrame(recs, columns=["relpath", "stats"])
+
+    df = spark.createDataFrame([(p,) for p in relpaths], "relpath string")
+    n_part = max(1, min(64, len(relpaths)))
+    rows = df.repartition(n_part).mapInPandas(gen, "relpath string, stats string")
+    return {r["relpath"]: _json.loads(r["stats"]) for r in rows.collect()}
+
+
+def annotate_stats(
+    spark: SparkSession,
+    table_root: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+) -> int:
+    """Commit a new snapshot carrying per-file column min/max stats
+    (Iceberg's manifest-metrics move): same file set as the source
+    version, `op="stats"`. From then on `scan_plan`/`read_table_where`
+    prune file lists on the driver without touching any footer, and
+    `snapshot_compact` keeps the stats current incrementally."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest() if version is None else version
+    files = log.files(v)
+    stats = collect_file_stats(spark, table_root, [p for p, _ in files], cols)
+    return log.commit(files, op="stats", parent=v, stats=stats)
+
+
+def _disjoint(rng: list, lo, hi) -> bool:
+    """True iff [rng.min, rng.max] provably misses [lo, hi]. Type
+    mismatches (str stats vs numeric bound) never prune."""
+    mn, mx = rng
+    if mn is None or mx is None:
+        return False
+    try:
+        if hi is not None and mn > hi:
+            return True
+        if lo is not None and mx < lo:
+            return True
+    except TypeError:
+        return False
+    return False
+
+
+def scan_plan(
+    spark: SparkSession,
+    table_root: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> dict:
+    """Driver-side file pruning against snapshot stats. `predicates`
+    maps column -> (lo, hi) inclusive bounds (None = unbounded); a file
+    is dropped only when its recorded [min, max] provably misses every
+    value in the requested range — files without stats for a column
+    are always kept. Pure metadata: O(files x predicates) comparisons,
+    no filesystem access at all."""
+    log = SnapshotLog(spark, table_root)
+    v = log.latest() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    snap = log.read(v)
+    stats = snap.get("stats") or {}
+    kept, pruned = [], 0
+    for relpath, _size in [(f[0], f[1]) for f in snap["files"]]:
+        file_cols = stats.get(relpath, {}).get("cols", {})
+        if any(
+            col in file_cols and _disjoint(file_cols[col], lo, hi)
+            for col, (lo, hi) in predicates.items()
+        ):
+            pruned += 1
+        else:
+            kept.append(relpath)
+    return {
+        "version": v,
+        "paths": kept,
+        "kept_files": len(kept),
+        "pruned_files": pruned,
+    }
+
+
+def read_table_where(
+    spark: SparkSession,
+    table_root: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Read the snapshot with stats-based FILE pruning plus the exact
+    range filters — the layout payoff: after a z-ordered
+    `snapshot_compact(cluster_by=[a, b])` + `annotate_stats`, a
+    predicate on a OR b skips whole files from the scan list before
+    Spark plans anything (on top of parquet's own row-group pruning
+    inside the files that remain). Pruning is conservative, the filter
+    is exact, so results always equal full-scan + filter."""
+    plan = scan_plan(spark, table_root, predicates, version)
+    paths = plan["paths"]
+    if not paths:
+        # every file provably disjoint: scan one file (filter makes it
+        # empty) purely to preserve the schema of the result
+        log = SnapshotLog(spark, table_root)
+        paths = [log.files(plan["version"])[0][0]]
+    df = spark.read.option("basePath", table_root).parquet(
+        *[posixpath.join(table_root, p) for p in paths]
+    )
+    for col, (lo, hi) in predicates.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_root: str,
     *,
     target_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Append-only compaction under the snapshot log: qualifying
     partitions (>1 file and a strictly lower planned bin count — the
@@ -165,6 +362,13 @@ def snapshot_compact(
     snapshot referencing old-files-minus-replaced-plus-new is
     committed. Old files are not touched — readers of any retained
     version keep working; `expire_snapshots` reclaims.
+
+    `cluster_by` z-orders each rewrite (functions/zorder.py) so the
+    new files carry tight per-file min/max on every clustered column;
+    combined with `annotate_stats` this gives snapshot-level file
+    pruning via `read_table_where`. If the parent snapshot carries
+    stats they are maintained incrementally (kept files inherit, new
+    files get a footer pass).
 
     Returns {"version": committed (or current, if nothing qualified),
     "rewritten": n_partitions, "new_files": n}.
@@ -198,9 +402,14 @@ def snapshot_compact(
             f"_snapcompact_tmp_{hashlib.md5(part_rel.encode()).hexdigest()[:12]}",
         )
         src = spark.read.parquet(*srcs)
-        writer = src.repartition(n_bins)
-        if sort_by:
-            writer = writer.sortWithinPartitions(*sort_by)
+        if cluster_by:
+            from hbase_compact_spark.functions.zorder import cluster_by_zorder
+
+            writer = cluster_by_zorder(src, cluster_by, n_bins)
+        else:
+            writer = src.repartition(n_bins)
+            if sort_by:
+                writer = writer.sortWithinPartitions(*sort_by)
         writer.write.mode("overwrite").parquet(tmp_dir)
         out = spark.read.parquet(tmp_dir)
         if _fingerprint(src) != _fingerprint(out):
@@ -230,7 +439,20 @@ def snapshot_compact(
         rewritten += 1
     if not rewritten:
         return {"version": base_version, "rewritten": 0, "new_files": 0}
-    version = log.commit(keep + added, op="compact", parent=base_version)
+    # incremental stats maintenance: kept files inherit the parent
+    # snapshot's stats verbatim; only the freshly written files get a
+    # footer pass — the same bounded-delta shape as the file list
+    pstats = log.read(base_version).get("stats") or {}
+    stats = None
+    if pstats:
+        cols = sorted({c for st in pstats.values() for c in st.get("cols", {})})
+        stats = {p: pstats[p] for p, _ in keep if p in pstats}
+        stats.update(
+            collect_file_stats(
+                spark, table_root, [p for p, _ in added], cols or None
+            )
+        )
+    version = log.commit(keep + added, op="compact", parent=base_version, stats=stats)
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
 
 

@@ -235,3 +235,113 @@ def test_sweep_orphans_respects_grace_and_references(spark, part_table):
     assert _sorted_rows(read_table_at(spark, part_table)) == before
     plain = spark.read.option("recursiveFileLookup", "true").parquet(part_table)
     assert plain.count() == len(before)
+
+
+def test_stats_pruning_after_clustered_compact(spark, tmp_path):
+    """snapshot_compact(cluster_by) + annotate_stats: a narrow range
+    predicate prunes files from the scan plan on the driver, and the
+    pruned read equals full-scan + filter exactly."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        read_table_where,
+        scan_plan,
+        snapshot_compact,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    part_table = str(tmp_path / "table")
+    ev = load_table(spark, SF_DIR, "events").drop("ts")
+    for i, part in enumerate(["p0", "p1"]):
+        (
+            ev.filter(F.col("event_id") % 2 == i)
+            .repartition(12)
+            .write.mode("overwrite")
+            .parquet(f"{part_table}/region={part}")
+        )
+    for dirpath, _, fnames in os.walk(part_table):
+        for f in fnames:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    total = sum(s for _, s in log.files())
+    res = snapshot_compact(
+        spark, part_table, target_bytes=max(1, total // 16),
+        cluster_by=["user_id", "value"],
+    )
+    assert res["rewritten"] == 2
+    v = annotate_stats(spark, part_table, ["user_id", "value"])
+    stats = log.stats(v)
+    files = log.files(v)
+    assert set(stats) == {p for p, _ in files}
+    full = read_table_at(spark, part_table)
+    assert sum(st["rows"] for st in stats.values()) == full.count()
+    mn, mx = full.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    lo, hi = mn, mn + max(1, (mx - mn) // 10)
+    plan = scan_plan(spark, part_table, {"user_id": (lo, hi)})
+    assert plan["pruned_files"] > 0, plan
+    assert plan["kept_files"] + plan["pruned_files"] == len(files)
+    got = read_table_where(spark, part_table, {"user_id": (lo, hi)})
+    exp = full.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+    cols = sorted(full.columns)
+    assert _sorted_rows(got.select(cols)) == _sorted_rows(exp.select(cols))
+
+
+def test_compact_maintains_stats_incrementally(spark, part_table):
+    """Stats annotated before compaction survive it: kept files
+    inherit, freshly written files get their own footer pass, and the
+    compacted snapshot stays prunable without re-annotating."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        scan_plan,
+        snapshot_compact,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    annotate_stats(spark, part_table, ["user_id"])
+    total = sum(s for _, s in log.files())
+    res = snapshot_compact(
+        spark, part_table, target_bytes=max(1, total // 4),
+        cluster_by=["user_id"],
+    )
+    assert res["rewritten"] == 2
+    v = log.latest()
+    assert log.read(v)["op"] == "compact"
+    stats = log.stats(v)
+    assert set(stats) == {p for p, _ in log.files(v)}
+    full = read_table_at(spark, part_table)
+    mn, mx = full.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    plan = scan_plan(
+        spark, part_table, {"user_id": (mn, mn + max(1, (mx - mn) // 10))}
+    )
+    assert plan["pruned_files"] > 0, plan
+
+
+def test_scan_plan_without_stats_is_conservative(spark, part_table):
+    """No stats → nothing prunes, reads stay correct; an impossible
+    predicate yields an empty result with the full schema."""
+    from hbase_compact_spark.compaction.snapshots import (
+        read_table_where,
+        scan_plan,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    n_files = len(log.files())
+    plan = scan_plan(spark, part_table, {"user_id": (0, 1)})
+    assert plan == {
+        "version": 1,
+        "paths": plan["paths"],
+        "kept_files": n_files,
+        "pruned_files": 0,
+    }
+    full = read_table_at(spark, part_table)
+    got = read_table_where(spark, part_table, {"user_id": (0, 10**12)})
+    cols = sorted(full.columns)
+    assert _sorted_rows(got.select(cols)) == _sorted_rows(full.select(cols))
+    # impossible range: empty but schema-complete (even if every file
+    # were pruned, the reader keeps one file to anchor the schema)
+    empty = read_table_where(spark, part_table, {"user_id": (-10, -1)})
+    assert empty.count() == 0
+    assert sorted(empty.columns) == cols
