@@ -1857,3 +1857,82 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+BM25_TERMS = ("scan", "filter", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qdf AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    )
+    SELECT tf.doc_id,
+           round(sum(
+             ln((CAST(stats.n AS DOUBLE) - qdf.df + 0.5)
+                / (qdf.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the retrieval scorer a RAG/training pipeline runs over
+    a corpus. Shapes: one exploded token pass feeds BOTH the
+    per-document length agg and the (filtered-early) per-term tf agg;
+    document frequencies and the corpus stats row are broadcast; the
+    final score is a 3-row-per-doc grouped sum, all map-side
+    combinable. Nothing corpus-sized crosses the driver, and the
+    token explode never shuffles more than (doc_id, term) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    qtok = tok.where(F.col("term").isin(*BM25_TERMS))
+    qdf = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    per_term = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
+    )

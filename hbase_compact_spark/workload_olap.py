@@ -618,3 +618,61 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vsum").cast("double") / F.col("n_events"), 4)
         .alias("avg_value"),
     )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sd) > 2.0
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: one grouped avg/stddev agg
+    (map-side partial, |event_type| rows), broadcast back onto the
+    stream, pure codegen filter. The scalable two-pass shape for
+    outlier detection at 100 TB — no window over the full table, no
+    per-row Python. Fixture margin to the |z| > 2 boundary is 2.4e-4,
+    ~6 orders above cross-engine float noise, so the filtered set is
+    engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return j.where(F.abs(z) > 2.0).select(
+        "event_id", "event_type", "value", F.round(z, 6).alias("z")
+    )
+
+
+@query(
+    "window_rank_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal), 6) AS prk,
+           round(cume_dist() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal), 6) AS cd
+    FROM customer
+    """,
+)
+def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank, cume_dist) per
+    nation — rank-based, so cross-engine deterministic even on ties.
+    One shuffle on the partition key; rounds only to normalize the
+    division's last ulp."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
