@@ -88,6 +88,20 @@ class SnapshotLog:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
         return [(f[0], int(f[1])) for f in self.read(v)["files"]]
 
+    def schema(self, version: int | None = None):
+        """(StructType, partition_cols) recorded on the given
+        (default: latest) snapshot, or (None, []) if the table has
+        never evolved — readers then fall back to parquet inference."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        blob = self.read(v).get("schema")
+        if not blob:
+            return None, []
+        return StructType.fromJson(blob["fields"]), list(blob["partition_cols"])
+
     def stats(self, version: int | None = None) -> dict[str, dict]:
         """Per-file column stats of the given (default: latest)
         snapshot: {relpath: {"rows": n, "cols": {col: [min, max]}}}.
@@ -104,6 +118,7 @@ class SnapshotLog:
         op: str,
         parent: int | None = None,
         stats: dict[str, dict] | None = None,
+        schema: dict | None = None,
     ) -> int:
         """Atomically claim the next version. The temp file is fully
         written first; rename-if-absent is the only commit point, so a
@@ -118,6 +133,8 @@ class SnapshotLog:
         }
         if stats:
             payload["stats"] = stats
+        if schema:
+            payload["schema"] = schema
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
         for _ in range(50):
             n = (self.latest() or 0) + 1
@@ -154,16 +171,84 @@ def read_table_at(
 ) -> DataFrame:
     """Time travel: read the table exactly as of `version` (default:
     latest committed snapshot). Mid-compaction states are unobservable
-    by construction — uncommitted files are simply not listed."""
+    by construction — uncommitted files are simply not listed. If the
+    snapshot carries an evolved schema, it is applied declaratively:
+    files written before an added column project it as NULL, files
+    still holding a dropped column lose it — per-version schema, the
+    Iceberg contract."""
     log = SnapshotLog(spark, table_root)
     paths = [
         posixpath.join(table_root, p) for p, _ in log.files(version)
     ]
     if not paths:
         raise FileNotFoundError(f"snapshot lists no files under {table_root}")
+    schema, _pcols = log.schema(version)
     # basePath keeps hive partition columns (region=...) alive when
     # reading an explicit file list instead of the directory tree
-    return spark.read.option("basePath", table_root).parquet(*paths)
+    reader = spark.read.option("basePath", table_root)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def _capture_schema(spark: SparkSession, log: SnapshotLog, version: int) -> dict:
+    """Snapshot-schema blob for a table that never evolved: inferred
+    from the version's files, partition columns detected from the
+    hive-style `k=v` directory components of the file list."""
+    pcols: list[str] = []
+    for relpath, _ in log.files(version):
+        for comp in posixpath.dirname(relpath).split("/"):
+            if "=" in comp:
+                name = comp.split("=", 1)[0]
+                if name not in pcols:
+                    pcols.append(name)
+    df = read_table_at(spark, log.table_root, version)
+    return {"fields": df.schema.jsonValue(), "partition_cols": pcols}
+
+
+def evolve_schema(
+    spark: SparkSession,
+    table_root: str,
+    add_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """Metadata-only schema evolution: commit a new snapshot with the
+    SAME file set and an updated declared schema. `add_columns` maps
+    new column name -> Spark DDL type (added nullable — existing files
+    read as NULL with zero rewrite); `drop_columns` removes data
+    columns (files keep the bytes, readers stop seeing them, the next
+    compaction rewrite physically sheds them). Partition columns can
+    be neither added nor dropped here — they are path structure."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest()
+    blob = log.read(v).get("schema") or _capture_schema(spark, log, v)
+    schema = StructType.fromJson(blob["fields"])
+    pcols = list(blob["partition_cols"])
+    names = {f.name for f in schema.fields}
+    for name in drop_columns or []:
+        if name not in names:
+            raise ValueError(f"cannot drop unknown column {name!r}")
+        if name in pcols:
+            raise ValueError(f"cannot drop partition column {name!r}")
+    fields = [f for f in schema.fields if f.name not in set(drop_columns or [])]
+    for name, ddl in (add_columns or {}).items():
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        fields.append(StructField(name, _parse_datatype_string(ddl), True))
+    # keep partition columns last so physical data columns stay a
+    # prefix — matches how Spark appends discovered partition values
+    fields.sort(key=lambda f: f.name in pcols)
+    new_blob = {
+        "fields": StructType(fields).jsonValue(),
+        "partition_cols": pcols,
+    }
+    stats = log.read(v).get("stats")
+    return log.commit(
+        log.files(v), op="evolve", parent=v, stats=stats, schema=new_blob
+    )
 
 
 def _footer_stats(local_path: str, cols: list[str] | None) -> tuple[int, dict]:
@@ -382,6 +467,18 @@ def snapshot_compact(
     fs, _, jvm = _hadoop_fs(spark, table_root)
     Path = jvm.org.apache.hadoop.fs.Path
 
+    # evolved tables rewrite THROUGH the declared schema: added
+    # columns materialize physically (as nulls where absent), dropped
+    # columns are shed from the new files
+    schema_blob = log.read(base_version).get("schema")
+    data_schema = None
+    if schema_blob:
+        from pyspark.sql.types import StructType
+
+        full = StructType.fromJson(schema_blob["fields"])
+        pset = set(schema_blob["partition_cols"])
+        data_schema = StructType([f for f in full.fields if f.name not in pset])
+
     by_part: dict[str, list[tuple[str, int]]] = {}
     for relpath, size in base:
         by_part.setdefault(posixpath.dirname(relpath), []).append((relpath, size))
@@ -401,7 +498,11 @@ def snapshot_compact(
             table_root,
             f"_snapcompact_tmp_{hashlib.md5(part_rel.encode()).hexdigest()[:12]}",
         )
-        src = spark.read.parquet(*srcs)
+        src = (
+            spark.read.schema(data_schema).parquet(*srcs)
+            if data_schema is not None
+            else spark.read.parquet(*srcs)
+        )
         if cluster_by:
             from hbase_compact_spark.functions.zorder import cluster_by_zorder
 
@@ -452,7 +553,13 @@ def snapshot_compact(
                 spark, table_root, [p for p, _ in added], cols or None
             )
         )
-    version = log.commit(keep + added, op="compact", parent=base_version, stats=stats)
+    version = log.commit(
+        keep + added,
+        op="compact",
+        parent=base_version,
+        stats=stats,
+        schema=schema_blob,
+    )
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
 
 

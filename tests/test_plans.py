@@ -183,3 +183,30 @@ def test_containment_reuses_single_shingle_index(spark):
         assert "Scan ExistingRDD" in p, name
         # the shingle explode ran before the checkpoint barrier
         assert "Generate explode" not in p, name
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """bm25_score: document frequencies and the 1-row corpus stats are
+    broadcast; the only shuffles are the token aggregations and the
+    doc-length join — no cartesian, no corpus broadcast."""
+    p = _plan(spark, "bm25_score")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stats cross join
+    assert "CartesianProduct" not in p
+
+
+def test_anomaly_zscore_broadcasts_group_stats(spark):
+    """anomaly_zscore: the per-type stats agg (|event_type| rows) is
+    broadcast back; the events scan happens exactly twice (stats pass
+    + flag pass), never more."""
+    p = _plan(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_window_rank_dist_single_shuffle(spark):
+    """window_rank_dist: one hash exchange on the partition key feeds
+    both rank windows — no second exchange, no global sort."""
+    p = _plan(spark, "window_rank_dist")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p

@@ -345,3 +345,91 @@ def test_scan_plan_without_stats_is_conservative(spark, part_table):
     empty = read_table_where(spark, part_table, {"user_id": (-10, -1)})
     assert empty.count() == 0
     assert sorted(empty.columns) == cols
+
+
+def test_schema_evolution_add_and_drop(spark, part_table):
+    """evolve_schema is metadata-only: added columns read as NULL from
+    pre-evolution files, dropped columns disappear, and time travel
+    restores the old shape. New files written with the evolved schema
+    coexist with old ones in one snapshot."""
+    from hbase_compact_spark.compaction.snapshots import evolve_schema
+
+    log = SnapshotLog(spark, part_table)
+    v1 = log.bootstrap()
+    base_rows = read_table_at(spark, part_table).count()
+
+    v2 = evolve_schema(
+        spark, part_table, add_columns={"score": "double"},
+        drop_columns=["props"],
+    )
+    assert log.read(v2)["op"] == "evolve"
+    evolved = read_table_at(spark, part_table)
+    assert "score" in evolved.columns and "props" not in evolved.columns
+    assert evolved.count() == base_rows
+    assert evolved.where(F.col("score").isNotNull()).count() == 0
+    # time travel: v1 still has props, no score
+    old = read_table_at(spark, part_table, v1)
+    assert "props" in old.columns and "score" not in old.columns
+
+    # append a file carrying the evolved schema
+    newf = f"{part_table}/region=p0"
+    spark.range(5).select(
+        (F.col("id") + 10**9).alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("evolved").alias("event_type"),
+        F.lit(1.5).alias("value"),
+        F.lit(0.9).alias("score"),
+    ).coalesce(1).write.mode("append").parquet(newf)
+    import glob as _g
+    import os as _os
+
+    latest = max(_g.glob(f"{newf}/*.parquet"), key=_os.path.getmtime)
+    rel = f"region=p0/{_os.path.basename(latest)}"
+    blob = log.read(v2)["schema"]
+    log.commit(
+        log.files(v2) + [(rel, _os.path.getsize(latest))],
+        op="append", parent=v2, schema=blob,
+    )
+    both = read_table_at(spark, part_table)
+    assert both.count() == base_rows + 5
+    assert both.where(F.col("score").isNotNull()).count() == 5
+    assert both.where(F.col("event_type") == "evolved").count() == 5
+
+
+def test_compact_rewrites_through_evolved_schema(spark, part_table):
+    """snapshot_compact after evolution materializes the evolved
+    schema physically: new files contain the added column (nulls) and
+    no longer contain dropped bytes; content verification still
+    gates."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    from hbase_compact_spark.compaction.snapshots import (
+        evolve_schema,
+        snapshot_compact,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    base_rows = read_table_at(spark, part_table).count()
+    evolve_schema(
+        spark, part_table, add_columns={"score": "double"},
+        drop_columns=["props"],
+    )
+    total = sum(s for _, s in log.files())
+    res = snapshot_compact(spark, part_table, target_bytes=max(1, total // 4))
+    assert res["rewritten"] == 2
+    after = read_table_at(spark, part_table)
+    assert after.count() == base_rows
+    assert "score" in after.columns and "props" not in after.columns
+    # physically: compacted files carry score, not props
+    new_files = [
+        f"{part_table}/{p}"
+        for p, _ in log.files()
+        if "compacted-" in p
+    ]
+    assert new_files
+    for path in new_files:
+        names = set(_pq.ParquetFile(path).schema_arrow.names)
+        assert "score" in names and "props" not in names
