@@ -119,6 +119,7 @@ class SnapshotLog:
         parent: int | None = None,
         stats: dict[str, dict] | None = None,
         schema: dict | None = None,
+        blooms: dict[str, dict] | None = None,
     ) -> int:
         """Atomically claim the next version. The temp file is fully
         written first; rename-if-absent is the only commit point, so a
@@ -135,6 +136,8 @@ class SnapshotLog:
             payload["stats"] = stats
         if schema:
             payload["schema"] = schema
+        if blooms:
+            payload["blooms"] = blooms
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
         for _ in range(50):
             n = (self.latest() or 0) + 1
@@ -348,6 +351,167 @@ def annotate_stats(
     return log.commit(files, op="stats", parent=v, stats=stats)
 
 
+def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """(m bits, k hashes) for n values at target fpp, capped at
+    max_bits (bigger files degrade fpp instead of blowing up the
+    snapshot JSON — Iceberg would spill these to manifest files)."""
+    import math
+
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(m, max_bits))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(values, m: int, k: int):
+    """Deterministic bit positions (numpy array, shape [len, k]) via
+    double hashing (h1 + i*h2 mod m) over pandas' stable siphash —
+    identical on executors (build) and the driver (probe)."""
+    import numpy as np
+    import pandas as pd
+
+    h1 = pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
+    h2 = pd.util.hash_pandas_object(
+        values.astype(str) + "\x00salt", index=False
+    ).to_numpy(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
+        np.int64
+    )
+
+
+def _build_bloom(values, fpp: float, max_bits: int) -> dict | None:
+    """Serialized bloom for one file's column values: {"m", "k", "t"
+    (value dtype tag), "bits" (base64 packed bitset)}. Only integer
+    and string columns are bloomed — float reprs are not stable enough
+    across build/probe to risk a false-negative prune."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(values).dropna()
+    if pd.api.types.is_integer_dtype(s):
+        tag = "i"
+        s = s.astype("int64")
+    elif pd.api.types.is_object_dtype(s) or pd.api.types.is_string_dtype(s):
+        tag = "s"
+        s = s.astype(str)
+    else:
+        return None
+    m, k = _bloom_params(s.nunique(), fpp, max_bits)
+    bits = np.zeros(m, dtype=bool)
+    if len(s):
+        bits[_bloom_positions(s, m, k).ravel()] = True
+    return {
+        "m": m,
+        "k": k,
+        "t": tag,
+        "bits": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Driver-side probe; any doubt (type coercion failure) = True."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    try:
+        v = int(value) if bloom["t"] == "i" else str(value)
+    except (TypeError, ValueError):
+        return True
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
+    )[: bloom["m"]]
+    pos = _bloom_positions(pd.Series([v]), bloom["m"], bloom["k"])[0]
+    return bool(bits[pos].all())
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    table_root: str,
+    relpaths: list[str],
+    cols: list[str],
+    fpp: float = 0.01,
+    max_bits: int = 1 << 16,
+) -> dict[str, dict]:
+    """Distributed per-file bloom build: one task per file reads ONLY
+    the requested columns (pyarrow column pruning) and emits a
+    fixed-size bitset — O(max_bits) per file per column crosses to the
+    driver, never values."""
+    import json as _json
+
+    if not relpaths or not cols:
+        return {}
+    root_local = _uri_path(table_root)
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            recs = []
+            for rel in pdf["relpath"]:
+                try:
+                    pf = pq.ParquetFile(posixpath.join(root_local, rel))
+                    present = [c for c in cols if c in pf.schema_arrow.names]
+                    tbl = pf.read(columns=present)
+                except OSError:
+                    continue
+                blooms = {
+                    c: b
+                    for c in present
+                    if (
+                        b := _build_bloom(
+                            tbl.column(c).to_pandas(), fpp, max_bits
+                        )
+                    )
+                    is not None
+                }
+                recs.append((rel, _json.dumps(blooms)))
+            yield pd.DataFrame(recs, columns=["relpath", "blooms"])
+
+    df = spark.createDataFrame([(p,) for p in relpaths], "relpath string")
+    n_part = max(1, min(64, len(relpaths)))
+    rows = df.repartition(n_part).mapInPandas(gen, "relpath string, blooms string")
+    return {r["relpath"]: _json.loads(r["blooms"]) for r in rows.collect()}
+
+
+def annotate_blooms(
+    spark: SparkSession,
+    table_root: str,
+    cols: list[str],
+    fpp: float = 0.01,
+    max_bits: int = 1 << 16,
+    version: int | None = None,
+) -> int:
+    """Commit a snapshot carrying per-file bloom filters for the given
+    columns. Min/max stats prune RANGES; blooms prune EQUALITY on
+    high-cardinality keys, where every file's [min, max] spans the
+    whole domain and stats never fire — the point-lookup path at
+    100 TB. Probing is a driver-side bitset test per (file, value):
+    no footer, no scan."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest() if version is None else version
+    snap = log.read(v)
+    files = log.files(v)
+    blooms = collect_file_blooms(
+        spark, table_root, [p for p, _ in files], cols, fpp, max_bits
+    )
+    return log.commit(
+        files,
+        op="blooms",
+        parent=v,
+        stats=snap.get("stats"),
+        schema=snap.get("schema"),
+        blooms=blooms,
+    )
+
+
 def _disjoint(rng: list, lo, hi) -> bool:
     """True iff [rng.min, rng.max] provably misses [lo, hi]. Type
     mismatches (str stats vs numeric bound) never prune."""
@@ -370,25 +534,39 @@ def scan_plan(
     predicates: dict[str, tuple],
     version: int | None = None,
 ) -> dict:
-    """Driver-side file pruning against snapshot stats. `predicates`
-    maps column -> (lo, hi) inclusive bounds (None = unbounded); a file
-    is dropped only when its recorded [min, max] provably misses every
-    value in the requested range — files without stats for a column
-    are always kept. Pure metadata: O(files x predicates) comparisons,
-    no filesystem access at all."""
+    """Driver-side file pruning against snapshot stats and blooms.
+    `predicates` maps column -> (lo, hi) inclusive bounds (None =
+    unbounded) for ranges, or -> a scalar for equality. A file is
+    dropped only when its recorded [min, max] provably misses the
+    requested range, or (equality, bloom annotated) the bloom filter
+    rules the value out — files without metadata for a column are
+    always kept. Pure metadata: O(files x predicates) bitset/compare
+    work, no filesystem access at all."""
     log = SnapshotLog(spark, table_root)
     v = log.latest() if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {table_root}")
     snap = log.read(v)
     stats = snap.get("stats") or {}
+    blooms = snap.get("blooms") or {}
+    norm = {
+        col: (pred if isinstance(pred, tuple) else (pred, pred))
+        for col, pred in predicates.items()
+    }
     kept, pruned = [], 0
     for relpath, _size in [(f[0], f[1]) for f in snap["files"]]:
         file_cols = stats.get(relpath, {}).get("cols", {})
-        if any(
+        file_blooms = blooms.get(relpath, {})
+        drop = any(
             col in file_cols and _disjoint(file_cols[col], lo, hi)
-            for col, (lo, hi) in predicates.items()
-        ):
+            for col, (lo, hi) in norm.items()
+        ) or any(
+            col in file_blooms
+            and not _bloom_may_contain(file_blooms[col], pred)
+            for col, pred in predicates.items()
+            if not isinstance(pred, tuple)
+        )
+        if drop:
             pruned += 1
         else:
             kept.append(relpath)
@@ -423,7 +601,11 @@ def read_table_where(
     df = spark.read.option("basePath", table_root).parquet(
         *[posixpath.join(table_root, p) for p in paths]
     )
-    for col, (lo, hi) in predicates.items():
+    for col, pred in predicates.items():
+        if not isinstance(pred, tuple):
+            df = df.filter(F.col(col) == F.lit(pred))
+            continue
+        lo, hi = pred
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -516,51 +698,364 @@ def snapshot_compact(
         if _fingerprint(src) != _fingerprint(out):
             _rm(spark, tmp_dir)
             raise RuntimeError(f"snapshot compaction verification failed: {part_rel}")
-        part_dir = (
-            posixpath.join(table_root, part_rel) if part_rel else table_root
-        )
-        batch = uuid.uuid4().hex[:10]
-        i = 0
-        for st in fs.listStatus(Path(tmp_dir)):
-            name = st.getPath().getName()
-            if not name.endswith(".parquet"):
-                continue
-            dest_name = f"compacted-{batch}-{i:05d}.parquet"
-            dest = Path(part_dir, dest_name)
-            if not fs.rename(st.getPath(), dest):
-                raise RuntimeError(f"rename failed: {name} -> {dest}")
-            added.append(
-                (
-                    posixpath.join(part_rel, dest_name) if part_rel else dest_name,
-                    int(fs.getFileStatus(dest).getLen()),
-                )
+        added.extend(
+            _move_tmp_files(
+                fs, Path, tmp_dir, table_root, part_rel, "compacted"
             )
-            i += 1
+        )
         _rm(spark, tmp_dir)
         rewritten += 1
     if not rewritten:
         return {"version": base_version, "rewritten": 0, "new_files": 0}
-    # incremental stats maintenance: kept files inherit the parent
-    # snapshot's stats verbatim; only the freshly written files get a
-    # footer pass — the same bounded-delta shape as the file list
-    pstats = log.read(base_version).get("stats") or {}
-    stats = None
-    if pstats:
-        cols = sorted({c for st in pstats.values() for c in st.get("cols", {})})
-        stats = {p: pstats[p] for p, _ in keep if p in pstats}
-        stats.update(
-            collect_file_stats(
-                spark, table_root, [p for p, _ in added], cols or None
-            )
-        )
+    stats, blooms = _carry_meta(spark, log, base_version, keep, added)
     version = log.commit(
         keep + added,
         op="compact",
         parent=base_version,
         stats=stats,
         schema=schema_blob,
+        blooms=blooms,
     )
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
+
+
+def _move_tmp_files(
+    fs, Path, tmp_dir: str, table_root: str, part_rel: str, prefix: str
+) -> list[tuple[str, int]]:
+    """Move a tmp-dir's parquet output into the partition dir under
+    fresh uuid-batch names; returns [(relpath, size)] of what landed.
+    Rename failures raise — never a silent duplicate."""
+    part_dir = posixpath.join(table_root, part_rel) if part_rel else table_root
+    fs.mkdirs(Path(part_dir))
+    batch = uuid.uuid4().hex[:10]
+    out = []
+    for i, st in enumerate(
+        s for s in fs.listStatus(Path(tmp_dir))
+        if s.getPath().getName().endswith(".parquet")
+    ):
+        dest_name = f"{prefix}-{batch}-{i:05d}.parquet"
+        dest = Path(part_dir, dest_name)
+        if not fs.rename(st.getPath(), dest):
+            raise RuntimeError(f"rename failed: {st.getPath()} -> {dest}")
+        out.append(
+            (
+                posixpath.join(part_rel, dest_name) if part_rel else dest_name,
+                int(fs.getFileStatus(dest).getLen()),
+            )
+        )
+    return out
+
+
+def _carry_meta(
+    spark: SparkSession,
+    log: SnapshotLog,
+    base_version: int,
+    keep: list[tuple[str, int]],
+    added: list[tuple[str, int]],
+) -> tuple[dict | None, dict | None]:
+    """Incremental (stats, blooms) maintenance across a rewrite: kept
+    files inherit the parent snapshot's entries verbatim; only freshly
+    written files get a footer/bloom pass — the same bounded-delta
+    shape as the file list itself."""
+    snap = log.read(base_version)
+    pstats = snap.get("stats") or {}
+    pblooms = snap.get("blooms") or {}
+    added_paths = [p for p, _ in added]
+    stats = blooms = None
+    if pstats:
+        cols = sorted({c for st in pstats.values() for c in st.get("cols", {})})
+        stats = {p: pstats[p] for p, _ in keep if p in pstats}
+        stats.update(
+            collect_file_stats(spark, log.table_root, added_paths, cols or None)
+        )
+    if pblooms:
+        bcols = sorted({c for b in pblooms.values() for c in b})
+        blooms = {p: pblooms[p] for p, _ in keep if p in pblooms}
+        if bcols:
+            blooms.update(
+                collect_file_blooms(spark, log.table_root, added_paths, bcols)
+            )
+    return stats, blooms
+
+
+def _partition_cols_of(log: SnapshotLog, version: int) -> list[str]:
+    """Partition columns: from the declared schema if evolved, else
+    detected from hive `k=v` path components."""
+    blob = log.read(version).get("schema")
+    if blob:
+        return list(blob["partition_cols"])
+    pcols: list[str] = []
+    for relpath, _ in log.files(version):
+        for comp in posixpath.dirname(relpath).split("/"):
+            if "=" in comp:
+                name = comp.split("=", 1)[0]
+                if name not in pcols:
+                    pcols.append(name)
+    return pcols
+
+
+def _predicate_expr(predicates: dict[str, tuple]):
+    """The exact Column expression for a scan_plan-style predicate
+    dict (scalar = equality, (lo, hi) = inclusive range)."""
+    e = F.lit(True)
+    for col, pred in predicates.items():
+        if not isinstance(pred, tuple):
+            e = e & (F.col(col) == F.lit(pred))
+            continue
+        lo, hi = pred
+        if lo is not None:
+            e = e & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            e = e & (F.col(col) <= F.lit(hi))
+    return e
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_root: str,
+    predicates: dict[str, tuple],
+    *,
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write row-level DELETE with file skipping: only files
+    that MAY contain matches (scan_plan over stats + blooms) are even
+    read; of those, only files with actual matches are rewritten
+    without the matching rows; everything else is carried by
+    reference. One new snapshot commits the result — readers never see
+    a partial delete, time travel keeps the pre-delete version. NULL
+    predicate evaluations keep the row (SQL DELETE WHERE semantics).
+    At 100 TB a keyed delete (GDPR erasure) touches the handful of
+    files the bloom cannot rule out, not the table."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    base_version = log.latest() if version is None else version
+    plan = scan_plan(spark, table_root, predicates, base_version)
+    candidates = set(plan["paths"])
+    all_files = log.files(base_version)
+    pcols = _partition_cols_of(log, base_version)
+    pred = _predicate_expr(predicates)
+
+    keep = [(p, s) for p, s in all_files if p not in candidates]
+    cand = [(p, s) for p, s in all_files if p in candidates]
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for relpath, size in cand:
+        by_part.setdefault(posixpath.dirname(relpath), []).append((relpath, size))
+
+    fs, _, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    added: list[tuple[str, int]] = []
+    deleted_rows = 0
+    rewritten = 0
+    for part_rel in sorted(by_part):
+        files = by_part[part_rel]
+        srcs = [posixpath.join(table_root, p) for p, _ in files]
+        # basePath read keeps partition columns evaluable in the
+        # predicate; they are dropped again before the physical write
+        src = spark.read.option("basePath", table_root).parquet(*srcs)
+        n_src = src.count()
+        n_match = src.filter(pred).count()
+        if n_match == 0:  # bloom/stats false positive: carry untouched
+            keep.extend(files)
+            continue
+        keep_rows = src.filter(~F.coalesce(pred, F.lit(False)))
+        if pcols:
+            keep_rows = keep_rows.drop(*[c for c in pcols if c in src.columns])
+        tmp_dir = posixpath.join(
+            table_root,
+            f"_snapdelete_tmp_{hashlib.md5(part_rel.encode()).hexdigest()[:12]}",
+        )
+        keep_rows.write.mode("overwrite").parquet(tmp_dir)
+        n_keep = spark.read.parquet(tmp_dir).count()
+        if n_keep != n_src - n_match:
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"delete verification failed in {part_rel}: "
+                f"{n_src} - {n_match} != {n_keep}"
+            )
+        if n_keep:
+            added.extend(
+                _move_tmp_files(fs, Path, tmp_dir, table_root, part_rel, "deleted")
+            )
+        _rm(spark, tmp_dir)
+        deleted_rows += n_match
+        rewritten += len(files)
+    if not deleted_rows:
+        return {
+            "version": base_version,
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+            "scanned_files": len(cand),
+        }
+    stats, blooms = _carry_meta(spark, log, base_version, keep, added)
+    v = log.commit(
+        keep + added,
+        op="delete",
+        parent=base_version,
+        stats=stats,
+        schema=log.read(base_version).get("schema"),
+        blooms=blooms,
+    )
+    return {
+        "version": v,
+        "deleted_rows": deleted_rows,
+        "rewritten_files": rewritten,
+        "scanned_files": len(cand),
+    }
+
+
+MERGE_KEY_PROBE_CAP = 100_000
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_root: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    *,
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write MERGE (upsert) keyed on `key_cols`: existing rows
+    whose key appears in `source_df` are replaced, unseen source rows
+    are inserted — Delta/Iceberg `MERGE INTO ... WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT` semantics. File skipping does the heavy
+    lifting: source keys (capped at MERGE_KEY_PROBE_CAP, beyond which
+    every file is a candidate) are probed against per-file stats and
+    blooms, so only files that may hold a matched key are read, and
+    only partitions with actual matches or inserts are rewritten.
+    `source_df` must carry the table's partition columns; inserts land
+    in the partition their values name, updates land where the SOURCE
+    row says (a key changing partition moves). Source keys must be
+    unique. At 100 TB, merging a day of updates touches the files the
+    blooms cannot rule out — typically O(|source|) files, not
+    O(table)."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    base_version = log.latest() if version is None else version
+    all_files = log.files(base_version)
+    pcols = _partition_cols_of(log, base_version)
+    missing = [c for c in key_cols if c not in source_df.columns] + [
+        c for c in pcols if c not in source_df.columns
+    ]
+    if missing:
+        raise ValueError(f"source_df lacks required columns: {missing}")
+    n_source = source_df.count()
+    if n_source == 0:
+        return {"version": base_version, "matched": 0, "inserted": 0}
+    keys_df = source_df.select(*key_cols)
+    if keys_df.distinct().count() != n_source:
+        raise ValueError("source keys must be unique for MERGE")
+
+    # ---- candidate file detection via snapshot metadata
+    snap = log.read(base_version)
+    stats = snap.get("stats") or {}
+    blooms = snap.get("blooms") or {}
+    if n_source <= MERGE_KEY_PROBE_CAP and (stats or blooms):
+        keys = [tuple(r) for r in keys_df.collect()]
+
+        def may_hold(relpath: str) -> bool:
+            fc = stats.get(relpath, {}).get("cols", {})
+            fb = blooms.get(relpath, {})
+            for key in keys:
+                for col, val in zip(key_cols, key):
+                    if col in fc and _disjoint(fc[col], val, val):
+                        break
+                    if col in fb and not _bloom_may_contain(fb[col], val):
+                        break
+                else:
+                    return True
+            return False
+
+        cand = [(p, s) for p, s in all_files if may_hold(p)]
+    else:
+        cand = list(all_files)
+    cand_set = {p for p, _ in cand}
+    keep = [(p, s) for p, s in all_files if p not in cand_set]
+
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for relpath, size in cand:
+        by_part.setdefault(posixpath.dirname(relpath), []).append((relpath, size))
+    # partitions receiving inserts/updates, named by the source rows
+    if pcols:
+        src_parts = {
+            "/".join(f"{c}={r[c]}" for c in pcols): None
+            for r in source_df.select(*pcols).distinct().collect()
+        }
+    else:
+        src_parts = {"": None}
+
+    fs, _, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    added: list[tuple[str, int]] = []
+    matched_total = 0
+    data_cols = [c for c in source_df.columns if c not in pcols]
+    for part_rel in sorted(set(by_part) | set(src_parts)):
+        files = by_part.get(part_rel, [])
+        part_filter = None
+        if pcols and part_rel:
+            vals = dict(
+                comp.split("=", 1) for comp in part_rel.split("/") if "=" in comp
+            )
+            part_filter = _predicate_expr(
+                {c: v for c, v in vals.items()}
+            )
+        part_source = (
+            source_df.filter(part_filter) if part_filter is not None
+            else source_df
+        )
+        old_minus = None
+        n_old = n_kept = 0
+        if files:
+            srcs = [posixpath.join(table_root, p) for p, _ in files]
+            old = spark.read.option("basePath", table_root).parquet(*srcs)
+            n_old = old.count()
+            old_minus = old.join(
+                F.broadcast(keys_df), on=key_cols, how="left_anti"
+            ).select(*data_cols)
+            n_kept = old_minus.count()
+            if n_kept == n_old:
+                # no matched keys here: old files stay by reference;
+                # inserts (if any) land append-only in a fresh file
+                keep.extend(files)
+                if part_rel not in src_parts:
+                    continue
+                old_minus, n_old, n_kept = None, 0, 0
+        new_content = part_source.select(*data_cols)
+        if old_minus is not None:
+            new_content = old_minus.unionByName(new_content)
+        matched_total += n_old - n_kept
+        tmp_dir = posixpath.join(
+            table_root,
+            f"_snapmerge_tmp_{hashlib.md5(part_rel.encode()).hexdigest()[:12]}",
+        )
+        new_content.write.mode("overwrite").parquet(tmp_dir)
+        n_new = spark.read.parquet(tmp_dir).count()
+        n_part_source = part_source.count()
+        if n_new != n_kept + n_part_source:
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"merge verification failed in {part_rel!r}: "
+                f"{n_kept} + {n_part_source} != {n_new}"
+            )
+        if n_new:
+            added.extend(
+                _move_tmp_files(fs, Path, tmp_dir, table_root, part_rel, "merged")
+            )
+        _rm(spark, tmp_dir)
+    stats_new, blooms_new = _carry_meta(spark, log, base_version, keep, added)
+    v = log.commit(
+        keep + added,
+        op="merge",
+        parent=base_version,
+        stats=stats_new,
+        schema=snap.get("schema"),
+        blooms=blooms_new,
+    )
+    return {
+        "version": v,
+        "matched": matched_total,
+        "inserted": n_source - matched_total,
+        "candidate_files": len(cand),
+    }
 
 
 def sweep_orphans(

@@ -1936,3 +1936,43 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("bm25"))
     )
+
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          AS term
+      FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM tok CROSS JOIN n
+    GROUP BY term, n.n_docs
+    HAVING count(DISTINCT doc_id) >= 0.5 * n_docs
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-token mining (terms in >= 50% of all
+    documents) — the stopword-discovery / vocabulary-pruning pass a
+    tokenizer pipeline runs first. Shape: token explode -> grouped
+    (count, countDistinct) with map-side partials; the support
+    threshold makes the output tiny regardless of corpus size, and
+    the 1-row doc count broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    n = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    per_term = tok.groupBy("term").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .where(F.col("df") >= 0.5 * F.col("n_docs"))
+        .select("term", "n", "df")
+    )

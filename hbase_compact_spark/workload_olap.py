@@ -676,3 +676,50 @@ def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prk"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props) FROM events
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (rows / nulls / distincts) in
+    ONE scan — the schema-audit step before any training ingest. All
+    counts fold map-side; the multi-distinct plan is Spark's Expand
+    (one scan, grouped partials), never per-column re-reads. At
+    100 TB swap countDistinct for approx_count_distinct (the
+    approx_stats query demonstrates it) — exact here so the oracle
+    can verify."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__cnt_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+        ]
+    row = ev.agg(*aggs)
+    pairs = ", ".join(
+        f"named_struct('col_name', '{c}', 'n_rows', __n, "
+        f"'n_null', __n - __cnt_{c}, 'n_distinct', __nd_{c})"
+        for c in cols
+    )
+    return row.select(
+        F.explode(F.expr(f"array({pairs})")).alias("p")
+    ).select("p.col_name", "p.n_rows", "p.n_null", "p.n_distinct")

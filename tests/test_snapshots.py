@@ -433,3 +433,146 @@ def test_compact_rewrites_through_evolved_schema(spark, part_table):
     for path in new_files:
         names = set(_pq.ParquetFile(path).schema_arrow.names)
         assert "score" in names and "props" not in names
+
+
+def test_bloom_pruning_point_lookup(spark, part_table):
+    """annotate_blooms: equality lookups on a high-cardinality key
+    prune files whose bloom rules the value out; low-cardinality
+    columns never prune wrongly; absent values prune (almost)
+    everything while reads stay exact."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_blooms,
+        read_table_where,
+        scan_plan,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    v = annotate_blooms(spark, part_table, ["event_id", "event_type"])
+    assert log.read(v)["op"] == "blooms"
+    files = log.files(v)
+    full = read_table_at(spark, part_table)
+    cols = sorted(full.columns)
+
+    # a real event_id lives in exactly one of the 8 random-split files
+    target = full.agg(F.min("event_id")).collect()[0][0]
+    plan = scan_plan(spark, part_table, {"event_id": int(target)})
+    assert plan["pruned_files"] > 0, plan
+    got = read_table_where(spark, part_table, {"event_id": int(target)})
+    exp = full.filter(F.col("event_id") == int(target))
+    assert _sorted_rows(got.select(cols)) == _sorted_rows(exp.select(cols))
+
+    # low-cardinality string col: present in every file -> no pruning
+    some_type = full.groupBy("event_type").count().orderBy(
+        F.desc("count")
+    ).first()["event_type"]
+    plan2 = scan_plan(spark, part_table, {"event_type": some_type})
+    assert plan2["pruned_files"] == 0
+    got2 = read_table_where(spark, part_table, {"event_type": some_type})
+    exp2 = full.filter(F.col("event_type") == some_type)
+    assert got2.count() == exp2.count()
+
+    # absent values: almost everything pruned (fpp collisions allowed),
+    # result exactly empty with the full schema
+    plan3 = scan_plan(spark, part_table, {"event_id": 10**15})
+    assert plan3["kept_files"] <= 1, plan3
+    plan4 = scan_plan(spark, part_table, {"event_type": "no-such-type"})
+    assert plan4["kept_files"] <= 1, plan4
+    empty = read_table_where(spark, part_table, {"event_id": 10**15})
+    assert empty.count() == 0 and sorted(empty.columns) == cols
+
+
+def test_snapshot_delete_skips_and_rewrites_exactly(spark, part_table):
+    """Copy-on-write DELETE: with blooms annotated, a keyed delete
+    reads only the files that may hold the key, rewrites only those
+    with real matches, and the new snapshot reads as full minus
+    deleted. Time travel keeps the pre-delete rows."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_blooms,
+        snapshot_delete,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    v0 = annotate_blooms(spark, part_table, ["event_id"])
+    full = read_table_at(spark, part_table)
+    n_total = full.count()
+    target = int(full.agg(F.min("event_id")).collect()[0][0])
+
+    res = snapshot_delete(spark, part_table, {"event_id": target})
+    assert res["deleted_rows"] == 1
+    assert res["scanned_files"] < len(log.files(v0))  # bloom skipped files
+    after = read_table_at(spark, part_table)
+    assert after.count() == n_total - 1
+    assert after.filter(F.col("event_id") == target).count() == 0
+    # time travel: pre-delete version intact
+    assert read_table_at(spark, part_table, v0).count() == n_total
+    # deleting a nonexistent key commits nothing
+    res2 = snapshot_delete(spark, part_table, {"event_id": 10**15})
+    assert res2["deleted_rows"] == 0 and res2["version"] == log.latest()
+    # range delete without any annotation still works (conservative)
+    lo = int(after.agg(F.min("user_id")).collect()[0][0])
+    n_range = after.filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= lo)
+    ).count()
+    res3 = snapshot_delete(spark, part_table, {"user_id": (lo, lo)})
+    assert res3["deleted_rows"] == n_range
+    assert read_table_at(spark, part_table).count() == n_total - 1 - n_range
+
+
+def test_snapshot_merge_upsert_semantics(spark, part_table):
+    """MERGE: matched keys are replaced (even across partitions),
+    unmatched source rows insert into the partition their values name,
+    untouched files are carried by reference, and stats/blooms stay
+    maintained."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_blooms,
+        annotate_stats,
+        snapshot_merge,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    annotate_stats(spark, part_table, ["event_id"])
+    annotate_blooms(spark, part_table, ["event_id"])
+    full = read_table_at(spark, part_table)
+    n_total = full.count()
+    n_files_before = len(log.files())
+
+    # source: update two existing rows (new value), insert two new ids
+    two = [
+        r.asDict() for r in full.orderBy("event_id").limit(2).collect()
+    ]
+    for r in two:
+        r["value"] = 99.5
+    inserts = [
+        dict(two[0], event_id=10**12 + 1, region="p0", value=1.25),
+        dict(two[1], event_id=10**12 + 2, region="p1", value=2.25),
+    ]
+    src = spark.createDataFrame(
+        [tuple(d[c] for c in full.columns) for d in two + inserts],
+        schema=full.schema,
+    )
+    res = snapshot_merge(spark, part_table, src, ["event_id"])
+    assert res["matched"] == 2 and res["inserted"] == 2
+    assert res["candidate_files"] < n_files_before  # metadata skipped files
+
+    after = read_table_at(spark, part_table)
+    assert after.count() == n_total + 2
+    upd = after.filter(
+        F.col("event_id").isin([int(t["event_id"]) for t in two])
+    )
+    assert upd.count() == 2
+    assert {r["value"] for r in upd.collect()} == {99.5}
+    ins = after.filter(F.col("event_id") > 10**12)
+    assert ins.count() == 2
+    assert {r["region"] for r in ins.collect()} == {"p0", "p1"}
+    # metadata stayed maintained: every live file has stats + blooms
+    snap = log.read(log.latest())
+    live = {p for p, _ in log.files()}
+    assert set(snap["stats"]) == live
+    assert set(snap["blooms"]) == live
+    # merge with duplicate source keys is rejected
+    dup = spark.createDataFrame(
+        [tuple(d[c] for c in full.columns) for d in two + two],
+        schema=full.schema,
+    )
+    with pytest.raises(ValueError, match="unique"):
+        snapshot_merge(spark, part_table, dup, ["event_id"])
