@@ -18,16 +18,20 @@ from pyspark.sql import functions as F
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` as a bounded stream (file source). The ns-timestamp
-    handling mirrors tables.load_events."""
+    """`events` as a bounded stream (file source). Event-time
+    normalization is shared with the batch path (tables.normalize_ts)
+    so the two can never diverge on fixture-encoding changes."""
+    from ..tables import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:

@@ -40,20 +40,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright unless the legacy nanosAsLong flag is on. Read it as long
-    nanos and truncate to a microsecond TimestampType column (integer
-    division — no double round-trip, which would lose precision at
-    1e18 nanos)."""
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType regardless of
+    how the fixture was written. Three parquet encodings have shipped:
+
+    - TIMESTAMP(NANOS): read as LongType nanos (with nanosAsLong on)
+      → truncate via integer division to micros. No double round-trip,
+      which would lose precision at 1e18 nanos.
+    - timestamp[us] without UTC adjustment: Spark 4 loads TIMESTAMP_NTZ,
+      which `unix_micros`/`window`/watermarks reject. The session is
+      pinned to UTC (load_table), so `cast("timestamp")` reinterprets
+      the same wall-clock instant value-preservingly.
+    - plain TimestampType: pass through.
+
+    Batch (load_events) and streaming (streaming.tumbling.events_stream)
+    both MUST go through this helper so the paths cannot diverge.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.ts` has been written as TIMESTAMP(NANOS) and as plain
+    timestamp[us] (NTZ under Spark 4) by different fixture generations;
+    normalize_ts handles both. nanosAsLong stays on so the NANOS
+    variant loads at all instead of throwing."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
