@@ -723,3 +723,41 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.explode(F.expr(f"array({pairs})")).alias("p")
     ).select("p.col_name", "p.n_rows", "p.n_null", "p.n_distinct")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a PATHOLOGICALLY skewed key: (l_returnflag,
+    l_linestatus) has 6 distinct values over the whole table, so a
+    naive shuffle sends every row to 6 reducers no matter how many
+    executors exist. operators/skew.salted_groupby_agg inserts an
+    explicit salt stage — partial agg on (keys, hash(row) % 16)
+    spreads each hot key over 16 reducers, final agg merges the 6x16
+    partials — the static recipe for hot-key aggregations AQE cannot
+    re-plan (streaming, pre-partitioned pipelines). Result-identical
+    to the plain GROUP BY oracle; count/sum/max are decomposable so
+    the two-phase merge is exact (l_quantity is integral-valued —
+    IEEE-exact under any summation order)."""
+    from hbase_compact_spark.operators.skew import salted_groupby_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_groupby_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": "count(*)",
+            "sum_qty": "sum(l_quantity)",
+            "max_price": "max(l_extendedprice)",
+        },
+        salt=16,
+    )

@@ -34,8 +34,11 @@ from hbase_compact_spark.streaming.tumbling import (
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour tumbling windows over the events stream, executed as a
     real Structured Streaming query (file source -> watermark ->
-    windowed agg -> memory sink, availableNow trigger)."""
-    return run_bounded(tumbling_counts(events_stream(spark, sf_dir)))
+    windowed agg -> memory sink, availableNow trigger). State-store
+    count sized for the fixture stream (see run_bounded docstring)."""
+    return run_bounded(
+        tumbling_counts(events_stream(spark, sf_dir)), n_partitions=8
+    )
 
 
 @query(
@@ -202,4 +205,4 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_bounded(agg)
+    return run_bounded(agg, n_partitions=8)

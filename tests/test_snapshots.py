@@ -576,3 +576,34 @@ def test_snapshot_merge_upsert_semantics(spark, part_table):
     )
     with pytest.raises(ValueError, match="unique"):
         snapshot_merge(spark, part_table, dup, ["event_id"])
+
+
+def test_snapshot_pruned_scan_query_prunes_and_matches(spark):
+    """The declared `snapshot_pruned_scan` query (workload_compaction)
+    must (a) really skip files via snapshot stats — not just filter —
+    and (b) return exactly full-scan + filter."""
+    from hbase_compact_spark.compaction.snapshots import scan_plan
+    from hbase_compact_spark.workload_compaction import (
+        PRUNE_HI,
+        PRUNE_LO,
+        snapshot_pruned_scan,
+        snapshot_scan_root,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = snapshot_scan_root(spark, sf_dir)
+    plan = scan_plan(spark, root, {"o_orderkey": (PRUNE_LO, PRUNE_HI)})
+    assert plan["pruned_files"] > 0, plan  # data skipping actually happened
+    assert plan["kept_files"] >= 1
+
+    got = snapshot_pruned_scan(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").between(PRUNE_LO, PRUNE_HI))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # rebuild memo: second call must reuse the materialized snapshot
+    assert snapshot_scan_root(spark, sf_dir) == root
