@@ -206,3 +206,34 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, n_partitions=8)
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS batch_events,
+           count(*) AS total_events,
+           round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState): running
+    per-user (count, value-sum) totals folded across micro-batches in
+    the keyed state store — the streaming generalization of the
+    reference's persisted region cursor (QHBaseCompact.java:102-133).
+    The fixture stream is one file, so availableNow delivers exactly
+    one micro-batch and the running totals equal the batch GROUP BY
+    (batch_events == total_events); with more batches, update mode
+    would emit one running-total row per user per batch — the
+    incremental semantics the oracle can't see but the state API
+    guarantees (multi-batch fold covered by
+    tests/test_daemon_streaming.py::test_stateful_user_totals)."""
+    from hbase_compact_spark.streaming.stateful import stateful_user_totals
+
+    ev = events_stream(spark, sf_dir)
+    return run_bounded(
+        stateful_user_totals(ev), mode="update", n_partitions=8
+    )

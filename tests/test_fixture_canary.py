@@ -90,3 +90,28 @@ def test_events_physical_encoding_documented(sf_dir):
         f"events.ts physical type {t} is one tables.normalize_ts has "
         "never seen — add a branch and a pin"
     )
+
+
+def test_normalize_ts_all_branches(spark):
+    """normalize_ts must map every encoding that has ever shipped to
+    the same TimestampType instants: long nanos, TIMESTAMP_NTZ, and
+    already-normalized timestamp (idempotent)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from hbase_compact_spark.tables import normalize_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    micros = 1_500_000_123_456_789  # 2017-07-14 02:42:03.456789 UTC
+    want = datetime.datetime(2017, 7, 14, 2, 42, 3, 456789)
+
+    nanos = spark.createDataFrame([(micros * 1000,)], "ts long")
+    ntz = spark.sql(
+        f"SELECT timestamp_ntz '{want.isoformat(sep=' ')}' AS ts"
+    )
+    already = spark.createDataFrame([(want,)], "ts timestamp")
+
+    for src in (nanos, ntz, already):
+        out = normalize_ts(src)
+        assert out.schema["ts"].dataType.simpleString() == "timestamp"
+        assert out.select(F.col("ts")).first()["ts"] == want
