@@ -77,18 +77,25 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # key order matters: the round harness records only the TAIL of
+    # this line, so the headline aggregates (value, failures) go LAST
+    # — the per-query dict is what gets truncated, not the totals
     out = {
         "metric": "total_runtime_all_queries",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "runs_per_query": RUNS,
         "aggregation": "median",
         "sf": _sf_from_dir(SF_DIR),
+        "n_queries_timed": len(timings),
+        "n_failures": len(failures),
     }
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        out["failures"] = {
+            name: msg[:80] for name, msg in failures.items()
+        }
+    out["unit"] = "sec"
+    out["value"] = total
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
