@@ -45,18 +45,22 @@ MAJOR_FILE_SIZE = 600_000_000
     WITH inventory AS ({INVENTORY_SQL})
     SELECT region, family, file,
            size_bytes,
-           round(size_bytes / (1024.0*1024.0*1024.0), 9) AS size_gb
+           size_bytes / (1024.0*1024.0*1024.0) AS size_gb
     FROM inventory
     """,
 )
 def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # size_gb unrounded: integer / 2^30 is EXACT in binary (identical
+    # doubles both engines), whereas round(..., 9) hits a half-tie
+    # whenever the size is odd*2^21 (terminating decimal expansion
+    # ending in 5 at digit 10) and Spark/DuckDB break ties differently
     inv = derived_inventory(spark, sf_dir)
     return inv.select(
         "region",
         "family",
         "file",
         "size_bytes",
-        F.round(F.col("size_bytes") / (1024.0 * 1024.0 * 1024.0), 9).alias("size_gb"),
+        (F.col("size_bytes") / (1024.0 * 1024.0 * 1024.0)).alias("size_gb"),
     )
 
 
@@ -105,7 +109,7 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)))
                 AS DOUBLE) AS sum_revenue,
-           round(avg(l_quantity), 4) AS avg_qty,
+           avg(l_quantity) AS avg_qty,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price
     FROM lineitem
@@ -127,7 +131,10 @@ def groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("sum_revenue"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        # unrounded: integral-valued doubles sum exactly, so the
+        # avg division is bit-identical cross-engine (round() would
+        # diverge on exact decimal ties; see window_rank_dist)
+        F.avg("l_quantity").alias("avg_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )

@@ -73,8 +73,8 @@ def _docs_with(spark: SparkSession, sf_dir: str, **cols) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(avg(n_chars), 4) AS avg_chars,
-           round(avg(len({_TOKS_D})), 4) AS avg_tokens,
+           avg(n_chars) AS avg_chars,
+           avg(len({_TOKS_D})) AS avg_tokens,
            CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
                AS short_docs
     FROM documents
@@ -86,8 +86,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size("toks")), 4).alias("avg_tokens"),
+        # unrounded: integer sums divide bit-identically cross-engine
+        # (round() diverges on exact decimal ties; see window_rank_dist)
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg(F.size("toks")).alias("avg_tokens"),
         F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).alias("short_docs"),
     )
 
@@ -182,17 +184,17 @@ _QUAL_D = {
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           round(CASE WHEN n_chars_m = 0 THEN 0.0
-                      ELSE CAST(punct_chars AS DOUBLE) / n_chars_m END, 6)
+           CASE WHEN n_chars_m = 0 THEN 0.0
+                ELSE CAST(punct_chars AS DOUBLE) / n_chars_m END
                AS punct_ratio,
-           round(CASE WHEN n_tokens = 0 THEN 0.0
-                      ELSE CAST(stop_hits AS DOUBLE) / n_tokens END, 6)
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(stop_hits AS DOUBLE) / n_tokens END
                AS stop_ratio,
-           round(least(1.0, n_tokens / 100.0)
+           least(1.0, n_tokens / 100.0)
                  * (1.0 - CASE WHEN n_chars_m = 0 THEN 0.0
                           ELSE CAST(punct_chars AS DOUBLE) / n_chars_m END)
                  * (0.5 + 0.5 * CASE WHEN n_tokens = 0 THEN 0.0
-                          ELSE CAST(stop_hits AS DOUBLE) / n_tokens END), 4)
+                          ELSE CAST(stop_hits AS DOUBLE) / n_tokens END)
                AS quality
     FROM q
     """,
@@ -216,16 +218,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
         F.col("stop_hits").cast("double") / F.col("n_tokens")
     )
+    # unrounded: ratios of identical integers and products of the
+    # resulting identical doubles are bit-identical cross-engine;
+    # round() diverges on exact decimal ties (see window_rank_dist)
     return q.select(
         "doc_id",
         "n_tokens",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (
             F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
             * (1.0 - punct_ratio)
-            * (0.5 + 0.5 * stop_ratio),
-            4,
+            * (0.5 + 0.5 * stop_ratio)
         ).alias("quality"),
     )
 
@@ -551,7 +555,7 @@ def _shingle_index(
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -582,8 +586,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
         )
     )
+    # unrounded: |A∩B| / |A∪B| is a ratio of identical integers, so
+    # the division is bit-identical cross-engine; round() would
+    # diverge on exact decimal ties like 65/128 (see window_rank_dist)
     return jac.filter(F.col("jaccard_raw") >= NGRAM_THRESHOLD).select(
-        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+        "doc_a", "doc_b", F.col("jaccard_raw").alias("jaccard")
     )
 
 
@@ -1088,13 +1095,13 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT doc_id,
              CAST({_QUAL_D["n_tokens"]} AS BIGINT) AS n_tokens,
-             round(least(1.0, {_QUAL_D["n_tokens"]} / 100.0)
+             least(1.0, {_QUAL_D["n_tokens"]} / 100.0)
                    * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
                             ELSE CAST({_QUAL_D["punct"]} AS DOUBLE)
                                  / length(text) END)
                    * (0.5 + 0.5 * CASE WHEN {_QUAL_D["n_tokens"]} = 0 THEN 0.0
                             ELSE CAST({_QUAL_D["stop"]} AS DOUBLE)
-                                 / {_QUAL_D["n_tokens"]} END), 4) AS quality
+                                 / {_QUAL_D["n_tokens"]} END) AS quality
       FROM documents
     ),
     keepers AS (
@@ -1287,8 +1294,8 @@ def corpus_mix_with(
     )
     SELECT doc_id, lang,
            CAST(len(grams) AS BIGINT) AS n_grams,
-           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                     / len(grams), 6) AS rep_ratio
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams) AS rep_ratio
     FROM g
     """,
 )
@@ -1303,11 +1310,11 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size("grams").cast("long").alias("n_grams"),
-        F.round(
+        # unrounded integer ratio — bit-identical cross-engine
+        (
             1.0
             - F.size(F.array_distinct("grams")).cast("double")
-            / F.size("grams"),
-            6,
+            / F.size("grams")
         ).alias("rep_ratio"),
     )
 
@@ -1338,8 +1345,8 @@ CONTAM_THRESHOLD = 0.5
     SELECT tot.doc_id,
            CAST(tot.n_shingles AS BIGINT) AS n_shingles,
            CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-           round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
-                 / tot.n_shingles, 6) AS contamination_rate,
+           CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                 / tot.n_shingles AS contamination_rate,
            CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / tot.n_shingles
              >= {CONTAM_THRESHOLD} AS contaminated
     FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
@@ -1380,7 +1387,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_overlap",
-            F.round(rate, 6).alias("contamination_rate"),
+            rate.alias("contamination_rate"),  # unrounded integer ratio
             (rate >= CONTAM_THRESHOLD).alias("contaminated"),
         )
     )
@@ -1767,7 +1774,7 @@ CONTAINMENT_THRESHOLD = 0.6
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+           CAST(i AS DOUBLE) / sa.n AS containment
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
@@ -1798,8 +1805,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
         "doc_a",
     ).withColumn("c_raw", F.col("i").cast("double") / F.col("na"))
+    # unrounded integer ratio — bit-identical cross-engine (round()
+    # diverges on exact decimal ties; see window_rank_dist)
     return cont.filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD).select(
-        "doc_a", "doc_b", F.round("c_raw", 6).alias("containment")
+        "doc_a", "doc_b", F.col("c_raw").alias("containment")
     )
 
 

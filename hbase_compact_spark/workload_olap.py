@@ -428,8 +428,8 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, total_spend,
            CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
     FROM spend
     WINDOW w AS (ORDER BY total_spend, o_custkey)
     """,
@@ -448,12 +448,15 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_spend")
     )
     w = Window.orderBy("total_spend", "o_custkey")
+    # pct_rank/cume unrounded: integer-ratio doubles are bit-identical
+    # cross-engine, while round() diverges on exact decimal ties (see
+    # window_rank_dist)
     return spend.select(
         "o_custkey",
         "total_spend",
         F.ntile(4).over(w).cast("long").alias("spend_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
@@ -565,12 +568,12 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4)
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
              AS sum_value,
-           round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value,
-           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_value
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -608,15 +611,20 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+    # UNROUNDED on purpose: vsum is decimal-exact (identical on both
+    # engines; the double cast is one correctly-rounded conversion),
+    # min/max are untouched input doubles, and avg is one IEEE
+    # division of identical operands — all bit-identical cross-engine.
+    # round() here DIVERGED on exact decimal ties (378.03/8 =
+    # 47.25375 → Spark 47.2538, DuckDB 47.2537) at sf0.1.
     return hour.select(
         "event_type",
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(F.col("vsum").cast("double"), 4).alias("sum_value"),
-        F.round("vmin", 4).alias("min_value"),
-        F.round("vmax", 4).alias("max_value"),
-        F.round(F.col("vsum").cast("double") / F.col("n_events"), 4)
-        .alias("avg_value"),
+        F.col("vsum").cast("double").alias("sum_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+        (F.col("vsum").cast("double") / F.col("n_events")).alias("avg_value"),
     )
 
 
@@ -656,25 +664,29 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER (PARTITION BY c_nationkey
-                                      ORDER BY c_acctbal), 6) AS prk,
-           round(cume_dist() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal), 6) AS cd
+           percent_rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal) AS prk,
+           cume_dist() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal) AS cd
     FROM customer
     """,
 )
 def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-position windows (percent_rank, cume_dist) per
     nation — rank-based, so cross-engine deterministic even on ties.
-    One shuffle on the partition key; rounds only to normalize the
-    division's last ulp."""
+    One shuffle on the partition key. Deliberately UNROUNDED: both
+    values are ratios of identical integers, so the IEEE division is
+    bit-identical across engines — while round() would DIVERGE on
+    exact decimal ties (e.g. 3330/6400 = 0.5203125: Spark rounds the
+    shortest repr half-up, DuckDB rounds the binary value), which is
+    how this query broke at sf0.1."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
     )
 
 
