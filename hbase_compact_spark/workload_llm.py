@@ -884,11 +884,15 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each document's highest-TF-IDF term: term frequencies and
-    document frequencies via two aggregations over the exploded token
-    index (an inverted index again), idf broadcast-joined back, top-1
-    per doc by a window. Rounded before ranking so the libm-vs-JVM
-    last-ulp of ln() cannot flip an ordering."""
+    """Each document's highest-TF-IDF term: ONE explode + one
+    (doc, term) aggregation; document frequencies and the corpus size
+    both derive from the already-reduced tf table (tf is distinct on
+    (doc_id, term), so df = rows per term and n = distinct doc_ids) —
+    the corpus is scanned once, not three times, which is the
+    difference between 1x and 3x a 100 TB pass. tf is checkpointed so
+    its three consumers read one materialization. idf broadcast-joined
+    back, top-1 per doc by a window. Rounded before ranking so the
+    libm-vs-JVM last-ulp of ln() cannot flip an ordering."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -896,9 +900,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))
@@ -1945,11 +1953,20 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("term"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # reduce the corpus ONCE to (doc, term, count) partials and derive
+    # every downstream table from that checkpointed reduction — dl,
+    # corpus stats, query-term tf and df are then aggs over the small
+    # reduced table instead of three separate corpus-wide explodes
+    tfall = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tfall.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    qtok = tok.where(F.col("term").isin(*BM25_TERMS))
-    qdf = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tfall.where(F.col("term").isin(*BM25_TERMS))
+    # tfall is distinct on (doc, term), so df = rows per query term
+    qdf = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.col("n").cast("double") - F.col("df") + 0.5)
         / (F.col("df") + 0.5)
@@ -2003,9 +2020,18 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         ).alias("term"),
     )
-    n = tok.select(F.countDistinct("doc_id").alias("n_docs"))
-    per_term = tok.groupBy("term").agg(
-        F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
+    # one corpus reduction to (doc, term, count); term totals, document
+    # frequencies (rows per term — tfall is distinct on (doc, term))
+    # and the doc count all derive from it, so the explode runs once
+    # and no countDistinct Expand ever touches the full token index
+    tfall = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    n = tfall.select(F.countDistinct("doc_id").alias("n_docs"))
+    per_term = tfall.groupBy("term").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("df")
     )
     return (
         per_term.crossJoin(F.broadcast(n))
