@@ -210,3 +210,20 @@ def test_window_rank_dist_single_shuffle(spark):
     p = _plan(spark, "window_rank_dist")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in p
+
+
+@pytest.mark.parametrize(
+    "name", ["tfidf_top_terms", "bm25_score", "token_heavy_hitters"]
+)
+def test_token_index_queries_scan_corpus_once(spark, name):
+    """tfidf/bm25/heavy-hitters reduce the corpus to one checkpointed
+    (doc, term, count) table and derive df/dl/n from it. The executed
+    plan must read that checkpoint (ExistingRDD) and never re-run the
+    token explode per consumer branch — at 100 TB each extra
+    'Generate explode' is another full corpus pass."""
+    df = _Q[name](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in p, name
+    assert "Generate explode" not in p, name
+    assert "CartesianProduct" not in p, name
