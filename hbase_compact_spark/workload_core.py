@@ -439,7 +439,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inv = derived_inventory(spark, sf_dir)
+    # both snapshots derive from one inventory: checkpoint it so the
+    # scan+groupBy pipeline runs once, not once per snapshot side
+    inv = derived_inventory(spark, sf_dir).localCheckpoint(eager=False)
     snap0 = inv.filter(F.col("mtime") < "1998-01-01")
     return snapshot_diff(snap0, inv, ["region", "family"], "size_bytes", "file")
 
