@@ -13,6 +13,7 @@ import posixpath
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hbase_compact_spark.compaction.planner import plan_bins
 from hbase_compact_spark.registry import query
@@ -80,6 +81,88 @@ def snapshot_scan_root(spark: SparkSession, sf_dir: str) -> str:
     )
     annotate_stats(spark, root, cols=["o_orderkey"])
     return root
+
+
+# --------------------------------------------------------------------
+# snapshot_time_travel — read an EARLIER committed version while later
+# appends exist (the Iceberg time-travel contract).
+# v1 holds o_orderkey % TT_MOD != 0; v2 appends the rest — a modulo
+# split is interior (both sides non-empty) at every scale factor
+TT_MOD = 3
+
+
+def time_travel_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` as a TWO-version snapshot table: v1 = the
+    low-orderkey half (bootstrap), v2 = v1's files plus an appended
+    directory holding the rest. Reading v1 must therefore see exactly
+    the pre-append rows no matter what the directory now contains.
+    Built once per fixture generation (fingerprint-keyed like
+    snapshot_scan_root)."""
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"tt:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = posixpath.join(
+        tempfile.gettempdir(), f"hcs_time_travel_{fp}", "orders"
+    )
+    log = SnapshotLog(spark, root)
+    if (log.latest() or 0) >= 2:
+        return root
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.filter(F.col("o_orderkey") % TT_MOD != 0)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    log.bootstrap()  # v1: only the pre-append files exist
+    (
+        orders.filter(F.col("o_orderkey") % TT_MOD == 0)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(root, "append2"))
+    )
+    from hbase_compact_spark.compaction.executor import (
+        list_partition_files,
+    )
+
+    listing = list_partition_files(spark, root)
+    files = [
+        (log._rel(uri), size)
+        for _rel, fl in listing.items()
+        for uri, size in fl
+    ]
+    log.commit(files, op="append", parent=1)  # v2: everything
+    return root
+
+
+@query(
+    "snapshot_time_travel",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % {TT_MOD} <> 0
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the snapshot log
+    (compaction/snapshots.py:read_table_at): the query reads VERSION 1
+    of a table that has since received an append commit, and must
+    return exactly the pre-append rows — uncommitted or
+    later-committed files are invisible by construction because a
+    snapshot is a complete file-set listing, never a directory scan.
+    The oracle is the equivalent filter over the source table."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = time_travel_root(spark, sf_dir)
+    return read_table_at(spark, root, version=1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
 
 
 @query(

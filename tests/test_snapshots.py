@@ -607,3 +607,31 @@ def test_snapshot_pruned_scan_query_prunes_and_matches(spark):
     assert exp.exceptAll(got).count() == 0
     # rebuild memo: second call must reuse the materialized snapshot
     assert snapshot_scan_root(spark, sf_dir) == root
+
+
+def test_snapshot_time_travel_query_isolates_versions(spark):
+    """The declared `snapshot_time_travel` query reads v1 of a table
+    that later received an append commit: v1 must equal the pre-append
+    source rows exactly, and the latest version must see strictly
+    more rows (the append really landed)."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+    from hbase_compact_spark.workload_compaction import (
+        TT_MOD,
+        snapshot_time_travel,
+        time_travel_root,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = time_travel_root(spark, sf_dir)
+    v1 = snapshot_time_travel(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % TT_MOD != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    assert v1.exceptAll(exp).count() == 0
+    assert exp.exceptAll(v1).count() == 0
+    latest = read_table_at(spark, root)  # default: latest version
+    n_all = load_table(spark, sf_dir, "orders").count()
+    assert latest.count() == n_all > v1.count()
