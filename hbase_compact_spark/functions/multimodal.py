@@ -433,6 +433,66 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (no imaging library):
+    output pixel (i, j) samples source pixel
+    (floor((i + 0.5) * sh / h), floor((j + 0.5) * sw / w)) — the
+    standard center-aligned NN grid, deterministic on every platform.
+    Works for up- and down-scaling and any channel count."""
+    h, w = size
+    sh, sw = img.shape[:2]
+    rows = np.minimum(((np.arange(h) + 0.5) * sh / h).astype(np.int64), sh - 1)
+    cols = np.minimum(((np.arange(w) + 0.5) * sw / w).astype(np.int64), sw - 1)
+    return img[rows][:, cols]
+
+
+RESIZED_FEATURES_SCHEMA = (
+    "doc_id long, src_w long, src_h long, out_w long, out_h long, "
+    "mean_r double, mean_g double, mean_b double, resized_md5 string"
+)
+
+
+def extract_resized_features(df: DataFrame, size: tuple[int, int]) -> DataFrame:
+    """Decode -> resize -> features in ONE mapInPandas pass (decode
+    output never crosses back to the JVM — the single-Python-stage
+    shape a production thumbnail/embedding-prep pipeline wants):
+    container sniff, real BMP/PNG decode, NN resize, per-channel
+    means and digest of the RESIZED pixels."""
+    ensure_package_on_executors(df.sparkSession)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                out = resize_image(img, size)
+                means = out.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        img.shape[1],
+                        img.shape[0],
+                        out.shape[1],
+                        out.shape[0],
+                        round(float(means[0]), 6),
+                        round(float(means[1]), 6),
+                        round(float(means[2]), 6),
+                        hashlib.md5(out.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "mean_r", "mean_g", "mean_b", "resized_md5",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feats, schema=RESIZED_FEATURES_SCHEMA
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "doc_id long, sample_rate long, n_samples long, duration_ms double, "
     "rms double, peak long"

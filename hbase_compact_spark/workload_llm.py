@@ -26,6 +26,7 @@ from hbase_compact_spark.functions.multimodal import (
     extract_frame_meta,
     extract_image_features,
     extract_payload_meta,
+    extract_resized_features,
     with_binary_payload,
     with_image_payload,
     with_wav_payload,
@@ -991,6 +992,18 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical mapInPandas plumbing behind an entropy codec."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_features(with_image_payload(docs))
+
+
+@query("multimodal_resize")  # rows-only: resized-pixel features
+# (NN resize determinism + shape/identity invariants in tests)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE pipeline: decode (real BMP/PNG parsers) ->
+    nearest-neighbor resize to 8x8 -> features of the resized pixels,
+    all inside ONE mapInPandas stage so decoded pixels never take an
+    extra Arrow round-trip — the thumbnail/embedding-prep shape for a
+    multimodal training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_resized_features(with_image_payload(docs), (8, 8))
 
 
 @query("multimodal_audio_decode")  # rows-only: decoded-sample features

@@ -565,3 +565,44 @@ def test_corpus_mix_with_custom_target(spark):
     assert set(got) == set(target)  # other languages fully dropped
     for lang, share in target.items():
         assert abs(got[lang] / n - share) < 0.06, (lang, got[lang] / n)
+
+
+def test_resize_image_invariants_and_query(spark, planted_dir):
+    """Pure-numpy NN resize: identity size is a no-op, constant images
+    stay constant at any size, the center-aligned 2x downscale picks
+    the expected source pixels — and the declared multimodal_resize
+    query reproduces an independent decode+resize recomputation."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from hbase_compact_spark.functions.multimodal import (
+        _det_bytes,
+        resize_image,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    rng = np.frombuffer(_det_bytes("rz", 16 * 16 * 3), dtype=np.uint8)
+    img = rng.reshape(16, 16, 3)
+    assert np.array_equal(resize_image(img, (16, 16)), img)  # identity
+    const = np.full((10, 10, 3), 7, dtype=np.uint8)
+    assert np.array_equal(resize_image(const, (4, 6)), np.full((4, 6, 3), 7))
+    # center-aligned NN 2x down: output (i, j) = source (2i+1, 2j+1)
+    # since floor((i + .5) * 2) = 2i + 1
+    down = resize_image(img, (8, 8))
+    assert np.array_equal(down, img[1::2, 1::2])
+    up = resize_image(img, (32, 32))
+    assert up.shape == (32, 32, 3)
+
+    out = {r["doc_id"]: r for r in llm.multimodal_resize(spark, planted_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, planted_dir, "documents").collect()}
+    for doc_id in (0, 1):
+        src = np.frombuffer(
+            _det_bytes(f"img:{docs[doc_id]}", 16 * 16 * 3), dtype=np.uint8
+        ).reshape(16, 16, 3)
+        want = resize_image(src, (8, 8))
+        row = out[doc_id]
+        assert (row["src_w"], row["src_h"]) == (16, 16)
+        assert (row["out_w"], row["out_h"]) == (8, 8)
+        assert row["resized_md5"] == _hl.md5(want.tobytes()).hexdigest()
+        assert abs(row["mean_g"] - round(float(want[:, :, 1].mean()), 6)) < 1e-9
