@@ -84,6 +84,85 @@ def snapshot_scan_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 # --------------------------------------------------------------------
+# snapshot_zorder_scan — the full table-format lifecycle as one query:
+# many-small-files table -> z-order compaction -> stats annotation ->
+# driver-side pruned read (Delta OPTIMIZE ZORDER BY + data skipping).
+ZO_LO, ZO_HI = 100, 299  # o_custkey range predicate
+
+
+def zorder_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` as a snapshot-logged table that goes
+    through the WHOLE lifecycle: 8 unordered small files (bootstrap
+    v1) -> `snapshot_compact(cluster_by=[o_custkey, o_orderkey])`
+    rewrites them in Morton order (v2) -> `annotate_stats` records the
+    now-tight per-file min/max (v3). Fingerprint-keyed rebuild like
+    the other builders."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_compact,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"zo:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = posixpath.join(
+        tempfile.gettempdir(), f"hcs_zorder_scan_{fp}", "orders"
+    )
+    log = SnapshotLog(spark, root)
+    v = log.latest()
+    if v is not None and v >= 3 and log.stats(v):
+        return root
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # hash-partitioned = every file spans the full key space; only the
+    # z-order rewrite makes per-file stats selective
+    orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(root)
+    log.bootstrap()
+    # 8 input files -> ~4 z-ordered outputs: fewer bins than files (so
+    # compaction qualifies) but still several files, each covering a
+    # compact z-range (so pruning has something to drop)
+    total = sum(s for _, s in log.files())
+    snapshot_compact(
+        spark,
+        root,
+        target_bytes=max(1, total // 4),
+        cluster_by=["o_custkey", "o_orderkey"],
+    )
+    annotate_stats(spark, root, cols=["o_custkey", "o_orderkey"])
+    return root
+
+
+@query(
+    "snapshot_zorder_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN {ZO_LO} AND {ZO_HI}
+    """,
+)
+def snapshot_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan through z-order clustering + snapshot stats: before
+    the compaction every file spans the whole custkey space (hash
+    layout — nothing prunable); after the Morton rewrite each file
+    covers a compact (custkey, orderkey) hyper-rectangle, so the
+    driver drops the files whose custkey span provably misses the
+    predicate before Spark plans anything. Pruning is conservative and
+    the residual filter exact, so the result always equals full-scan +
+    filter (the oracle). tests/test_snapshots.py asserts the z-ordered
+    snapshot really prunes where the pre-compaction one cannot."""
+    from hbase_compact_spark.compaction.snapshots import read_table_where
+
+    root = zorder_scan_root(spark, sf_dir)
+    return read_table_where(spark, root, {"o_custkey": (ZO_LO, ZO_HI)}).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_time_travel — read an EARLIER committed version while later
 # appends exist (the Iceberg time-travel contract).
 # v1 holds o_orderkey % TT_MOD != 0; v2 appends the rest — a modulo

@@ -635,3 +635,36 @@ def test_snapshot_time_travel_query_isolates_versions(spark):
     latest = read_table_at(spark, root)  # default: latest version
     n_all = load_table(spark, sf_dir, "orders").count()
     assert latest.count() == n_all > v1.count()
+
+
+def test_snapshot_zorder_scan_query_prunes_only_after_clustering(spark):
+    """The declared `snapshot_zorder_scan` query: the hash-layout
+    bootstrap version must prune NOTHING on the custkey predicate
+    (every file spans the key space), the z-ordered + stats version
+    must prune at least one file, and the result equals full-scan +
+    filter."""
+    from hbase_compact_spark.compaction.snapshots import scan_plan
+    from hbase_compact_spark.workload_compaction import (
+        ZO_HI,
+        ZO_LO,
+        snapshot_zorder_scan,
+        zorder_scan_root,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = zorder_scan_root(spark, sf_dir)
+    pred = {"o_custkey": (ZO_LO, ZO_HI)}
+    before = scan_plan(spark, root, pred, version=1)  # pre-compaction
+    after = scan_plan(spark, root, pred)  # latest: z-ordered + stats
+    assert before["pruned_files"] == 0, before  # nothing prunable yet
+    assert after["pruned_files"] >= 1, after  # clustering made it so
+
+    got = snapshot_zorder_scan(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(ZO_LO, ZO_HI))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
