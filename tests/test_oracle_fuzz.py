@@ -177,3 +177,42 @@ def test_fuzz_filter_aggregate(spark, where, group):
             FROM lineitem WHERE {where} GROUP BY {group}
         """
     assert_matches_oracle(sdf, sql, SF_DIR)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    group_col=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    avg_col=st.sampled_from(["l_quantity", "l_linenumber", "l_orderkey"]),
+    mod_col=st.sampled_from(["l_linenumber", "l_orderkey"]),
+    mod=st.integers(min_value=2, max_value=9),
+)
+def test_fuzz_unrounded_integer_ratios(spark, group_col, avg_col, mod_col, mod):
+    """The cross-engine rounding rule, as a property: ratios of
+    identical integers (averages of integral columns, match
+    fractions) must hash-match UNROUNDED — the IEEE division of
+    identical operands is bit-identical on both engines, while
+    round() would diverge on exact decimal ties (see STATE.md)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    sdf = li.groupBy(group_col).agg(
+        F.avg(avg_col).alias("avg_v"),
+        (
+            F.sum(
+                F.when(F.col(mod_col) % mod == 0, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("frac"),
+    )
+    sql = f"""
+        SELECT {group_col},
+               avg({avg_col}) AS avg_v,
+               CAST(sum(CASE WHEN {mod_col} % {mod} = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS frac
+        FROM lineitem
+        GROUP BY {group_col}
+    """
+    assert_matches_oracle(sdf, sql, SF_DIR)
