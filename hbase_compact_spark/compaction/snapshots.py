@@ -155,13 +155,22 @@ class SnapshotLog:
         v = self.latest()
         if v is not None:
             return v
+        return self.commit_current(op="bootstrap", parent=None)
+
+    def commit_current(self, op: str, parent: int | None = None) -> int:
+        """Commit the table's CURRENT physical listing as the next
+        version — bootstrap's listing move, reusable after
+        out-of-band data lands under the root (e.g. an appended
+        directory): the new snapshot references everything on disk."""
         listing = list_partition_files(self.spark, self.table_root)
         files = [
             (self._rel(uri), size)
-            for rel, fl in listing.items()
+            for _rel, fl in listing.items()
             for uri, size in fl
         ]
-        return self.commit(files, op="bootstrap", parent=None)
+        if parent is None:
+            parent = self.latest()
+        return self.commit(files, op=op, parent=parent)
 
     def _rel(self, uri: str) -> str:
         root_abs = _uri_path(str(self._fs.makeQualified(self._root))).rstrip("/")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long, total_value double"
-STATE_SCHEMA = "total_events long, total_value double"
+STATE_SCHEMA = "total_events long, total_micros long"
 
 
 def _update_user_state(
@@ -27,25 +27,30 @@ def _update_user_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's rows for one user into persistent
-    (count, value-sum) state and emit the updated running totals."""
+    (count, exact micro-unit sum) state and emit the updated running
+    totals. The value column arrives pre-quantized to integer
+    micro-units (stateful_user_totals), so the fold is exact integer
+    addition — no float accumulation order, no Python-vs-SQL
+    rounding: total_value is ONE IEEE division of exact integers,
+    bit-identical to a decimal-sum oracle."""
     n = 0
-    v = 0.0
+    micros = 0
     for pdf in batches:
         n += len(pdf)
-        v += float(pdf["value"].sum())
+        micros += int(pdf["value_micros"].sum())
     if state.exists:
-        total_n, total_v = state.get
+        total_n, total_micros = state.get
     else:
-        total_n, total_v = 0, 0.0
+        total_n, total_micros = 0, 0
     total_n += n
-    total_v += v
-    state.update((total_n, total_v))
+    total_micros += micros
+    state.update((total_n, total_micros))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "batch_events": [n],
             "total_events": [total_n],
-            "total_value": [round(total_v, 6)],
+            "total_value": [total_micros / 1_000_000],
         }
     )
 
@@ -53,18 +58,28 @@ def _update_user_state(
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Running per-user totals across micro-batches. State lives in
     the state store (checkpointed, partitioned by user), so this
-    scales to any user cardinality a shuffle can hash."""
+    scales to any user cardinality a shuffle can hash.
+
+    Values are quantized JVM-side to exact integer micro-units via
+    DECIMAL(20,6) — the registry's cross-engine hashing rule: Python
+    then folds exact integers and the final sum is independent of
+    batch/partition order, matching `sum(CAST(value AS
+    DECIMAL(20,6)))` in any SQL engine exactly."""
+    from pyspark.sql import functions as F
+
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(events.sparkSession)
-    return (
-        events.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _update_user_state,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    quantized = events.select(
+        "user_id",
+        (F.col("value").cast("decimal(20,6)") * 1_000_000)
+        .cast("long")
+        .alias("value_micros"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -39,6 +39,51 @@ def bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Shared builder scaffolding for the snapshot-log queries: each
+# materializes a snapshot-logged copy of `orders` under the system
+# temp dir (queries may not write beneath the read-only fixture
+# tree), keyed by a fingerprint of the source parquet so a driver
+# fixture regeneration rebuilds instead of serving stale rows.
+
+
+def _memo_root(spark, sf_dir: str, tag: str, ready) -> tuple[str, object, bool]:
+    """(root, log, is_ready) for a fingerprint-keyed materialization.
+    One generation per (tag, source fingerprint) is kept: stale
+    sibling directories from earlier fixture generations are removed
+    so /tmp does not grow across driver rounds. `ready(log)` decides
+    whether the existing materialization is complete."""
+    import glob
+    import shutil
+
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{tag}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base = posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{fp}")
+    for stale in glob.glob(
+        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_*")
+    ):
+        if stale != base:
+            shutil.rmtree(stale, ignore_errors=True)
+    root = posixpath.join(base, "orders")
+    log = SnapshotLog(spark, root)
+    try:
+        ok = bool(ready(log))
+    except FileNotFoundError:
+        ok = False
+    return root, log, ok
+
+
+def _orders_slim(spark, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_pruned_scan — the snapshot log's data-skipping read path
 # (Iceberg manifest-metrics move) as a driver-checkable query.
 PRUNE_LO, PRUNE_HI = 1000, 2999
@@ -49,31 +94,19 @@ def snapshot_scan_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `orders` as a snapshot-logged table laid out for
     pruning: range-partitioned into ``_SCAN_FILES`` files on
     o_orderkey (disjoint per-file key ranges), then `annotate_stats`
-    records each file's [min, max] in the snapshot. Built once per
-    fixture generation — the cache key fingerprints the source
-    parquet's (path, mtime, size), so a driver fixture regeneration
-    rebuilds instead of serving stale rows. Lives in the system temp
-    dir: queries may not write under the read-only fixture tree."""
-    from hbase_compact_spark.compaction.snapshots import (
-        SnapshotLog,
-        annotate_stats,
-    )
+    records each file's [min, max] in the snapshot."""
+    from hbase_compact_spark.compaction.snapshots import annotate_stats
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    root = posixpath.join(
-        tempfile.gettempdir(), f"hcs_snap_scan_{fp}", "orders"
+    root, log, ok = _memo_root(
+        spark,
+        sf_dir,
+        "snap_scan",
+        lambda lg: lg.latest() is not None and lg.stats(),
     )
-    log = SnapshotLog(spark, root)
-    v = log.latest()
-    if v is not None and log.stats(v):
+    if ok:
         return root
     (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        _orders_slim(spark, sf_dir)
         .repartitionByRange(_SCAN_FILES, "o_orderkey")
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite")
@@ -92,39 +125,40 @@ ZO_LO, ZO_HI = 100, 299  # o_custkey range predicate
 
 def zorder_scan_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `orders` as a snapshot-logged table that goes
-    through the WHOLE lifecycle: 8 unordered small files (bootstrap
-    v1) -> `snapshot_compact(cluster_by=[o_custkey, o_orderkey])`
-    rewrites them in Morton order (v2) -> `annotate_stats` records the
-    now-tight per-file min/max (v3). Fingerprint-keyed rebuild like
-    the other builders."""
+    through the WHOLE lifecycle: 8 unordered hash-layout files
+    (bootstrap v1) -> `annotate_stats` on the RAW layout (v2 — every
+    file provably spans the key space, so pruning keeps everything;
+    the honest before-picture) -> `snapshot_compact(cluster_by=
+    [o_custkey, o_orderkey])` rewrites in Morton order and maintains
+    the stats incrementally (v3 — per-file min/max now tight)."""
     from hbase_compact_spark.compaction.snapshots import (
-        SnapshotLog,
         annotate_stats,
         snapshot_compact,
     )
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"zo:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    root = posixpath.join(
-        tempfile.gettempdir(), f"hcs_zorder_scan_{fp}", "orders"
+    root, log, ok = _memo_root(
+        spark,
+        sf_dir,
+        "zorder_scan",
+        lambda lg: (lg.latest() or 0) >= 3 and lg.stats(),
     )
-    log = SnapshotLog(spark, root)
-    v = log.latest()
-    if v is not None and v >= 3 and log.stats(v):
+    if ok:
         return root
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
     # hash-partitioned = every file spans the full key space; only the
     # z-order rewrite makes per-file stats selective
-    orders.repartition(8, "o_orderkey").write.mode("overwrite").parquet(root)
+    (
+        _orders_slim(spark, sf_dir)
+        .repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
     log.bootstrap()
+    annotate_stats(spark, root, cols=["o_custkey", "o_orderkey"])
     # 8 input files -> ~4 z-ordered outputs: fewer bins than files (so
     # compaction qualifies) but still several files, each covering a
-    # compact z-range (so pruning has something to drop)
+    # compact z-range (so pruning has something to drop). The parent
+    # snapshot carries stats, so the rewrite maintains them: new files
+    # get a footer pass, no full re-annotation.
     total = sum(s for _, s in log.files())
     snapshot_compact(
         spark,
@@ -132,7 +166,6 @@ def zorder_scan_root(spark: SparkSession, sf_dir: str) -> str:
         target_bytes=max(1, total // 4),
         cluster_by=["o_custkey", "o_orderkey"],
     )
-    annotate_stats(spark, root, cols=["o_custkey", "o_orderkey"])
     return root
 
 
@@ -172,27 +205,16 @@ TT_MOD = 3
 
 def time_travel_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `orders` as a TWO-version snapshot table: v1 = the
-    low-orderkey half (bootstrap), v2 = v1's files plus an appended
-    directory holding the rest. Reading v1 must therefore see exactly
-    the pre-append rows no matter what the directory now contains.
-    Built once per fixture generation (fingerprint-keyed like
-    snapshot_scan_root)."""
-    from hbase_compact_spark.compaction.snapshots import SnapshotLog
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"tt:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    root = posixpath.join(
-        tempfile.gettempdir(), f"hcs_time_travel_{fp}", "orders"
+    non-multiple-orderkey half (bootstrap), v2 = v1's files plus an
+    appended directory holding the rest. Reading v1 must therefore see
+    exactly the pre-append rows no matter what the directory now
+    contains."""
+    root, log, ok = _memo_root(
+        spark, sf_dir, "time_travel", lambda lg: (lg.latest() or 0) >= 2
     )
-    log = SnapshotLog(spark, root)
-    if (log.latest() or 0) >= 2:
+    if ok:
         return root
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+    orders = _orders_slim(spark, sf_dir)
     (
         orders.filter(F.col("o_orderkey") % TT_MOD != 0)
         .repartition(2)
@@ -206,17 +228,7 @@ def time_travel_root(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(posixpath.join(root, "append2"))
     )
-    from hbase_compact_spark.compaction.executor import (
-        list_partition_files,
-    )
-
-    listing = list_partition_files(spark, root)
-    files = [
-        (log._rel(uri), size)
-        for _rel, fl in listing.items()
-        for uri, size in fl
-    ]
-    log.commit(files, op="append", parent=1)  # v2: everything
+    log.commit_current(op="append", parent=1)  # v2: everything on disk
     return root
 
 

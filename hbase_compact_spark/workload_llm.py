@@ -248,34 +248,22 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of whitespace-normalized text) + the
     minimum shingle hash (a 1-element MinHash — the rolling-hash
-    fingerprint family).
-
-    The min is folded incrementally with `aggregate` over shingle
-    START POSITIONS: text is split once, each shingle's md5 is
-    compared against the running min and discarded — no shingle array,
-    no md5 array, no array_distinct (duplicates can't change a min).
-    2.8x faster than materialize-then-array_min at sf0.1, same rows.
-    'g' sorts after every md5 hex digit [0-9a-f], so it is the
-    identity element for lexicographic least()."""
-    w = 5
+    fingerprint family). The min-shingle definition lives next to the
+    shingle contract it mirrors (functions/text.min_shingle_md5 —
+    incremental fold, no intermediate arrays); text is split once
+    into `wds`."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        "text",
         F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))).alias(
             "content_fp"
         ),
-        F.split(F.col("text"), " ").alias("wds"),
+        TX.words().alias("wds"),
     ).select(
         "doc_id",
         "content_fp",
-        F.when(F.size("wds") < w, F.md5(F.array_join("wds", " ")))
-        .otherwise(
-            F.expr(
-                f"aggregate(sequence(1, size(wds) - {w - 1}), 'g', "
-                f"(acc, i) -> least(acc, md5(concat_ws(' ', slice(wds, i, {w})))))"
-            )
-        )
-        .alias("min_shingle_fp"),
+        TX.min_shingle_md5("wds", "text", w=5).alias("min_shingle_fp"),
     )
 
 

@@ -214,7 +214,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS batch_events,
            count(*) AS total_events,
-           round(sum(value), 6) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,

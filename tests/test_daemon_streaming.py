@@ -175,6 +175,26 @@ def test_stateful_user_totals(spark, tmp_path):
         "SELECT count(*) AS c FROM user_totals WHERE batch_events < total_events"
     ).collect()[0]["c"]
     assert multi > 0
+    # the cross-batch value fold is EXACT (integer micro-units in
+    # state): the final running sum must bit-match the batch
+    # decimal-sum for every user, regardless of batch split
+    val_out = spark.sql(
+        "SELECT user_id, max_by(total_value, total_events) AS total_value "
+        "FROM user_totals GROUP BY user_id"
+    )
+    val_exp = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                (F.col("value").cast("decimal(20,6)") * 1_000_000).cast(
+                    "long"
+                )
+            )
+            / 1_000_000.0
+        ).alias("v")
+    )
+    got_v = {r["user_id"]: r["total_value"] for r in val_out.collect()}
+    exp_v = {r["user_id"]: r["v"] for r in val_exp.collect()}
+    assert got_v == exp_v
 
 
 # ----------------------------------------------- streaming file watch

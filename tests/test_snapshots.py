@@ -655,9 +655,12 @@ def test_snapshot_zorder_scan_query_prunes_only_after_clustering(spark):
     sf_dir = "/root/testdata/sf0.001"
     root = zorder_scan_root(spark, sf_dir)
     pred = {"o_custkey": (ZO_LO, ZO_HI)}
-    before = scan_plan(spark, root, pred, version=1)  # pre-compaction
+    # v2 = stats annotated on the RAW hash layout: stats exist, so
+    # zero pruning here is a real statement about the LAYOUT (every
+    # file spans the key space), not an artifact of missing metadata
+    before = scan_plan(spark, root, pred, version=2)
     after = scan_plan(spark, root, pred)  # latest: z-ordered + stats
-    assert before["pruned_files"] == 0, before  # nothing prunable yet
+    assert before["pruned_files"] == 0, before  # hash layout: unprunable
     assert after["pruned_files"] >= 1, after  # clustering made it so
 
     got = snapshot_zorder_scan(spark, sf_dir)
