@@ -79,19 +79,23 @@ class CompactionReport:
         return [r for r in self.results if r.skipped is None]
 
 
-def _fingerprint(df: DataFrame) -> tuple[int, int]:
-    """(row_count, order-insensitive content fingerprint).
+def _fingerprint(df: DataFrame) -> tuple[int, int, int]:
+    """(row_count, xor fingerprint, sum fingerprint) —
+    order-insensitive content identity in one distributed pass.
 
-    bit_xor of per-row xxhash64 over every column: commutative, no
-    overflow (safe under ANSI mode), computed in one distributed pass.
+    bit_xor alone is blind to even-multiplicity substitutions
+    ({X,X,Y} and {Y,Y,Y} xor identically), so a DECIMAL-exact SUM of
+    the same per-row hashes rides along: the sum changes unless the
+    multiset of hashes is preserved. Both lanes are commutative and
+    ANSI-safe (sum in DECIMAL(38,0) cannot overflow below ~1e19 rows).
     """
+    hashes = "xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + ")"
     row = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
-        ).alias("fp"),
+        F.expr(f"bit_xor({hashes})").alias("fp"),
+        F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("fpsum"),
     ).collect()[0]
-    return int(row["n"]), int(row["fp"] or 0)
+    return int(row["n"]), int(row["fp"] or 0), int(row["fpsum"] or 0)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -194,30 +198,37 @@ def _compact_one(
         # dedicated pass instead (3 passes total on this path)
         from hbase_compact_spark.functions.zorder import cluster_by_zorder
 
-        n_before, fp_before = _fingerprint(src)
+        n_before, *fps_before = _fingerprint(src)
+        fp_before = tuple(fps_before)
         writer = cluster_by_zorder(src, cluster_by, n_bins)
         writer.write.mode("overwrite").parquet(tmp_dir)
     else:
         # fingerprint the source DURING the rewrite pass (Observation
         # metrics) instead of a separate scan: 2 passes per partition
         # (write+observe, verify read-back) rather than 3
+        hashes = (
+            "xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + ")"
+        )
         obs = Observation()
         observed = src.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + "))"
-            ).alias("fp"),
+            F.expr(f"bit_xor({hashes})").alias("fp"),
+            F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("fpsum"),
         )
         writer = observed.repartition(n_bins)
         if sort_by:
             writer = writer.sortWithinPartitions(*sort_by)
         writer.write.mode("overwrite").parquet(tmp_dir)
         metrics = obs.get
-        n_before, fp_before = int(metrics["n"]), int(metrics["fp"] or 0)
+        n_before, fp_before = (
+            int(metrics["n"]),
+            (int(metrics["fp"] or 0), int(metrics["fpsum"] or 0)),
+        )
 
     rewritten = spark.read.parquet(tmp_dir)
-    n_after, fp_after = _fingerprint(rewritten)
+    n_after, *fps_after = _fingerprint(rewritten)
+    fp_after = tuple(fps_after)
     if (n_before, fp_before) != (n_after, fp_after):
         # hard verification where the reference soft-fails
         _rm(spark, tmp_dir)

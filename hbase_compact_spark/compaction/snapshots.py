@@ -49,6 +49,14 @@ from hbase_compact_spark.compaction.executor import (
 SNAPSHOT_DIR = "_snapshots"
 
 
+class SnapshotConflictError(RuntimeError):
+    """The snapshot a commit was derived from is no longer the latest:
+    a concurrent committer won the race. The caller must re-read the
+    new latest snapshot, re-derive its file set, and retry — blindly
+    re-claiming the next version number would commit a stale file
+    list and silently drop the winner's files."""
+
+
 class SnapshotLog:
     """The version log for one table root."""
 
@@ -121,9 +129,13 @@ class SnapshotLog:
         schema: dict | None = None,
         blooms: dict[str, dict] | None = None,
     ) -> int:
-        """Atomically claim the next version. The temp file is fully
-        written first; rename-if-absent is the only commit point, so a
-        losing racer just retries on the next number."""
+        """Atomically claim the next version; rename-if-absent is the
+        only commit point. With an EXPLICIT `parent` (every caller
+        whose file list was derived from that snapshot), losing the
+        race raises SnapshotConflictError instead of retrying: the
+        stale file list would silently drop the winner's files. Only
+        parent-less commits (bootstrap-style full listings, which are
+        recomputed from disk) retry on the next number."""
         fs, Path = self._fs, self._Path
         fs.mkdirs(Path(self.log_dir))
         payload = {
@@ -141,6 +153,12 @@ class SnapshotLog:
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
         for _ in range(50):
             n = (self.latest() or 0) + 1
+            if parent is not None and n != parent + 1:
+                fs.delete(tmp, False)
+                raise SnapshotConflictError(
+                    f"commit derived from v{parent} but v{n - 1} is now "
+                    f"latest in {self.log_dir}; re-read and re-derive"
+                )
             payload["version"], payload["parent"] = n, parent if parent is not None else n - 1 or None
             _write_json(fs, Path, tmp, payload)
             dest = Path(self.log_dir, f"v{n:012d}.json")
@@ -602,14 +620,19 @@ def read_table_where(
     is exact, so results always equal full-scan + filter."""
     plan = scan_plan(spark, table_root, predicates, version)
     paths = plan["paths"]
+    log = SnapshotLog(spark, table_root)
     if not paths:
         # every file provably disjoint: scan one file (filter makes it
         # empty) purely to preserve the schema of the result
-        log = SnapshotLog(spark, table_root)
         paths = [log.files(plan["version"])[0][0]]
-    df = spark.read.option("basePath", table_root).parquet(
-        *[posixpath.join(table_root, p) for p in paths]
-    )
+    # apply the snapshot's declared schema exactly like read_table_at:
+    # an evolved table must present the same columns through BOTH read
+    # paths (added columns as NULL, dropped columns hidden)
+    reader = spark.read.option("basePath", table_root)
+    declared, _pcols = log.schema(plan["version"])
+    if declared is not None:
+        reader = reader.schema(declared)
+    df = reader.parquet(*[posixpath.join(table_root, p) for p in paths])
     for col, pred in predicates.items():
         if not isinstance(pred, tuple):
             df = df.filter(F.col(col) == F.lit(pred))
@@ -953,6 +976,19 @@ def snapshot_merge(
     keys_df = source_df.select(*key_cols)
     if keys_df.distinct().count() != n_source:
         raise ValueError("source keys must be unique for MERGE")
+    if pcols:
+        # hive-style `col=value` directories have no NULL encoding in
+        # this layout; a NULL partition value would silently vanish
+        # through the string-equality partition filter below — reject
+        # loudly instead (same contract as the unique-keys check)
+        null_pred = " OR ".join(f"{c} IS NULL" for c in pcols)
+        n_null = source_df.filter(null_pred).count()
+        if n_null:
+            raise ValueError(
+                f"snapshot_merge: {n_null} source row(s) have NULL in "
+                f"partition column(s) {pcols}; NULL partition values "
+                "are not representable in this layout"
+            )
 
     # ---- candidate file detection via snapshot metadata
     snap = log.read(base_version)

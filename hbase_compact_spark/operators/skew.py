@@ -43,7 +43,20 @@ def salted_join(
     skew on the join key drops by ~`salt`x at the cost of a `salt`x
     fan-out of the (small) right side. For inner/left joins with a
     corpus-scale left and a moderate right — the shape where one hot
-    key (a viral doc, an empty-string key) stalls a reducer."""
+    key (a viral doc, an empty-string key) stalls a reducer.
+
+    Only left-preserving join types are accepted: with the right side
+    replicated, a right/full outer join would emit every unmatched
+    RIGHT row `salt` times — silent duplication, so it is rejected."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti",
+               "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would duplicate unmatched right rows; use a "
+            "left-preserving join type or salt the other side"
+        )
     lt = left.withColumn("_salt", _salt_col(left, salt))
     rt = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

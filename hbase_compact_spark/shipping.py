@@ -13,6 +13,7 @@ into ``spark.submit.pyFiles`` would be the deploy-time equivalent.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -22,25 +23,44 @@ from pyspark.sql import SparkSession
 _SHIPPED_APPS: set[str] = set()
 
 
+def _package_files() -> list[str]:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for root, _, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
 def ensure_package_on_executors(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    files = _package_files()
+    # key the zip by CONTENT (path + mtime + size of every module),
+    # not by PID: PID reuse across container restarts with a
+    # persistent temp dir would otherwise ship a stale zip of old code
+    sig = hashlib.md5(
+        "\n".join(
+            f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
+            for p in files
+        ).encode()
+    ).hexdigest()[:16]
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"hbase_compact_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"hbase_compact_spark_{sig}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "hbase_compact_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+        tmp = f"{zip_path}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full in files:
+                rel = os.path.join(
+                    "hbase_compact_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)  # atomic: racers agree on content
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_APPS.add(app_id)

@@ -100,14 +100,16 @@ def file_inventory(spark: SparkSession, root: str, *, depth: tuple[str, ...] = (
         .select("path", "length", "modificationTime")
     )
     # Paths come back as URIs (file:/... locally, hdfs://... on a
-    # cluster). Strip the scheme and everything up to `root`, then
-    # split the remainder into the layout components.
+    # cluster). Strip the scheme, then remove the `root` prefix with
+    # EXACT string arithmetic — a regex built from the root would
+    # misfire on any regex metacharacter in the path (`+`, `(`, ...),
+    # silently mis-keying every region/family downstream.
     rootlit = root.rstrip("/") + "/"
-    rel = F.regexp_replace(
-        F.regexp_replace("path", "^[a-z0-9]+:(//[^/]*)?", ""),
-        "^" + rootlit.replace(".", "\\."),
-        "",
-    )
+    stripped = F.regexp_replace("path", "^[a-z0-9]+:(//[^/]*)?", "")
+    rel = F.when(
+        stripped.startswith(rootlit),
+        stripped.substr(F.lit(len(rootlit) + 1), F.length(stripped)),
+    ).otherwise(stripped)
     parts = F.split(rel, "/")
     cols = [F.lit("table").alias("table_name")]
     for i, name in enumerate(depth):

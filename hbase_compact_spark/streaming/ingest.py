@@ -81,19 +81,41 @@ def _commit_batch(
         )
         i += 1
     _rm(spark, tmp_dir)
-    base = log.latest()
-    return log.commit(log.files(base) + added, op=op, parent=base)
+    # optimistic-concurrency loop: a concurrent committer (compaction,
+    # another ingest) moving the base raises SnapshotConflictError;
+    # the batch's files are already physically placed, so the retry is
+    # metadata-only — re-read the new latest and re-derive its listing
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotConflictError,
+    )
+
+    for _ in range(50):
+        base = log.latest()
+        try:
+            return log.commit(log.files(base) + added, op=op, parent=base)
+        except SnapshotConflictError:
+            continue
+    raise RuntimeError(f"ingest commit kept conflicting under {table_root}")
 
 
-def committed_batch_ids(log: SnapshotLog) -> set[int]:
+def committed_batch_ids(
+    log: SnapshotLog, _cache: dict | None = None
+) -> set[int]:
     """Batch ids already committed by snapshot_ingest (ops look like
-    'append:batch=<id>')."""
-    out = set()
+    'append:batch=<id>'). The log is append-only, so an optional
+    per-stream `_cache` ({"max_v": int, "ids": set}) makes the scan
+    incremental — only versions newer than the last call are read,
+    keeping per-batch overhead O(new versions) instead of O(history)."""
+    if _cache is None:
+        _cache = {"max_v": 0, "ids": set()}
     for v in log.versions():
+        if v <= _cache["max_v"]:
+            continue
         op = log.read(v).get("op", "")
         if op.startswith("append:batch="):
-            out.add(int(op.split("=", 1)[1]))
-    return out
+            _cache["ids"].add(int(op.split("=", 1)[1]))
+        _cache["max_v"] = max(_cache["max_v"], v)
+    return _cache["ids"]
 
 
 def snapshot_ingest(
@@ -112,9 +134,10 @@ def snapshot_ingest(
     spark = stream_df.sparkSession
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
+    seen_cache: dict = {"max_v": 0, "ids": set()}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(log):
+        if batch_id in committed_batch_ids(log, seen_cache):
             return  # replayed batch: already visible, do nothing
         _commit_batch(
             spark,

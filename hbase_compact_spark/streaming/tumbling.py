@@ -90,7 +90,16 @@ def run_bounded(
             .start()
         )
         q.awaitTermination()
-        return spark.table(name)
+        # the memory sink holds the result rows on the driver for the
+        # session lifetime; re-materialize as a local DataFrame and
+        # drop the sink table so repeated bounded runs (bench loops)
+        # don't accumulate driver memory. The result of a bounded
+        # fixture stream is driver-sized by construction; a production
+        # unbounded stream would use a real sink, never `memory`.
+        out = spark.table(name)
+        rows, schema = out.collect(), out.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")

@@ -54,7 +54,23 @@ def stream_until_changed(
     Only the file METADATA columns are touched, so each micro-batch
     is a footer-less scan; discovery state lives in the stream's own
     checkpoint, so a restarted watch never re-processes files.
+
+    The fire predicate is gated on having discovered at least the
+    files present at watch start: with more pre-existing files than
+    maxFilesPerTrigger, an early micro-batch's PARTIAL arg-max could
+    otherwise differ from `before_argmax` and fire before anything
+    changed. The gate errs conservative — a too-early fire would
+    report a completion that never happened, while the gate's worst
+    case is an honest budget-exhausted result.
     """
+    from hbase_compact_spark.compaction.executor import _hadoop_fs
+
+    fs, dpath, _jvm = _hadoop_fs(spark, directory)
+    initial_files = sum(
+        1
+        for st in fs.listStatus(dpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
     schema = spark.read.parquet(directory).schema
     stream = (
         spark.readStream.schema(schema)
@@ -71,18 +87,21 @@ def stream_until_changed(
         "argmax": before_argmax,
         "max": (-1, ""),
         "batches": 0,
+        "seen": 0,
     }
     fired = threading.Event()
 
     def fold_batch(batch_df, batch_id: int) -> None:
         state["batches"] += 1
-        for r in batch_df.collect():  # bounded: one row per new FILE
+        rows = batch_df.collect()  # bounded: one row per new FILE
+        state["seen"] += len(rows)
+        for r in rows:
             name = posixpath.basename(r["path"])
             key = (int(r["size"]), name)
             if key > state["max"]:
                 state["max"] = key
                 state["argmax"] = name
-        if state["argmax"] != before_argmax:
+        if state["seen"] >= initial_files and state["argmax"] != before_argmax:
             fired.set()
 
     ckpt = tempfile.mkdtemp(prefix="watch_ckpt_")

@@ -661,3 +661,33 @@ def test_zorder_cluster_by_tightens_minmax_on_all_columns(spark, tmp_path):
         sp, sz = spans(plain_root, col), spans(z_root, col)
         assert len(sz) >= 2  # clustering actually produced multiple files
         assert sum(sz) < 0.8 * sum(sp), (col, sp, sz)
+
+
+def test_fingerprint_detects_even_multiplicity_swap(spark):
+    """xor alone is blind to {X,X,Y} vs {Y,Y,Y}; the sum lane must
+    tell them apart."""
+    from hbase_compact_spark.compaction.executor import _fingerprint
+
+    a = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(2, "y"), (2, "y"), (2, "y")], "k int, v string")
+    fa, fb = _fingerprint(a), _fingerprint(b)
+    assert fa[0] == fb[0] == 3
+    assert fa[1] == fb[1]  # the xor lane really is blind here...
+    assert fa[2] != fb[2]  # ...and the sum lane catches it
+    assert fa != fb
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    from hbase_compact_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k int, lv string")
+    r = spark.createDataFrame([(1, "b"), (2, "c")], "k int, rv string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(l, r, ["k"], how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(l, r, ["k"], how="right")
+    # left-preserving types still work and stay result-identical
+    got = salted_join(l, r, ["k"], how="left").select("k", "lv", "rv")
+    exp = l.join(r, ["k"], "left").select("k", "lv", "rv")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0

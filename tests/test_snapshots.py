@@ -671,3 +671,22 @@ def test_snapshot_zorder_scan_query_prunes_only_after_clustering(spark):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_commit_with_stale_parent_raises_conflict(spark, part_table):
+    """A commit derived from a snapshot that is no longer latest must
+    raise SnapshotConflictError — retrying with the stale file list
+    would silently drop the concurrent winner's files."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotConflictError,
+    )
+
+    log = SnapshotLog(spark, part_table)
+    log.bootstrap()
+    base = log.latest()
+    files = log.files(base)
+    log.commit(files, op="winner", parent=base)
+    with pytest.raises(SnapshotConflictError, match="re-read"):
+        log.commit(files, op="stale-loser", parent=base)
+    # parent-less (bootstrap-style) commits still retry fine
+    assert log.commit(files, op="relisted") == log.latest()

@@ -95,3 +95,24 @@ def test_file_inventory_source(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert {r["file"]: r["size_bytes"] for r in rows} == on_disk
+
+
+def test_file_inventory_handles_regex_metachars_in_root(spark, tmp_path):
+    """Roots containing regex metacharacters must strip cleanly —
+    prefix removal is exact string arithmetic, not a regex."""
+    import pyspark.sql.functions as F
+
+    root = tmp_path / "run+1 (x)" / "table"
+    for region, family in [("r0", "cf1"), ("r1", "cf2")]:
+        d = root / region / family
+        d.mkdir(parents=True)
+        spark.range(3).write.mode("overwrite").parquet(str(d / "f.parquet"))
+    from hbase_compact_spark.sources.inventory import file_inventory
+
+    inv = file_inventory(spark, str(root))
+    got = {
+        (r["region"], r["family"])
+        for r in inv.select("region", "family").distinct().collect()
+    }
+    assert got == {("r0", "cf1"), ("r1", "cf2")}
+    assert inv.filter(F.col("size_bytes") <= 0).count() == 0
