@@ -264,6 +264,20 @@ def sample_frames(payload: bytes, every_n: int = 1000) -> list[bytes]:
     return [payload[i : i + 16] for i in range(0, len(payload), every_n)]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a Python-stage input across the cluster width. A small
+    parquet table often arrives as ONE partition, which would serialize
+    every decode/encode on a single core (measured 4x slower at
+    sf0.1); the repartition shuffles only the narrow input rows —
+    trivial next to the per-row Python work it parallelizes. At real
+    scale the input already has >= defaultParallelism partitions and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload column (UTF-8 bytes of the text
     here; in production the bytes come off object storage)."""
@@ -333,7 +347,7 @@ def with_bmp_payload(df: DataFrame, side: int = 16) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
@@ -360,7 +374,7 @@ def with_image_payload(df: DataFrame, side: int = 16) -> DataFrame:
                     payloads.append(encode_png(rgb, filter_type=int(doc_id % 5)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
@@ -383,7 +397,7 @@ def with_wav_payload(df: DataFrame, n_samples: int = 1024) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return df.select("doc_id", "text").mapInPandas(
+    return _fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
