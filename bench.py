@@ -90,9 +90,16 @@ def main() -> None:
         "n_failures": len(failures),
     }
     if failures:
-        out["failures"] = {
-            name: msg[:80] for name, msg in failures.items()
-        }
+        # full 200-char messages stay in the line (triage needs the
+        # exception text more than it needs per-query timings); the
+        # UNtruncated messages also go to a side file in case the
+        # recorded tail still clips the line
+        out["failures"] = dict(failures)
+        try:
+            with open("/tmp/bench_failures.json", "w") as f:
+                json.dump(failures, f, indent=1)
+        except OSError:
+            pass
     out["unit"] = "sec"
     out["value"] = total
     print(json.dumps(out, separators=(",", ":")))

@@ -90,11 +90,19 @@ def _fingerprint(df: DataFrame) -> tuple[int, int, int]:
     ANSI-safe (sum in DECIMAL(38,0) cannot overflow below ~1e19 rows).
     """
     hashes = "xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + ")"
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor({hashes})").alias("fp"),
-        F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("fpsum"),
-    ).collect()[0]
+    # project the hash ONCE, then aggregate both lanes over the
+    # projected column — aggregate-level CSE is not guaranteed, and
+    # inlining the expression into both aggregates would hash every
+    # row twice
+    row = (
+        df.select(F.expr(hashes).alias("__h"))
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("fp"),
+            F.expr("sum(cast(__h as decimal(38,0)))").alias("fpsum"),
+        )
+        .collect()[0]
+    )
     return int(row["n"]), int(row["fp"] or 0), int(row["fpsum"] or 0)
 
 
@@ -210,11 +218,19 @@ def _compact_one(
             "xxhash64(" + ", ".join(f"`{c}`" for c in src.columns) + ")"
         )
         obs = Observation()
-        observed = src.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.expr(f"bit_xor({hashes})").alias("fp"),
-            F.expr(f"sum(cast({hashes} as decimal(38,0)))").alias("fpsum"),
+        # hash each row ONCE into a named column, observe both lanes
+        # over it, then drop it before the write — inlining the hash
+        # expression into both aggregates would evaluate it twice per
+        # row (no aggregate-level CSE guarantee)
+        observed = (
+            src.withColumn("__fp_h", F.expr(hashes))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(__fp_h)").alias("fp"),
+                F.expr("sum(cast(__fp_h as decimal(38,0)))").alias("fpsum"),
+            )
+            .drop("__fp_h")
         )
         writer = observed.repartition(n_bins)
         if sort_by:

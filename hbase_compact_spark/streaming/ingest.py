@@ -118,6 +118,34 @@ def committed_batch_ids(
     return _cache["ids"]
 
 
+def replay_batch(
+    spark: SparkSession,
+    table_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    partition: str = "",
+) -> bool:
+    """Deliver `batch_df` under `batch_id` through the SAME guard the
+    streaming sink uses: an already-committed id is skipped (returns
+    False — the at-least-once replay case), an unseen id commits
+    normally (returns True). Exposed so crash-replay semantics can be
+    exercised and asserted outside a live stream."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    if batch_id in committed_batch_ids(log):
+        return False
+    _commit_batch(
+        spark,
+        log,
+        batch_df,
+        table_root,
+        partition,
+        op=f"append:batch={batch_id}",
+    )
+    return True
+
+
 def snapshot_ingest(
     stream_df: DataFrame,
     table_root: str,

@@ -37,7 +37,10 @@ def _update_user_state(
     micros = 0
     for pdf in batches:
         n += len(pdf)
-        micros += int(pdf["value_micros"].sum())
+        # int64 view, not .sum() on whatever dtype arrived: a float64
+        # column (possible if NULLs ever slip past the JVM-side
+        # coalesce) silently loses exactness past 2^53.
+        micros += int(pdf["value_micros"].to_numpy(dtype="int64").sum())
     if state.exists:
         total_n, total_micros = state.get
     else:
@@ -64,7 +67,16 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     DECIMAL(20,6) — the registry's cross-engine hashing rule: Python
     then folds exact integers and the final sum is independent of
     batch/partition order, matching `sum(CAST(value AS
-    DECIMAL(20,6)))` in any SQL engine exactly."""
+    DECIMAL(20,6)))` in any SQL engine exactly.
+
+    Domain bounds (explicit, not silent): NULL values are coalesced
+    to 0 JVM-side BEFORE quantizing — SQL `sum` ignores NULLs while a
+    NULL reaching pandas would turn the exact int64 fold into float64
+    NaN arithmetic. And because micro-units live in int64, |value|
+    must stay below ~9.2e12 (LONG_MAX/1e6) per event and per running
+    per-user total; past that the long cast throws under Spark's
+    default ANSI mode (a loud failure, never a silent wrap — with
+    ANSI off the cast would wrap, so this operator requires ANSI)."""
     from pyspark.sql import functions as F
 
     from hbase_compact_spark.shipping import ensure_package_on_executors
@@ -72,7 +84,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     ensure_package_on_executors(events.sparkSession)
     quantized = events.select(
         "user_id",
-        (F.col("value").cast("decimal(20,6)") * 1_000_000)
+        (
+            F.coalesce(F.col("value").cast("decimal(20,6)"), F.lit(0))
+            * 1_000_000
+        )
         .cast("long")
         .alias("value_micros"),
     )

@@ -101,7 +101,23 @@ def stream_until_changed(
             if key > state["max"]:
                 state["max"] = key
                 state["argmax"] = name
-        if state["seen"] >= initial_files and state["argmax"] != before_argmax:
+        # The completeness gate must not assume every start-time file
+        # will be DISCOVERED: compaction deletes its inputs, so a
+        # pre-existing file removed before its first micro-batch never
+        # arrives and `seen >= initial_files` would starve the watch
+        # for its whole budget. Re-list per batch and require only the
+        # files that still exist (capped by the start-time count, so
+        # files created after start can't satisfy the gate alone).
+        try:
+            still_present = sum(
+                1
+                for st in fs.listStatus(dpath)
+                if st.getPath().getName().endswith(".parquet")
+            )
+        except Exception:  # directory vanished mid-compaction
+            still_present = 0
+        required = min(initial_files, still_present)
+        if state["seen"] >= required and state["argmax"] != before_argmax:
             fired.set()
 
     ckpt = tempfile.mkdtemp(prefix="watch_ckpt_")

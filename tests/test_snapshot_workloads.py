@@ -1,0 +1,140 @@
+"""Invariant tests for the snapshot-lifecycle declared queries
+(workload_compaction.py / workload_streaming.py): beyond the driver's
+hash compare, these assert the SCALE claims — files really pruned by
+stats/blooms, merge candidates really narrowed, replayed batches
+really invisible, schema evolution really metadata-only."""
+
+from __future__ import annotations
+
+import posixpath
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_compact_spark.compaction.snapshots import (
+    SnapshotLog,
+    read_table_at,
+    scan_plan,
+)
+from hbase_compact_spark.workload_compaction import (
+    BLOOM_KEY,
+    DEL_HI,
+    DEL_LO,
+    INS_OFFSET,
+    INS_SRC_MAX,
+    UPD_HI,
+    UPD_LO,
+    bloom_lookup_root,
+    delete_scan_root,
+    evolution_root,
+    merge_scan_root,
+)
+from hbase_compact_spark.workload_streaming import ingest_root
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_delete_scan_prunes_and_is_versioned(spark):
+    root = delete_scan_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    v = log.latest()
+    snap = log.read(v)
+    assert snap["op"] == "delete"
+    # the delete must NOT have rewritten every file: untouched ranges
+    # are carried by reference (same relpaths as the parent version)
+    parent_files = {p for p, _ in log.files(snap["parent"])}
+    final_files = {p for p, _ in log.files(v)}
+    carried = parent_files & final_files
+    assert carried, "delete rewrote every file — stats pruning failed"
+    # deleted rows gone, pre-delete version still serves them
+    after = read_table_at(spark, root, v)
+    assert after.filter(
+        F.col("o_orderkey").between(DEL_LO, DEL_HI)
+    ).count() == 0
+    before = read_table_at(spark, root, snap["parent"])
+    assert before.filter(
+        F.col("o_orderkey").between(DEL_LO, DEL_HI)
+    ).count() > 0
+
+
+def test_merge_scan_narrows_candidates(spark):
+    root = merge_scan_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    v = log.latest()
+    snap = log.read(v)
+    assert snap["op"] == "merge"
+    parent_files = {p for p, _ in log.files(snap["parent"])}
+    final_files = {p for p, _ in log.files(v)}
+    # stats narrowed the merge: most range-partitioned files carried
+    carried = parent_files & final_files
+    assert len(carried) >= len(parent_files) // 2
+    after = read_table_at(spark, root, v)
+    # updates applied
+    upd = after.filter(F.col("o_orderkey").between(UPD_LO, UPD_HI))
+    assert upd.filter(F.col("o_orderstatus") != "U").count() == 0
+    assert upd.count() == UPD_HI - UPD_LO + 1
+    # inserts present exactly once
+    ins = after.filter(F.col("o_orderkey") >= INS_OFFSET)
+    assert ins.count() == INS_SRC_MAX + 1
+    assert ins.filter(F.col("o_orderstatus") != "I").count() == 0
+
+
+def test_bloom_lookup_skips_files(spark):
+    root = bloom_lookup_root(spark, SF_DIR)
+    plan = scan_plan(spark, root, {"o_orderkey": BLOOM_KEY})
+    assert plan["pruned_files"] >= 4, (
+        f"blooms pruned only {plan['pruned_files']} of 8 hash files"
+    )
+    # a range probe on the same key uses stats ONLY (no bloom probe);
+    # on the hash layout min/max are near-full-domain, so the bloom
+    # path must prune strictly more — the bitsets are doing the work
+    plan_range = scan_plan(
+        spark, root, {"o_orderkey": (BLOOM_KEY, BLOOM_KEY)}
+    )
+    assert plan["pruned_files"] > plan_range["pruned_files"]
+
+
+def test_schema_evolution_projects_and_hides(spark):
+    root = evolution_root(spark, SF_DIR)
+    df = read_table_at(spark, root)
+    assert "o_priority" in df.columns
+    assert "o_orderstatus" not in df.columns
+    # pre-evolution rows (odd keys) project NULL; post rows carry data
+    assert df.filter(
+        (F.col("o_orderkey") % 2 == 1) & F.col("o_priority").isNotNull()
+    ).count() == 0
+    assert df.filter(
+        (F.col("o_orderkey") % 2 == 0) & F.col("o_priority").isNull()
+    ).count() == 0
+    # time travel to v1 serves the ORIGINAL schema
+    v1 = read_table_at(spark, root, 1)
+    assert "o_orderstatus" in v1.columns
+    assert "o_priority" not in v1.columns
+    # evolution commit (v2) shares every file with v1: metadata-only
+    log = SnapshotLog(spark, root)
+    assert log.files(1) == log.files(2)
+
+
+def test_ingest_root_batches_and_replay(spark):
+    from hbase_compact_spark.streaming.ingest import (
+        committed_batch_ids,
+        replay_batch,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    root = ingest_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    ids = committed_batch_ids(log)
+    assert len(ids) >= 4  # one commit per staged file
+    n_versions = len(log.versions())
+    n_rows = read_table_at(spark, root).count()
+    # replaying ANY committed batch id is a no-op
+    probe = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).limit(3)
+    assert replay_batch(spark, root, probe, min(ids)) is False
+    assert len(log.versions()) == n_versions
+    assert read_table_at(spark, root).count() == n_rows
+    # the ingested table equals the batch dual
+    ev = load_table(spark, SF_DIR, "events")
+    assert n_rows == ev.count()
