@@ -29,7 +29,6 @@ from hbase_compact_spark.compaction.executor import (
     CompactionReport,
     _in_time_window,
     compact_table,
-    list_partition_files,
 )
 
 
@@ -64,13 +63,13 @@ class DaemonRun:
 def stats_report(spark: SparkSession, table_root: str) -> DataFrame:
     """The getTableDetails analog (QHBaseCompact.java:219-270): per
     (partition) file count + size with a grand-total rollup, GB
-    conversion included (:250-252,255)."""
-    parts = list_partition_files(spark, table_root)
-    rows = [
-        (rel, len(files), sum(s for _, s in files))
-        for rel, files in sorted(parts.items())
-    ]
-    df = spark.createDataFrame(rows, "partition string, filenum long, total_bytes long")
+    conversion included (:250-252,255). The per-file rows aggregate
+    ON EXECUTORS (executor.partition_summary) — the driver never holds
+    a per-file structure, so the report costs the same at 10⁶ files
+    as at 10."""
+    from hbase_compact_spark.compaction.executor import partition_summary
+
+    df = partition_summary(spark, table_root)
     return (
         df.rollup("partition")
         .agg(

@@ -164,6 +164,90 @@ def _uri_path(uri: str) -> str:
     return parsed.path if parsed.scheme else uri
 
 
+def listing_df(spark: SparkSession, table_root: str) -> DataFrame:
+    """Every data file under `table_root` as a DataFrame
+    (partition string, relpath string, size long) — the fully
+    DISTRIBUTED listing: URI→relative-path derivation is pure JVM
+    expression work (whole-stage codegen, no Python workers),
+    temp/trash `_`-component trees are filtered in the same stage, and
+    nothing per-file reaches the driver until a caller aggregates or
+    collects. This is the 10⁶-file path; callers that genuinely need a
+    per-partition dict use list_partition_files (one partition at a
+    time, bounded)."""
+    fs, root_path, _ = _hadoop_fs(spark, table_root)
+    root_abs = _uri_path(str(fs.makeQualified(root_path))).rstrip("/")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(table_root)
+        .select("path", "length")
+    )
+    # scheme strip mirrors _uri_path: "file:/a", "file:///a" and
+    # "hdfs://nn:8020/a" all reduce to the filesystem path component
+    scheme_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
+    abs_path = F.regexp_replace(F.col("path"), scheme_re, "")
+    parent = F.regexp_replace(abs_path, r"/[^/]*$", "")
+    name = F.regexp_extract(abs_path, r"[^/]+$", 0)
+    partition = (
+        F.when(parent == F.lit(root_abs), F.lit(""))
+        .when(
+            parent.startswith(root_abs + "/"),
+            F.substring(parent, len(root_abs) + 2, 1 << 20),
+        )
+        .otherwise(parent)  # different FS/mount: keep absolute
+    )
+    out = df.select(
+        partition.alias("partition"),
+        F.col("length").cast("long").alias("size"),
+        name.alias("name"),
+    ).filter(
+        # temp/trash trees are not data (any _- or .-component)
+        ~F.col("partition").rlike(r"(^|/)[_.]")
+    )
+    return out.select(
+        "partition",
+        F.when(F.col("partition") == "", F.col("name"))
+        .otherwise(F.concat_ws("/", "partition", "name"))
+        .alias("relpath"),
+        "size",
+    )
+
+
+def _list_one_partition(
+    spark: SparkSession, table_root: str, rel: str
+) -> list[tuple[str, int]]:
+    """[(file_uri, size)] of ONE leaf partition directory via a single
+    listStatus — the bounded on-demand companion to the distributed
+    listing: compact_table resolves file lists only for partitions it
+    is about to rewrite."""
+    fs, root, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    part = Path(posixpath.join(table_root, rel)) if rel else root
+    out = []
+    for st in fs.listStatus(part):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            and name.endswith(".parquet")
+            and not name.startswith(("_", "."))
+        ):
+            out.append((str(st.getPath()), int(st.getLen())))
+    return sorted(out)
+
+
+def partition_summary(spark: SparkSession, table_root: str) -> DataFrame:
+    """Per-partition (partition, filenum, total_bytes) aggregated ON
+    EXECUTORS — the driver receives one row per PARTITION, never one
+    per file. This is the stats-report / compaction-ordering input at
+    any file count."""
+    return listing_df(spark, table_root).groupBy("partition").agg(
+        F.count(F.lit(1)).alias("filenum"),
+        F.sum("size").alias("total_bytes"),
+    )
+
+
 def fileset_signature(names: list[str]) -> str:
     """Order-insensitive signature of a partition's file NAMES. Lets
     the checkpoint distinguish 'done and unchanged' from 'done but new
@@ -312,38 +396,50 @@ def compact_table(
     report = CompactionReport(table_root)
     reconcile_swaps(spark, table_root)  # finish any crash-interrupted
     # swap BEFORE listing, so the listing never sees an old+new mix
-    partitions = list_partition_files(spark, table_root)
+    # Per-file rows aggregate ON EXECUTORS: the driver receives one
+    # (filenum, bytes) row per PARTITION, and only partitions that
+    # might actually be rewritten get their file list (one bounded
+    # listStatus each) — O(partitions + files-in-touched-partitions)
+    # driver memory instead of O(all files).
+    summary = {
+        r["partition"]: (int(r["filenum"]), int(r["total_bytes"]))
+        for r in partition_summary(spark, table_root).collect()
+    }
     trash_dir = (
         posixpath.join(table_root, "_trash", str(int(time.time())))
         if trash
         else None
     )
     if priority == "fragmentation":
-        order = sorted(partitions, key=lambda r: (-len(partitions[r]), r))
+        order = sorted(summary, key=lambda r: (-summary[r][0], r))
     else:  # deterministic name order, like the reference's positional
         # region cursor (QHC.java:133,146)
-        order = sorted(partitions)
+        order = sorted(summary)
     todo: list[tuple[str, list[tuple[str, int]], int, PartitionResult]] = []
     done = 0
     ck_state = ckpt.load()
     for rel in order:
-        files = partitions[rel]
-        total = sum(s for _, s in files)
+        n_files, total = summary[rel]
         n_bins = max(1, math.ceil(total / target_bytes))
-        res = PartitionResult(rel, len(files), n_bins, total, rows=0)
-        ck_entry = ck_state.get(rel)
-        cur_sig = fileset_signature([p for p, _ in files])
-        if ck_entry is not None and ck_entry.get("fileset") in (None, cur_sig):
-            # done AND unchanged since (legacy entries without a
-            # fileset are honored as plain done-markers); a changed
-            # listing — new files arrived — re-opens the partition
-            res.skipped = "checkpointed"
-        elif len(files) <= 1:
+        res = PartitionResult(rel, n_files, n_bins, total, rows=0)
+        if n_files <= 1:
             res.skipped = "single_file"  # the >1 gate, QHC.java:151
-        elif n_bins >= len(files):
+        elif n_bins >= n_files:
             res.skipped = "already_compact"
-        elif max_partitions_per_run is not None and done >= max_partitions_per_run:
-            res.skipped = "pacing_budget"
+        else:
+            files = _list_one_partition(spark, table_root, rel)
+            ck_entry = ck_state.get(rel)
+            cur_sig = fileset_signature([p for p, _ in files])
+            if ck_entry is not None and ck_entry.get("fileset") in (None, cur_sig):
+                # done AND unchanged since (legacy entries without a
+                # fileset are honored as plain done-markers); a changed
+                # listing — new files arrived — re-opens the partition
+                res.skipped = "checkpointed"
+            elif (
+                max_partitions_per_run is not None
+                and done >= max_partitions_per_run
+            ):
+                res.skipped = "pacing_budget"
         report.results.append(res)
         if not res.skipped:
             done += 1

@@ -43,10 +43,60 @@ from hbase_compact_spark.compaction.executor import (
     _rm,
     _uri_path,
     _write_json,
-    list_partition_files,
 )
 
 SNAPSHOT_DIR = "_snapshots"
+MANIFEST_SUBDIR = "manifests"
+
+# file counts above this prune via a distributed manifest scan instead
+# of a driver loop (scan_plan)
+DISTRIBUTED_PRUNE_THRESHOLD = 20_000
+
+# immutable manifests (uuid-named, write-once) → a tiny global cache
+# is sound; capped so huge tables don't pin memory
+_MANIFEST_CACHE: dict[str, dict] = {}
+_MANIFEST_CACHE_CAP = 8
+
+MANIFEST_SCHEMA_DDL = (
+    "relpath string, size long, stats string, blooms string"
+)
+
+
+def _load_manifest(local_path: str) -> dict:
+    """Parsed manifest: {"files": [(relpath, size)], "stats": {...},
+    "blooms": {...}}. `local_path` may be a single parquet file or a
+    directory of part files (executor-written manifests). Cached —
+    manifests are immutable by construction (uuid names, never
+    rewritten)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    hit = _MANIFEST_CACHE.get(local_path)
+    if hit is not None:
+        return hit
+    tbl = pq.read_table(local_path)
+    files: list[tuple[str, int]] = []
+    stats: dict[str, dict] = {}
+    blooms: dict[str, dict] = {}
+    rels = tbl.column("relpath").to_pylist()
+    sizes = tbl.column("size").to_pylist()
+    st_col = tbl.column("stats").to_pylist()
+    bl_col = tbl.column("blooms").to_pylist()
+    for rel, size, st, bl in zip(rels, sizes, st_col, bl_col):
+        files.append((rel, int(size)))
+        if st:
+            stats[rel] = _json.loads(st)
+        if bl:
+            parsed = _json.loads(bl)
+            if parsed:
+                blooms[rel] = parsed
+    files.sort()
+    out = {"files": files, "stats": stats, "blooms": blooms}
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[local_path] = out
+    return out
 
 
 class SnapshotConflictError(RuntimeError):
@@ -88,13 +138,156 @@ class SnapshotLog:
             self._fs, self._jvm, self._Path(self.log_dir, f"v{version:012d}.json")
         )
 
+    # ------------------------------------------------- manifest layer
+    @property
+    def manifest_dir(self) -> str:
+        return posixpath.join(self.log_dir, MANIFEST_SUBDIR)
+
+    def _manifest_local(self, name: str) -> str:
+        """Local filesystem path of a manifest file/dir (same
+        local-path assumption as the footer-stats pass; an
+        object-store deployment routes this through a pyarrow
+        filesystem)."""
+        return posixpath.join(_uri_path(self.manifest_dir), name)
+
+    def _resolve(self, version: int) -> dict:
+        """{"files", "stats", "blooms"} of a snapshot, whichever of
+        the two encodings it uses: `manifest` reference (current — the
+        per-file metadata lives in an immutable parquet manifest, the
+        JSON stays O(1) in file count) or inline lists (legacy
+        snapshots written before the spill; still readable)."""
+        snap = self.read(version)
+        name = snap.get("manifest")
+        if name:
+            return _load_manifest(self._manifest_local(name))
+        return {
+            "files": sorted(
+                (f[0], int(f[1])) for f in snap.get("files") or []
+            ),
+            "stats": snap.get("stats") or {},
+            "blooms": snap.get("blooms") or {},
+        }
+
     def files(self, version: int | None = None) -> list[tuple[str, int]]:
         """[(relative path, size)] of the given (default: latest)
-        snapshot."""
+        snapshot. Driver-side materialization is names+sizes only —
+        never stats or bloom payloads."""
         v = self.latest() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
-        return [(f[0], int(f[1])) for f in self.read(v)["files"]]
+        return list(self._resolve(v)["files"])
+
+    def blooms(self, version: int | None = None) -> dict[str, dict]:
+        """Per-file bloom filters {relpath: {col: bloom}} of the given
+        (default: latest) snapshot; empty if never annotated."""
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return self._resolve(v)["blooms"]
+
+    def manifest_df(self, version: int | None = None) -> DataFrame:
+        """The snapshot's per-file metadata as a Spark DataFrame
+        (relpath, size, stats, blooms — the JSON-string payload
+        columns) — the DISTRIBUTED planning path: manifest rows never
+        pass through the driver. Legacy inline snapshots are lifted
+        into the same shape via createDataFrame (bounded: they predate
+        the spill and are small by construction)."""
+        import json as _json
+
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        snap = self.read(v)
+        name = snap.get("manifest")
+        if name:
+            return self.spark.read.schema(MANIFEST_SCHEMA_DDL).parquet(
+                posixpath.join(self.manifest_dir, name)
+            )
+        res = self._resolve(v)
+        rows = [
+            (
+                p,
+                s,
+                _json.dumps(res["stats"][p]) if p in res["stats"] else None,
+                _json.dumps(res["blooms"][p]) if p in res["blooms"] else None,
+            )
+            for p, s in res["files"]
+        ]
+        return self.spark.createDataFrame(rows, MANIFEST_SCHEMA_DDL)
+
+    def write_manifest(
+        self,
+        files: list[tuple[str, int]],
+        stats: dict[str, dict] | None = None,
+        blooms: dict[str, dict] | None = None,
+    ) -> str:
+        """Write one immutable manifest parquet from driver-side lists
+        and return its name. For executor-built manifests (stats/bloom
+        passes at scale) write a DataFrame in MANIFEST_SCHEMA_DDL shape
+        under `manifest_dir/<m-uuid>` instead and pass that name to
+        commit() — the payload then never visits the driver."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stats = stats or {}
+        blooms = blooms or {}
+        name = f"m-{uuid.uuid4().hex[:12]}.parquet"
+        self._fs.mkdirs(self._Path(self.manifest_dir))
+        tbl = pa.table(
+            {
+                "relpath": pa.array([p for p, _ in files], pa.string()),
+                "size": pa.array([int(s) for _, s in files], pa.int64()),
+                "stats": pa.array(
+                    [
+                        _json.dumps(stats[p]) if p in stats else None
+                        for p, _ in files
+                    ],
+                    pa.string(),
+                ),
+                "blooms": pa.array(
+                    [
+                        _json.dumps(blooms[p]) if p in blooms else None
+                        for p, _ in files
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(tbl, self._manifest_local(name))
+        return name
+
+    def copy_manifest(self, version: int) -> str | None:
+        """Byte-copy a version's manifest under a fresh name, for
+        METADATA-ONLY commits (schema evolution): manifests stay 1:1
+        with versions (expire can always delete a dropped version's
+        manifest), and the copy is a filesystem transfer of the
+        encoded parquet — no parse, no per-file driver work. Returns
+        None for legacy inline snapshots (no manifest to copy)."""
+        name = self.read(version).get("manifest")
+        if not name:
+            return None
+        suffix = ".parquet" if name.endswith(".parquet") else ""
+        new = f"m-{uuid.uuid4().hex[:12]}{suffix}"
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        src = self._Path(self.manifest_dir, name)
+        dst = self._Path(self.manifest_dir, new)
+        conf = self.spark._jsc.hadoopConfiguration()
+        if not FileUtil.copy(self._fs, src, self._fs, dst, False, conf):
+            raise RuntimeError(f"manifest copy failed: {name} -> {new}")
+        return new
+
+    def manifest_summary(self, name: str) -> tuple[int, int]:
+        """(n_files, total_bytes) of a manifest — column-pruned read,
+        only the size column is materialized."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self._manifest_local(name), columns=["size"])
+        col = tbl.column("size")
+        import pyarrow.compute as pc
+
+        return tbl.num_rows, int(pc.sum(col).as_py() or 0)
 
     def schema(self, version: int | None = None):
         """(StructType, partition_cols) recorded on the given
@@ -117,17 +310,18 @@ class SnapshotLog:
         v = self.latest() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
-        return self.read(v).get("stats") or {}
+        return self._resolve(v)["stats"]
 
     # --------------------------------------------------------- writes
     def commit(
         self,
-        files: list[tuple[str, int]],
+        files: list[tuple[str, int]] | None,
         op: str,
         parent: int | None = None,
         stats: dict[str, dict] | None = None,
         schema: dict | None = None,
         blooms: dict[str, dict] | None = None,
+        manifest: str | None = None,
     ) -> int:
         """Atomically claim the next version; rename-if-absent is the
         only commit point. With an EXPLICIT `parent` (every caller
@@ -135,26 +329,49 @@ class SnapshotLog:
         race raises SnapshotConflictError instead of retrying: the
         stale file list would silently drop the winner's files. Only
         parent-less commits (bootstrap-style full listings, which are
-        recomputed from disk) retry on the next number."""
+        recomputed from disk) retry on the next number.
+
+        Per-file metadata is SPILLED to an immutable parquet manifest
+        (`manifests/m-<uuid>`): the version JSON carries only the
+        manifest name plus O(1) summary counts, so its size does not
+        grow with file count — the Iceberg snapshot/manifest split.
+        Callers with driver-side lists pass `files`/`stats`/`blooms`
+        as before (one manifest is written here); callers that built
+        the manifest ON EXECUTORS (DataFrame write in
+        MANIFEST_SCHEMA_DDL shape) pass its name via `manifest` with
+        files=None and the payload never visits the driver."""
         fs, Path = self._fs, self._Path
         fs.mkdirs(Path(self.log_dir))
+        if manifest is None:
+            if files is None:
+                raise ValueError("commit needs files or a manifest")
+            manifest = self.write_manifest(files, stats, blooms)
+            n_files = len(files)
+            total_bytes = sum(int(s) for _, s in files)
+        else:
+            n_files, total_bytes = self.manifest_summary(manifest)
         payload = {
             "op": op,
             "parent": parent,
             "committed_at": int(time.time()),
-            "files": [[p, int(s)] for p, s in sorted(files)],
+            "manifest": manifest,
+            "n_files": n_files,
+            "total_bytes": total_bytes,
         }
-        if stats:
-            payload["stats"] = stats
         if schema:
             payload["schema"] = schema
-        if blooms:
-            payload["blooms"] = blooms
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
+
+        def _abort() -> None:
+            fs.delete(tmp, False)
+            # the manifest belongs to no committed version: remove it
+            # rather than leaving an orphan for expire to sweep
+            fs.delete(Path(self.manifest_dir, manifest), True)
+
         for _ in range(50):
             n = (self.latest() or 0) + 1
             if parent is not None and n != parent + 1:
-                fs.delete(tmp, False)
+                _abort()
                 raise SnapshotConflictError(
                     f"commit derived from v{parent} but v{n - 1} is now "
                     f"latest in {self.log_dir}; re-read and re-derive"
@@ -164,7 +381,7 @@ class SnapshotLog:
             dest = Path(self.log_dir, f"v{n:012d}.json")
             if not fs.exists(dest) and fs.rename(tmp, dest):
                 return n
-        fs.delete(tmp, False)
+        _abort()
         raise RuntimeError(f"could not claim a snapshot version in {self.log_dir}")
 
     def bootstrap(self) -> int:
@@ -179,22 +396,23 @@ class SnapshotLog:
         """Commit the table's CURRENT physical listing as the next
         version — bootstrap's listing move, reusable after
         out-of-band data lands under the root (e.g. an appended
-        directory): the new snapshot references everything on disk."""
-        listing = list_partition_files(self.spark, self.table_root)
-        files = [
-            (self._rel(uri), size)
-            for _rel, fl in listing.items()
-            for uri, size in fl
-        ]
+        directory): the new snapshot references everything on disk.
+        The listing flows from the distributed enumeration straight
+        into the manifest parquet — no per-file driver list."""
+        from hbase_compact_spark.compaction.executor import listing_df
+
+        df = listing_df(self.spark, self.table_root).select(
+            "relpath",
+            "size",
+            F.lit(None).cast("string").alias("stats"),
+            F.lit(None).cast("string").alias("blooms"),
+        )
+        name = _write_manifest_distributed(
+            self, df, stat_cols=False, bloom_cols=None
+        )
         if parent is None:
             parent = self.latest()
-        return self.commit(files, op=op, parent=parent)
-
-    def _rel(self, uri: str) -> str:
-        root_abs = _uri_path(str(self._fs.makeQualified(self._root))).rstrip("/")
-        p = _uri_path(uri)
-        return p[len(root_abs) + 1 :] if p.startswith(root_abs + "/") else p
-
+        return self.commit(None, op=op, parent=parent, manifest=name)
 
 def read_table_at(
     spark: SparkSession, table_root: str, version: int | None = None
@@ -275,9 +493,19 @@ def evolve_schema(
         "fields": StructType(fields).jsonValue(),
         "partition_cols": pcols,
     }
-    stats = log.read(v).get("stats")
+    manifest = log.copy_manifest(v)
+    if manifest is not None:
+        return log.commit(
+            None, op="evolve", parent=v, schema=new_blob, manifest=manifest
+        )
+    # legacy inline parent: lift its (small, pre-spill) metadata once
     return log.commit(
-        log.files(v), op="evolve", parent=v, stats=stats, schema=new_blob
+        log.files(v),
+        op="evolve",
+        parent=v,
+        stats=log.stats(v),
+        blooms=log.blooms(v),
+        schema=new_blob,
     )
 
 
@@ -318,45 +546,117 @@ def _footer_stats(local_path: str, cols: list[str] | None) -> tuple[int, dict]:
     return int(md.num_rows), out
 
 
-def collect_file_stats(
-    spark: SparkSession,
-    table_root: str,
-    relpaths: list[str],
-    cols: list[str] | None = None,
-) -> dict[str, dict]:
-    """Distributed footer-only stats pass: one task batch per group of
-    files, each reading parquet METADATA (a few KB) — never data pages.
-    Returns {relpath: {"rows": n, "cols": {col: [min, max]}}}; the
-    driver holds O(files x cols) numbers, nothing row-scale. Local /
-    posix paths here; an object-store deployment would route the same
-    footer read through a pyarrow filesystem."""
+def _meta_row(
+    root_local: str,
+    rel: str,
+    stats_json: str | None,
+    blooms_json: str | None,
+    stat_cols,
+    bloom_cols,
+    fpp: float,
+    max_bits: int,
+) -> tuple[str | None, str | None]:
+    """Executor-side per-file metadata computation for ONE manifest
+    row: footer stats for `stat_cols` (replacing the stats payload)
+    and/or bloom bitsets for `bloom_cols` (merged into the existing
+    bloom payload). `None` for either col list = leave that payload
+    untouched. Failures (vanished/corrupt file) clear the payload —
+    no metadata means no pruning, always conservative."""
     import json as _json
 
-    import pandas as pd  # noqa: F401 (executor import)
+    if stat_cols is not False:  # False = don't touch; None = all cols
+        try:
+            nrows, st = _footer_stats(
+                posixpath.join(root_local, rel), stat_cols
+            )
+            stats_json = _json.dumps({"rows": nrows, "cols": st})
+        except OSError:
+            stats_json = None
+    if bloom_cols:
+        try:
+            import pyarrow.parquet as pq
 
-    if not relpaths:
-        return {}
-    root_local = _uri_path(table_root)
+            pf = pq.ParquetFile(posixpath.join(root_local, rel))
+            present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+            tbl = pf.read(columns=present)
+            merged = _json.loads(blooms_json) if blooms_json else {}
+            for c in present:
+                b = _build_bloom(tbl.column(c).to_pandas(), fpp, max_bits)
+                if b is not None:
+                    merged[c] = b
+            blooms_json = _json.dumps(merged) if merged else None
+        except OSError:
+            blooms_json = None
+    return stats_json, blooms_json
+
+
+def _annotate_df(
+    log: SnapshotLog,
+    source_df: DataFrame,
+    stat_cols,
+    bloom_cols,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 16,
+    n_files_hint: int | None = None,
+) -> DataFrame:
+    """Manifest-shaped DataFrame with per-file stats/blooms computed
+    ON EXECUTORS (footer pass for `stat_cols` unless False, bloom
+    column pass for `bloom_cols` if given) — payloads go straight from
+    the pass into the output rows without visiting the driver."""
+    root_local = _uri_path(log.table_root)
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            recs = []
-            for rel in pdf["relpath"]:
-                try:
-                    nrows, st = _footer_stats(
-                        posixpath.join(root_local, rel), cols
-                    )
-                    recs.append((rel, _json.dumps({"rows": nrows, "cols": st})))
-                except OSError:
-                    continue  # vanished/corrupt file: no stats, no prune
-            yield pd.DataFrame(recs, columns=["relpath", "stats"])
+            sts, bls = [], []
+            for rel, st, bl in zip(
+                pdf["relpath"], pdf["stats"], pdf["blooms"]
+            ):
+                st2, bl2 = _meta_row(
+                    root_local, rel, st or None, bl or None,
+                    stat_cols, bloom_cols, fpp, max_bits,
+                )
+                sts.append(st2)
+                bls.append(bl2)
+            yield pd.DataFrame(
+                {
+                    "relpath": pdf["relpath"],
+                    "size": pdf["size"],
+                    "stats": pd.Series(sts, dtype=object),
+                    "blooms": pd.Series(bls, dtype=object),
+                }
+            )
 
-    df = spark.createDataFrame([(p,) for p in relpaths], "relpath string")
-    n_part = max(1, min(64, len(relpaths)))
-    rows = df.repartition(n_part).mapInPandas(gen, "relpath string, stats string")
-    return {r["relpath"]: _json.loads(r["stats"]) for r in rows.collect()}
+    if stat_cols is False and not bloom_cols:
+        return source_df
+    hint = n_files_hint or 4096
+    n_part = max(1, min(64, hint))
+    return source_df.repartition(n_part).mapInPandas(
+        gen, MANIFEST_SCHEMA_DDL
+    )
+
+
+def _write_manifest_distributed(
+    log: SnapshotLog,
+    source_df: DataFrame,
+    stat_cols,
+    bloom_cols,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 16,
+    n_files_hint: int | None = None,
+) -> str:
+    """Write a manifest from `source_df` (MANIFEST_SCHEMA_DDL shape)
+    via `_annotate_df`. Returns the manifest name (a directory of part
+    files; the reader treats file and directory manifests alike)."""
+    name = f"m-{uuid.uuid4().hex[:12]}"
+    df = _annotate_df(
+        log, source_df, stat_cols, bloom_cols, fpp, max_bits, n_files_hint
+    )
+    df.write.mode("overwrite").parquet(
+        posixpath.join(log.manifest_dir, name)
+    )
+    return name
 
 
 def annotate_stats(
@@ -368,14 +668,25 @@ def annotate_stats(
     """Commit a new snapshot carrying per-file column min/max stats
     (Iceberg's manifest-metrics move): same file set as the source
     version, `op="stats"`. From then on `scan_plan`/`read_table_where`
-    prune file lists on the driver without touching any footer, and
-    `snapshot_compact` keeps the stats current incrementally."""
+    prune file lists without touching any footer, and
+    `snapshot_compact` keeps the stats current incrementally. The
+    footer pass runs on executors and writes the manifest DIRECTLY —
+    at 10⁶ files nothing per-file ever sits on the driver; existing
+    bloom payloads are carried through untouched."""
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
     v = log.latest() if version is None else version
-    files = log.files(v)
-    stats = collect_file_stats(spark, table_root, [p for p, _ in files], cols)
-    return log.commit(files, op="stats", parent=v, stats=stats)
+    snap = log.read(v)
+    name = _write_manifest_distributed(
+        log,
+        log.manifest_df(v),
+        stat_cols=cols,
+        bloom_cols=None,
+        n_files_hint=snap.get("n_files"),
+    )
+    return log.commit(
+        None, op="stats", parent=v, schema=snap.get("schema"), manifest=name
+    )
 
 
 def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
@@ -457,56 +768,6 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     return bool(bits[pos].all())
 
 
-def collect_file_blooms(
-    spark: SparkSession,
-    table_root: str,
-    relpaths: list[str],
-    cols: list[str],
-    fpp: float = 0.01,
-    max_bits: int = 1 << 16,
-) -> dict[str, dict]:
-    """Distributed per-file bloom build: one task per file reads ONLY
-    the requested columns (pyarrow column pruning) and emits a
-    fixed-size bitset — O(max_bits) per file per column crosses to the
-    driver, never values."""
-    import json as _json
-
-    if not relpaths or not cols:
-        return {}
-    root_local = _uri_path(table_root)
-
-    def gen(batches):
-        import pandas as pd
-        import pyarrow.parquet as pq
-
-        for pdf in batches:
-            recs = []
-            for rel in pdf["relpath"]:
-                try:
-                    pf = pq.ParquetFile(posixpath.join(root_local, rel))
-                    present = [c for c in cols if c in pf.schema_arrow.names]
-                    tbl = pf.read(columns=present)
-                except OSError:
-                    continue
-                blooms = {
-                    c: b
-                    for c in present
-                    if (
-                        b := _build_bloom(
-                            tbl.column(c).to_pandas(), fpp, max_bits
-                        )
-                    )
-                    is not None
-                }
-                recs.append((rel, _json.dumps(blooms)))
-            yield pd.DataFrame(recs, columns=["relpath", "blooms"])
-
-    df = spark.createDataFrame([(p,) for p in relpaths], "relpath string")
-    n_part = max(1, min(64, len(relpaths)))
-    rows = df.repartition(n_part).mapInPandas(gen, "relpath string, blooms string")
-    return {r["relpath"]: _json.loads(r["blooms"]) for r in rows.collect()}
-
-
 def annotate_blooms(
     spark: SparkSession,
     table_root: str,
@@ -519,23 +780,30 @@ def annotate_blooms(
     columns. Min/max stats prune RANGES; blooms prune EQUALITY on
     high-cardinality keys, where every file's [min, max] spans the
     whole domain and stats never fire — the point-lookup path at
-    100 TB. Probing is a driver-side bitset test per (file, value):
-    no footer, no scan."""
+    100 TB. Probing is a metadata-only bitset test per (file, value):
+    no footer, no scan. The bitsets are BUILT on executors and written
+    straight into the manifest parquet (merged over any existing bloom
+    columns); stats payloads carry through untouched and nothing
+    per-file visits the driver."""
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
     v = log.latest() if version is None else version
     snap = log.read(v)
-    files = log.files(v)
-    blooms = collect_file_blooms(
-        spark, table_root, [p for p, _ in files], cols, fpp, max_bits
+    name = _write_manifest_distributed(
+        log,
+        log.manifest_df(v),
+        stat_cols=False,
+        bloom_cols=cols,
+        fpp=fpp,
+        max_bits=max_bits,
+        n_files_hint=snap.get("n_files"),
     )
     return log.commit(
-        files,
+        None,
         op="blooms",
         parent=v,
-        stats=snap.get("stats"),
         schema=snap.get("schema"),
-        blooms=blooms,
+        manifest=name,
     )
 
 
@@ -555,54 +823,126 @@ def _disjoint(rng: list, lo, hi) -> bool:
     return False
 
 
+def _row_survives(
+    stats_json: str | None,
+    blooms_json: str | None,
+    norm: dict[str, tuple],
+    eq_preds: dict,
+) -> bool:
+    """Shared prune predicate for ONE manifest row (JSON-string
+    payloads as stored) — used identically by the driver loop and the
+    distributed manifest scan, so the two paths cannot diverge."""
+    import json as _json
+
+    file_cols = (
+        (_json.loads(stats_json) if stats_json else {}).get("cols") or {}
+    )
+    file_blooms = _json.loads(blooms_json) if blooms_json else {}
+    if any(
+        col in file_cols and _disjoint(file_cols[col], lo, hi)
+        for col, (lo, hi) in norm.items()
+    ):
+        return False
+    if any(
+        col in file_blooms
+        and not _bloom_may_contain(file_blooms[col], val)
+        for col, val in eq_preds.items()
+    ):
+        return False
+    return True
+
+
 def scan_plan(
     spark: SparkSession,
     table_root: str,
     predicates: dict[str, tuple],
     version: int | None = None,
 ) -> dict:
-    """Driver-side file pruning against snapshot stats and blooms.
-    `predicates` maps column -> (lo, hi) inclusive bounds (None =
-    unbounded) for ranges, or -> a scalar for equality. A file is
-    dropped only when its recorded [min, max] provably misses the
-    requested range, or (equality, bloom annotated) the bloom filter
-    rules the value out — files without metadata for a column are
-    always kept. Pure metadata: O(files x predicates) bitset/compare
-    work, no filesystem access at all."""
+    """File pruning against snapshot stats and blooms. `predicates`
+    maps column -> (lo, hi) inclusive bounds (None = unbounded) for
+    ranges, or -> a scalar for equality. A file is dropped only when
+    its recorded [min, max] provably misses the requested range, or
+    (equality, bloom annotated) the bloom filter rules the value out —
+    files without metadata for a column are always kept.
+
+    Small tables prune in a driver loop over the manifest; past
+    DISTRIBUTED_PRUNE_THRESHOLD files the manifest is scanned as a
+    DataFrame and only the SURVIVING relpaths come back to the driver
+    — at 10⁶ files the driver holds the kept list (what it must hand
+    to the reader anyway), never the bloom payloads."""
     log = SnapshotLog(spark, table_root)
     v = log.latest() if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {table_root}")
-    snap = log.read(v)
-    stats = snap.get("stats") or {}
-    blooms = snap.get("blooms") or {}
     norm = {
         col: (pred if isinstance(pred, tuple) else (pred, pred))
         for col, pred in predicates.items()
     }
+    eq_preds = {
+        col: pred
+        for col, pred in predicates.items()
+        if not isinstance(pred, tuple)
+    }
+    snap = log.read(v)
+    n_files = snap.get("n_files")
+    if n_files is None:
+        n_files = len(snap.get("files") or [])
+    if n_files > DISTRIBUTED_PRUNE_THRESHOLD:
+        kept = _scan_plan_distributed(log, v, norm, eq_preds)
+        return {
+            "version": v,
+            "paths": kept,
+            "kept_files": len(kept),
+            "pruned_files": n_files - len(kept),
+        }
+    import json as _json
+
+    res = log._resolve(v)
+    stats, blooms = res["stats"], res["blooms"]
     kept, pruned = [], 0
-    for relpath, _size in [(f[0], f[1]) for f in snap["files"]]:
-        file_cols = stats.get(relpath, {}).get("cols", {})
-        file_blooms = blooms.get(relpath, {})
-        drop = any(
-            col in file_cols and _disjoint(file_cols[col], lo, hi)
-            for col, (lo, hi) in norm.items()
-        ) or any(
-            col in file_blooms
-            and not _bloom_may_contain(file_blooms[col], pred)
-            for col, pred in predicates.items()
-            if not isinstance(pred, tuple)
+    for relpath, _size in res["files"]:
+        ok = _row_survives(
+            _json.dumps(stats[relpath]) if relpath in stats else None,
+            _json.dumps(blooms[relpath]) if relpath in blooms else None,
+            norm,
+            eq_preds,
         )
-        if drop:
-            pruned += 1
-        else:
+        if ok:
             kept.append(relpath)
+        else:
+            pruned += 1
     return {
         "version": v,
         "paths": kept,
         "kept_files": len(kept),
         "pruned_files": pruned,
     }
+
+
+def _scan_plan_distributed(
+    log: SnapshotLog, version: int, norm: dict, eq_preds: dict
+) -> list[str]:
+    """Prune on EXECUTORS: mapInPandas over the manifest DataFrame
+    evaluates the same _row_survives predicate per row and emits only
+    surviving relpaths. Predicate dicts ship in the closure (small);
+    manifest payloads never leave the executors."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mask = [
+                _row_survives(st, bl, norm, eq_preds)
+                for st, bl in zip(pdf["stats"], pdf["blooms"])
+            ]
+            yield pd.DataFrame({"relpath": pdf["relpath"][mask]})
+
+    rows = (
+        log.manifest_df(version)
+        .mapInPandas(gen, "relpath string")
+        .collect()
+    )
+    return sorted(r["relpath"] for r in rows)
 
 
 def read_table_where(
@@ -739,14 +1079,13 @@ def snapshot_compact(
         rewritten += 1
     if not rewritten:
         return {"version": base_version, "rewritten": 0, "new_files": 0}
-    stats, blooms = _carry_meta(spark, log, base_version, keep, added)
+    manifest = _carried_manifest(spark, log, base_version, keep, added)
     version = log.commit(
-        keep + added,
+        None,
         op="compact",
         parent=base_version,
-        stats=stats,
         schema=schema_blob,
-        blooms=blooms,
+        manifest=manifest,
     )
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
 
@@ -778,36 +1117,89 @@ def _move_tmp_files(
     return out
 
 
-def _carry_meta(
+def _parent_meta_cols(log: SnapshotLog, version: int) -> tuple[list, list]:
+    """(stat_cols, bloom_cols) the parent snapshot's manifest carries —
+    discovered from the FIRST non-null payload rows, early-exit batch
+    scan, so the cost is O(1) rows regardless of file count."""
+    import json as _json
+
+    snap = log.read(version)
+    name = snap.get("manifest")
+    stat_cols: set = set()
+    bloom_cols: set = set()
+
+    def _absorb(st, bl) -> None:
+        if st and not stat_cols:
+            stat_cols.update((_json.loads(st).get("cols") or {}).keys())
+        if bl and not bloom_cols:
+            bloom_cols.update(_json.loads(bl).keys())
+
+    if name:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(log._manifest_local(name), format="parquet")
+        for batch in dataset.to_batches(
+            columns=["stats", "blooms"], batch_size=1024
+        ):
+            for st, bl in zip(
+                batch.column("stats").to_pylist(),
+                batch.column("blooms").to_pylist(),
+            ):
+                _absorb(st, bl)
+            if stat_cols and bloom_cols:
+                break
+    else:  # legacy inline snapshot
+        for st in (snap.get("stats") or {}).values():
+            stat_cols.update((st.get("cols") or {}).keys())
+        for bl in (snap.get("blooms") or {}).values():
+            bloom_cols.update(bl.keys())
+    return sorted(stat_cols), sorted(bloom_cols)
+
+
+def _carried_manifest(
     spark: SparkSession,
     log: SnapshotLog,
     base_version: int,
     keep: list[tuple[str, int]],
     added: list[tuple[str, int]],
-) -> tuple[dict | None, dict | None]:
-    """Incremental (stats, blooms) maintenance across a rewrite: kept
-    files inherit the parent snapshot's entries verbatim; only freshly
-    written files get a footer/bloom pass — the same bounded-delta
-    shape as the file list itself."""
-    snap = log.read(base_version)
-    pstats = snap.get("stats") or {}
-    pblooms = snap.get("blooms") or {}
-    added_paths = [p for p, _ in added]
-    stats = blooms = None
-    if pstats:
-        cols = sorted({c for st in pstats.values() for c in st.get("cols", {})})
-        stats = {p: pstats[p] for p, _ in keep if p in pstats}
-        stats.update(
-            collect_file_stats(spark, log.table_root, added_paths, cols or None)
+) -> str:
+    """Child manifest for a rewrite (compact/delete/merge), built
+    WITHOUT driver-side metadata: kept files' manifest rows (stats +
+    bloom payloads intact) are filtered from the parent manifest on
+    executors; added files get a footer/bloom pass for the SAME
+    columns the parent tracks, also on executors; the union writes
+    straight to the new manifest. The driver holds only names+sizes —
+    the bounded-delta shape of the file list itself."""
+    keep_rels = [p for p, _ in keep]
+    parent_df = log.manifest_df(base_version)
+    if keep_rels:
+        keep_df = parent_df.join(
+            spark.createDataFrame(
+                [(p,) for p in keep_rels], "relpath string"
+            ),
+            "relpath",
+            "left_semi",
         )
-    if pblooms:
-        bcols = sorted({c for b in pblooms.values() for c in b})
-        blooms = {p: pblooms[p] for p, _ in keep if p in pblooms}
-        if bcols:
-            blooms.update(
-                collect_file_blooms(spark, log.table_root, added_paths, bcols)
-            )
-    return stats, blooms
+    else:
+        keep_df = parent_df.limit(0)
+    stat_cols, bloom_cols = _parent_meta_cols(log, base_version)
+    added_src = spark.createDataFrame(
+        [(p, int(s), None, None) for p, s in added],
+        MANIFEST_SCHEMA_DDL,
+    )
+    added_df = _annotate_df(
+        log,
+        added_src,
+        stat_cols=stat_cols if stat_cols else False,
+        bloom_cols=bloom_cols or None,
+        n_files_hint=max(1, len(added)),
+    )
+    return _write_manifest_distributed(
+        log,
+        keep_df.unionByName(added_df),
+        stat_cols=False,
+        bloom_cols=None,
+    )
 
 
 def _partition_cols_of(log: SnapshotLog, version: int) -> list[str]:
@@ -918,14 +1310,13 @@ def snapshot_delete(
             "rewritten_files": 0,
             "scanned_files": len(cand),
         }
-    stats, blooms = _carry_meta(spark, log, base_version, keep, added)
+    manifest = _carried_manifest(spark, log, base_version, keep, added)
     v = log.commit(
-        keep + added,
+        None,
         op="delete",
         parent=base_version,
-        stats=stats,
         schema=log.read(base_version).get("schema"),
-        blooms=blooms,
+        manifest=manifest,
     )
     return {
         "version": v,
@@ -992,8 +1383,8 @@ def snapshot_merge(
 
     # ---- candidate file detection via snapshot metadata
     snap = log.read(base_version)
-    stats = snap.get("stats") or {}
-    blooms = snap.get("blooms") or {}
+    stats = log.stats(base_version)
+    blooms = log.blooms(base_version)
     if n_source <= MERGE_KEY_PROBE_CAP and (stats or blooms):
         keys = [tuple(r) for r in keys_df.collect()]
 
@@ -1086,14 +1477,13 @@ def snapshot_merge(
                 _move_tmp_files(fs, Path, tmp_dir, table_root, part_rel, "merged")
             )
         _rm(spark, tmp_dir)
-    stats_new, blooms_new = _carry_meta(spark, log, base_version, keep, added)
+    manifest = _carried_manifest(spark, log, base_version, keep, added)
     v = log.commit(
-        keep + added,
+        None,
         op="merge",
         parent=base_version,
-        stats=stats_new,
         schema=snap.get("schema"),
-        blooms=blooms_new,
+        manifest=manifest,
     )
     return {
         "version": v,
@@ -1115,28 +1505,38 @@ def sweep_orphans(
     a file younger than `grace_seconds` may belong to a commit that
     has not claimed its version yet, so it is kept. Bounded metadata
     work: one listing + the log's file sets."""
+    from functools import reduce
+
+    from hbase_compact_spark.compaction.executor import listing_df
+
     log = SnapshotLog(spark, table_root)
     if not log.versions():
         return {"deleted_files": 0}
-    referenced = {p for v in log.versions() for p, _ in log.files(v)}
+    # distributed set difference: on-disk listing ANTI-JOIN the union
+    # of every version's manifest — referenced relpaths never
+    # materialize on the driver, only the (small) orphan candidates do
+    referenced = reduce(
+        DataFrame.unionByName,
+        [log.manifest_df(v).select("relpath") for v in log.versions()],
+    )
+    orphans = [
+        r["relpath"]
+        for r in listing_df(spark, table_root)
+        .select("relpath")
+        .join(referenced, "relpath", "left_anti")
+        .collect()
+    ]
     fs, _, jvm = _hadoop_fs(spark, table_root)
     Path = jvm.org.apache.hadoop.fs.Path
     now_ms = jvm.java.lang.System.currentTimeMillis()
     deleted = 0
-    listing = list_partition_files(spark, table_root)
-    for rel, files in listing.items():
-        for uri, _ in files:
-            relpath = posixpath.join(rel, posixpath.basename(uri)) if rel else (
-                posixpath.basename(uri)
-            )
-            if relpath in referenced:
-                continue
-            p = Path(posixpath.join(table_root, relpath))
-            age_s = (now_ms - fs.getFileStatus(p).getModificationTime()) / 1000.0
-            if age_s < grace_seconds:
-                continue  # possibly an in-flight commit
-            if fs.delete(p, False):
-                deleted += 1
+    for relpath in sorted(orphans):
+        p = Path(posixpath.join(table_root, relpath))
+        age_s = (now_ms - fs.getFileStatus(p).getModificationTime()) / 1000.0
+        if age_s < grace_seconds:
+            continue  # possibly an in-flight commit
+        if fs.delete(p, False):
+            deleted += 1
     return {"deleted_files": deleted}
 
 
@@ -1163,5 +1563,11 @@ def expire_snapshots(
         if fs.delete(Path(posixpath.join(table_root, p)), False):
             deleted += 1
     for v in drop_vs:
+        # manifests are 1:1 with versions (copy_manifest guarantees it
+        # even for metadata-only commits), so a dropped version's
+        # manifest is reclaimable with it
+        manifest = log.read(v).get("manifest")
+        if manifest:
+            fs.delete(Path(log.manifest_dir, manifest), True)
         fs.delete(Path(log.log_dir, f"v{v:012d}.json"), False)
     return {"expired": len(drop_vs), "deleted_files": deleted}

@@ -565,10 +565,9 @@ def test_snapshot_merge_upsert_semantics(spark, part_table):
     assert ins.count() == 2
     assert {r["region"] for r in ins.collect()} == {"p0", "p1"}
     # metadata stayed maintained: every live file has stats + blooms
-    snap = log.read(log.latest())
     live = {p for p, _ in log.files()}
-    assert set(snap["stats"]) == live
-    assert set(snap["blooms"]) == live
+    assert set(log.stats()) == live
+    assert set(log.blooms()) == live
     # merge with duplicate source keys is rejected
     dup = spark.createDataFrame(
         [tuple(d[c] for c in full.columns) for d in two + two],
