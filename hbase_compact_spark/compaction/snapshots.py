@@ -62,6 +62,31 @@ MANIFEST_SCHEMA_DDL = (
 )
 
 
+def _read_manifest_table(local_path: str, columns=None):
+    """pyarrow table of a manifest file/dir. A ZERO-ROW manifest
+    (bootstrap of an empty table) may have been written by Spark as a
+    directory with no part files at all — surface that as an empty
+    table in the manifest schema rather than a read error."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if _os.path.isdir(local_path) and not any(
+        n.endswith(".parquet") for n in _os.listdir(local_path)
+    ):
+        empty = pa.table(
+            {
+                "relpath": pa.array([], pa.string()),
+                "size": pa.array([], pa.int64()),
+                "stats": pa.array([], pa.string()),
+                "blooms": pa.array([], pa.string()),
+            }
+        )
+        return empty.select(columns) if columns else empty
+    return pq.read_table(local_path, columns=columns)
+
+
 def _load_manifest(local_path: str) -> dict:
     """Parsed manifest: {"files": [(relpath, size)], "stats": {...},
     "blooms": {...}}. `local_path` may be a single parquet file or a
@@ -70,12 +95,10 @@ def _load_manifest(local_path: str) -> dict:
     rewritten)."""
     import json as _json
 
-    import pyarrow.parquet as pq
-
     hit = _MANIFEST_CACHE.get(local_path)
     if hit is not None:
         return hit
-    tbl = pq.read_table(local_path)
+    tbl = _read_manifest_table(local_path)
     files: list[tuple[str, int]] = []
     stats: dict[str, dict] = {}
     blooms: dict[str, dict] = {}
@@ -258,6 +281,33 @@ class SnapshotLog:
         pq.write_table(tbl, self._manifest_local(name))
         return name
 
+    def commit_append(
+        self, added: list[tuple[str, int]], op: str, parent: int
+    ) -> int:
+        """Append-only commit: child manifest = the parent's manifest
+        rows UNION the added entries, written distributed — the
+        parent's file list (and any stats/bloom payloads, which carry
+        through untouched) never visits the driver, so a streaming
+        ingest's per-batch commit cost is O(added) driver work at any
+        table size. Raises SnapshotConflictError like commit()."""
+        added_df = self.spark.createDataFrame(
+            [(p, int(s), None, None) for p, s in added],
+            MANIFEST_SCHEMA_DDL,
+        )
+        name = _write_manifest_distributed(
+            self,
+            self.manifest_df(parent).unionByName(added_df),
+            stat_cols=False,
+            bloom_cols=None,
+        )
+        return self.commit(
+            None,
+            op=op,
+            parent=parent,
+            schema=self.read(parent).get("schema"),
+            manifest=name,
+        )
+
     def copy_manifest(self, version: int) -> str | None:
         """Byte-copy a version's manifest under a fresh name, for
         METADATA-ONLY commits (schema evolution): manifests stay 1:1
@@ -281,13 +331,12 @@ class SnapshotLog:
     def manifest_summary(self, name: str) -> tuple[int, int]:
         """(n_files, total_bytes) of a manifest — column-pruned read,
         only the size column is materialized."""
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(self._manifest_local(name), columns=["size"])
-        col = tbl.column("size")
         import pyarrow.compute as pc
 
-        return tbl.num_rows, int(pc.sum(col).as_py() or 0)
+        tbl = _read_manifest_table(
+            self._manifest_local(name), columns=["size"]
+        )
+        return tbl.num_rows, int(pc.sum(tbl.column("size")).as_py() or 0)
 
     def schema(self, version: int | None = None):
         """(StructType, partition_cols) recorded on the given
@@ -412,7 +461,15 @@ class SnapshotLog:
         )
         if parent is None:
             parent = self.latest()
-        return self.commit(None, op=op, parent=parent, manifest=name)
+        # a declared (evolved) schema survives appends — without the
+        # carry, readers of the new version would fall back to parquet
+        # inference, which picks an arbitrary file's physical schema
+        # when generations differ (the pre-evolution files still hold
+        # dropped columns)
+        schema = self.read(parent).get("schema") if parent else None
+        return self.commit(
+            None, op=op, parent=parent, schema=schema, manifest=name
+        )
 
 def read_table_at(
     spark: SparkSession, table_root: str, version: int | None = None
@@ -1135,9 +1192,16 @@ def _parent_meta_cols(log: SnapshotLog, version: int) -> tuple[list, list]:
             bloom_cols.update(_json.loads(bl).keys())
 
     if name:
+        import os as _os
+
         import pyarrow.dataset as ds
 
-        dataset = ds.dataset(log._manifest_local(name), format="parquet")
+        local = log._manifest_local(name)
+        if _os.path.isdir(local) and not any(
+            n.endswith(".parquet") for n in _os.listdir(local)
+        ):
+            return [], []  # zero-row manifest: no metadata columns
+        dataset = ds.dataset(local, format="parquet")
         for batch in dataset.to_batches(
             columns=["stats", "blooms"], batch_size=1024
         ):
@@ -1326,6 +1390,81 @@ def snapshot_delete(
     }
 
 
+def _file_may_hold(
+    stats_json: str | None,
+    blooms_json: str | None,
+    key_cols: list[str],
+    keys: list[tuple],
+) -> bool:
+    """True unless EVERY probe key is provably absent from the file
+    (range-disjoint stats or bloom-negative on some key column) —
+    the per-manifest-row MERGE candidate test, shared by the driver
+    loop and the distributed probe so the two cannot diverge."""
+    import json as _json
+
+    fc = (_json.loads(stats_json) if stats_json else {}).get("cols") or {}
+    fb = _json.loads(blooms_json) if blooms_json else {}
+    for key in keys:
+        for col, val in zip(key_cols, key):
+            if col in fc and _disjoint(fc[col], val, val):
+                break
+            if col in fb and not _bloom_may_contain(fb[col], val):
+                break
+        else:
+            return True
+    return False
+
+
+def _probe_candidates(
+    log: SnapshotLog,
+    version: int,
+    key_cols: list[str],
+    keys: list[tuple],
+    threshold: int = DISTRIBUTED_PRUNE_THRESHOLD,
+) -> set[str]:
+    """Relpaths that MAY hold at least one probe key. Small manifests
+    probe in a driver loop; past `threshold` files the probe runs as a
+    distributed manifest scan with the key list shipped in the closure
+    (bounded by MERGE_KEY_PROBE_CAP) — bloom payloads stay on
+    executors and only candidate NAMES return."""
+    import json as _json
+
+    snap = log.read(version)
+    n_files = snap.get("n_files")
+    if n_files is None:
+        n_files = len(snap.get("files") or [])
+    if n_files <= threshold:
+        res = log._resolve(version)
+        stats, blooms = res["stats"], res["blooms"]
+        return {
+            rel
+            for rel, _ in res["files"]
+            if _file_may_hold(
+                _json.dumps(stats[rel]) if rel in stats else None,
+                _json.dumps(blooms[rel]) if rel in blooms else None,
+                key_cols,
+                keys,
+            )
+        }
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mask = [
+                _file_may_hold(st or None, bl or None, key_cols, keys)
+                for st, bl in zip(pdf["stats"], pdf["blooms"])
+            ]
+            yield pd.DataFrame({"relpath": pdf["relpath"][mask]})
+
+    return {
+        r["relpath"]
+        for r in log.manifest_df(version)
+        .mapInPandas(gen, "relpath string")
+        .collect()
+    }
+
+
 MERGE_KEY_PROBE_CAP = 100_000
 
 
@@ -1383,25 +1522,15 @@ def snapshot_merge(
 
     # ---- candidate file detection via snapshot metadata
     snap = log.read(base_version)
-    stats = log.stats(base_version)
-    blooms = log.blooms(base_version)
-    if n_source <= MERGE_KEY_PROBE_CAP and (stats or blooms):
+    stat_cols_present, bloom_cols_present = _parent_meta_cols(
+        log, base_version
+    )
+    if n_source <= MERGE_KEY_PROBE_CAP and (
+        stat_cols_present or bloom_cols_present
+    ):
         keys = [tuple(r) for r in keys_df.collect()]
-
-        def may_hold(relpath: str) -> bool:
-            fc = stats.get(relpath, {}).get("cols", {})
-            fb = blooms.get(relpath, {})
-            for key in keys:
-                for col, val in zip(key_cols, key):
-                    if col in fc and _disjoint(fc[col], val, val):
-                        break
-                    if col in fb and not _bloom_may_contain(fb[col], val):
-                        break
-                else:
-                    return True
-            return False
-
-        cand = [(p, s) for p, s in all_files if may_hold(p)]
+        may = _probe_candidates(log, base_version, key_cols, keys)
+        cand = [(p, s) for p, s in all_files if p in may]
     else:
         cand = list(all_files)
     cand_set = {p for p, _ in cand}

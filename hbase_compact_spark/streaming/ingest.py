@@ -92,7 +92,10 @@ def _commit_batch(
     for _ in range(50):
         base = log.latest()
         try:
-            return log.commit(log.files(base) + added, op=op, parent=base)
+            # manifest-append: parent rows union the new files, built
+            # distributed — the table's file list never visits the
+            # driver, so per-batch commit cost is O(batch) at any size
+            return log.commit_append(added, op=op, parent=base)
         except SnapshotConflictError:
             continue
     raise RuntimeError(f"ingest commit kept conflicting under {table_root}")

@@ -101,3 +101,18 @@ def test_expire_reclaims_manifests(spark, tmp_path):
     assert len(os.listdir(manifest_dir)) == 2
     # survivors still resolve
     assert len(log.files()) == 1
+
+
+def test_empty_table_bootstrap_roundtrip(spark, tmp_path):
+    """commit_current over an EMPTY table writes a zero-row manifest
+    (possibly a part-file-less directory) that must still resolve as
+    an empty file set through every read accessor."""
+    root = str(tmp_path / "empty")
+    os.makedirs(root)
+    log = SnapshotLog(spark, root)
+    v = log.bootstrap()
+    assert log.files(v) == []
+    assert log.stats(v) == {}
+    assert log.blooms(v) == {}
+    snap = log.read(v)
+    assert snap["n_files"] == 0 and snap["total_bytes"] == 0

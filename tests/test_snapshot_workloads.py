@@ -113,6 +113,10 @@ def test_schema_evolution_projects_and_hides(spark):
     # evolution commit (v2) shares every file with v1: metadata-only
     log = SnapshotLog(spark, root)
     assert log.files(1) == log.files(2)
+    # the declared schema SURVIVES the post-evolution append: without
+    # the carry, v3 readers fall back to parquet inference, which
+    # picks an arbitrary generation's physical schema
+    assert log.read(3).get("schema"), "append commit dropped the schema"
 
 
 def test_ingest_root_batches_and_replay(spark):
