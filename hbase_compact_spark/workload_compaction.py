@@ -636,3 +636,29 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_at(spark, root).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_priority"
     )
+
+
+@query(
+    "snapshot_incremental_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % {TT_MOD} = 0
+    """,
+)
+def snapshot_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental read between two snapshot versions
+    (compaction/snapshots.py:read_incremental — the Iceberg
+    incremental-append scan): exactly the rows whose FILES were added
+    by the v1→v2 append, resolved from pure snapshot metadata, with
+    only the delta files opened. This is how a downstream pipeline at
+    100 TB processes a day of ingest without rescanning the table.
+    Shares the two-version materialization with snapshot_time_travel
+    (v1 = non-multiple keys, v2 appends the rest), so the oracle is
+    the appended modulo slice."""
+    from hbase_compact_spark.compaction.snapshots import read_incremental
+
+    root = time_travel_root(spark, sf_dir)
+    return read_incremental(spark, root, from_version=1, to_version=2).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

@@ -2039,3 +2039,53 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 0.5 * F.col("n_docs"))
         .select("term", "n", "df")
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))),
+                 ' ')) AS h
+      FROM documents
+    ),
+    incoming AS (SELECT doc_id, h FROM f WHERE doc_id % 10 = 0),
+    corpus AS (
+      SELECT h, CAST(min(doc_id) AS BIGINT) AS match_id
+      FROM f WHERE doc_id % 10 <> 0 GROUP BY h
+    )
+    SELECT i.doc_id, c.match_id
+    FROM incoming i JOIN corpus c ON c.h = i.h
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-ingest shape: a new batch
+    (doc_id % 10 = 0) is checked against the EXISTING corpus only,
+    never against itself and never corpus-vs-corpus, so daily work is
+    O(batch + matched-buckets) instead of re-deduping the world. The
+    key is a word-SET fingerprint (md5 of the sorted distinct
+    tokens): canonicalizes word order and repetition, catching
+    shuffled/re-joined copies that byte-exact md5 misses, while
+    staying a pure JVM expression. The join is a plain equi-join on
+    the fingerprint — at 100 TB the corpus side is a pre-built
+    fingerprint index (one column + doc_id), and the batch side
+    broadcasts. Returns each matched new doc with the corpus doc it
+    duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("h"),
+    )
+    incoming = fp.filter(F.col("doc_id") % 10 == 0)
+    corpus = (
+        fp.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    return incoming.join(corpus, "h").select("doc_id", "match_id")

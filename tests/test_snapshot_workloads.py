@@ -142,3 +142,38 @@ def test_ingest_root_batches_and_replay(spark):
     # the ingested table equals the batch dual
     ev = load_table(spark, SF_DIR, "events")
     assert n_rows == ev.count()
+
+
+def test_read_incremental_contract(spark, tmp_path):
+    """Incremental reads return exactly the delta files' rows, reject
+    rewrite-crossing ranges, and serve an empty delta with the right
+    schema."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.compaction.snapshots import (
+        read_incremental,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    df.filter("id < 60").repartition(2).write.parquet(root)
+    log = SnapshotLog(spark, root)
+    log.bootstrap()  # v1
+    df.filter("id >= 60").repartition(2).write.mode("overwrite").parquet(
+        f"{root}/delta"
+    )
+    log.commit_current(op="append", parent=1)  # v2
+    inc = read_incremental(spark, root, 1, 2)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(60, 100))
+    # empty delta: metadata-only commit between the endpoints
+    log.commit_current(op="append", parent=2)  # v3, same files
+    assert read_incremental(spark, root, 2, 3).count() == 0
+    assert read_incremental(spark, root, 2, 3).columns == ["id", "v"]
+    # a rewrite inside the range is rejected
+    rep = snapshot_compact(spark, root, target_bytes=1 << 40)
+    assert rep["rewritten"] >= 1
+    with pytest.raises(ValueError, match="rewrite"):
+        read_incremental(spark, root, 1, log.latest())
