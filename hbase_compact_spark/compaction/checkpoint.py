@@ -3,8 +3,18 @@
 The reference persists its region cursor back into the config file
 after every region so a restarted daemon resumes where it left off
 (QHBaseCompact.java:102-115 storeNewConfig, re-read at :94-99,133).
-We generalize the single integer cursor to a per-partition done-set,
-written atomically (temp file + rename) as JSON.
+We generalize the single integer cursor to a per-partition done-set.
+
+Storage is a BASE snapshot + append-only JOURNAL (write-ahead-log
+shape): every ``mark_done`` appends ONE fsync'd JSON line — O(1)
+regardless of how many partitions are already done — and every
+``FOLD_EVERY`` appends the journal folds into the base via an atomic
+temp-file + rename and truncates. The old design rewrote the whole
+JSON per partition, which is O(n) per mark and O(n²) for a full run:
+invisible at thousands of partitions, the first thing to break at
+millions. Recovery tolerates a crash mid-append (a torn final journal
+line is ignored — its partition simply re-compacts, which is
+idempotent by design).
 """
 
 from __future__ import annotations
@@ -17,21 +27,22 @@ import time
 
 _SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://?")
 
+FOLD_EVERY = 256  # journal lines folded into the base snapshot
+
 
 class CompactionCheckpoint:
-    """Tiny atomic key-value progress store.
+    """Atomic per-partition progress store (base + journal WAL).
 
     Keys are partition identifiers (e.g. ``region=p0/family=cf1``);
-    values record completion metadata. At 100 TB scale the number of
-    partitions is bounded (thousands), so a single JSON file is fine;
-    swap for a parquet/Delta state table if partitions explode.
+    values record completion metadata.
 
-    Storage is the LOCAL filesystem (atomic temp-file + rename).
-    ``file:`` URIs are accepted and resolved to their local path; any
-    other scheme (hdfs://, s3a://) raises immediately — silently
-    writing a remote-looking path to a mangled local file is how
-    progress gets lost. For remote tables, pass a checkpoint on local
-    disk (or a network mount) explicitly.
+    Storage is the LOCAL filesystem. ``file:`` URIs are accepted and
+    resolved to their local path; any other scheme (hdfs://, s3a://)
+    raises immediately — silently writing a remote-looking path to a
+    mangled local file is how progress gets lost. For remote tables,
+    pass a checkpoint on local disk (or a network mount) explicitly.
+    Single-writer by contract (one daemon per table), same as the
+    reference's config rewrite.
     """
 
     def __init__(self, path: str) -> None:
@@ -48,23 +59,80 @@ class CompactionCheckpoint:
             path = "/" + stripped.lstrip("/") if not stripped.startswith("/") else stripped
             path = "/" + path.lstrip("/")
         self.path = path
+        self.journal_path = path + ".journal"
+        self._state: dict[str, dict] | None = None  # lazy cache
+        self._journal_len = 0
 
+    # ------------------------------------------------------------ read
     def load(self) -> dict[str, dict]:
-        if not os.path.exists(self.path):
-            return {}
-        with open(self.path) as f:
-            return json.load(f)
+        """Base snapshot + journal replay. The in-memory cache makes
+        repeat loads free within one process; a fresh process replays
+        the journal once."""
+        if self._state is not None:
+            return dict(self._state)
+        state: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        n_lines = 0
+        if os.path.exists(self.journal_path):
+            with open(self.journal_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        break  # torn final append (crash mid-write):
+                        # drop it — re-compacting that partition is
+                        # idempotent
+                    state[rec["key"]] = rec["meta"]
+                    n_lines += 1
+        self._state = state
+        self._journal_len = n_lines
+        return dict(state)
 
     def is_done(self, key: str) -> bool:
         return key in self.load()
 
+    # ----------------------------------------------------------- write
     def mark_done(self, key: str, **meta) -> None:
-        state = self.load()
-        state[key] = {"completed_at": time.time(), **meta}
-        self._atomic_write(state)
+        state = self.load()  # ensures cache + journal length
+        rec = {"completed_at": time.time(), **meta}
+        assert self._state is not None
+        self._state[key] = rec
+        self._append({"key": key, "meta": rec})
+        self._journal_len += 1
+        if self._journal_len >= FOLD_EVERY:
+            self._fold()
 
     def reset(self) -> None:
+        self._state = {}
+        self._journal_len = 0
         self._atomic_write({})
+        if os.path.exists(self.journal_path):
+            os.unlink(self.journal_path)
+
+    # -------------------------------------------------------- plumbing
+    def _append(self, rec: dict) -> None:
+        d = os.path.dirname(os.path.abspath(self.journal_path)) or "."
+        os.makedirs(d, exist_ok=True)
+        with open(self.journal_path, "a") as f:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _fold(self) -> None:
+        """Fold the journal into the base snapshot and truncate it.
+        Crash-ordering: the base rename lands BEFORE the journal
+        unlink, so a crash between the two merely replays lines whose
+        effect is already in the base — idempotent."""
+        assert self._state is not None
+        self._atomic_write(self._state)
+        if os.path.exists(self.journal_path):
+            os.unlink(self.journal_path)
+        self._journal_len = 0
 
     def _atomic_write(self, state: dict) -> None:
         d = os.path.dirname(os.path.abspath(self.path)) or "."

@@ -556,11 +556,14 @@ def test_list_partition_files_accepts_uri_roots(spark, small_files_table):
 def test_checkpoint_rejects_remote_schemes(tmp_path):
     with pytest.raises(ValueError):
         CompactionCheckpoint("hdfs://nn:8020/tables/t/_ckpt.json")
-    # file: URIs resolve to the local path
+    # file: URIs resolve to the local path — the durable artifact
+    # after one mark is the JOURNAL (base materializes on fold); a
+    # fresh instance at the same local path must recover the state
     ck = CompactionCheckpoint(f"file://{tmp_path}/ck.json")
     ck.mark_done("p", rows=1)
     assert ck.is_done("p")
-    assert os.path.exists(f"{tmp_path}/ck.json")
+    assert os.path.exists(f"{tmp_path}/ck.json.journal")
+    assert CompactionCheckpoint(f"{tmp_path}/ck.json").is_done("p")
 
 
 def test_adaptive_concurrency_meets_reference_budget(spark, tmp_path):
@@ -696,3 +699,45 @@ def test_salted_join_rejects_right_preserving_types(spark):
     exp = l.join(r, ["k"], "left").select("k", "lv", "rv")
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_checkpoint_journal_wal(tmp_path):
+    """mark_done appends O(1) journal lines (no O(n) rewrite per
+    mark); a fresh instance replays base+journal; a torn final line
+    is dropped; folding compacts the journal into the base."""
+    import json as _json
+    import os as _os
+
+    from hbase_compact_spark.compaction import checkpoint as ckpt_mod
+
+    p = str(tmp_path / "wal.json")
+    ck = CompactionCheckpoint(p)
+    for i in range(10):
+        ck.mark_done(f"part{i}", rows=i)
+    # journal holds the marks; base not yet folded
+    assert _os.path.exists(ck.journal_path)
+    with open(ck.journal_path) as f:
+        assert sum(1 for _ in f) == 10
+    # a fresh instance reconstructs the same state
+    ck2 = CompactionCheckpoint(p)
+    assert set(ck2.load()) == {f"part{i}" for i in range(10)}
+    assert ck2.load()["part7"]["rows"] == 7
+    # torn final append: drop the partial line, keep the rest
+    with open(ck.journal_path, "a") as f:
+        f.write('{"key": "part99", "meta": {"ro')  # crash mid-write
+    ck3 = CompactionCheckpoint(p)
+    st = ck3.load()
+    assert "part99" not in st and len(st) == 10
+    # fold threshold: crossing FOLD_EVERY compacts into the base
+    old_fold = ckpt_mod.FOLD_EVERY
+    ckpt_mod.FOLD_EVERY = 4
+    try:
+        ck4 = CompactionCheckpoint(str(tmp_path / "fold.json"))
+        for i in range(9):
+            ck4.mark_done(f"k{i}")
+        base = _json.load(open(ck4.path))
+        assert len(base) >= 4  # at least one fold happened
+        ck5 = CompactionCheckpoint(ck4.path)
+        assert set(ck5.load()) == {f"k{i}" for i in range(9)}
+    finally:
+        ckpt_mod.FOLD_EVERY = old_fold
