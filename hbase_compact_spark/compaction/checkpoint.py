@@ -62,12 +62,17 @@ class CompactionCheckpoint:
         self.journal_path = path + ".journal"
         self._state: dict[str, dict] | None = None  # lazy cache
         self._journal_len = 0
+        self._good_bytes: int | None = None  # journal bytes verified good
 
     # ------------------------------------------------------------ read
     def load(self) -> dict[str, dict]:
         """Base snapshot + journal replay. The in-memory cache makes
         repeat loads free within one process; a fresh process replays
-        the journal once."""
+        the journal once. A torn final line (crash mid-append) is
+        dropped AND its byte offset remembered so the next append
+        truncates it away first — appending onto a partial line would
+        fuse two records into one permanently corrupt mid-journal
+        line that hides every record after it."""
         if self._state is not None:
             return dict(self._state)
         state: dict[str, dict] = {}
@@ -75,22 +80,28 @@ class CompactionCheckpoint:
             with open(self.path) as f:
                 state = json.load(f)
         n_lines = 0
+        good_bytes = 0
         if os.path.exists(self.journal_path):
-            with open(self.journal_path) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        rec = json.loads(line)
-                    except ValueError:
-                        break  # torn final append (crash mid-write):
-                        # drop it — re-compacting that partition is
-                        # idempotent
-                    state[rec["key"]] = rec["meta"]
-                    n_lines += 1
+            with open(self.journal_path, "rb") as f:
+                for raw in f:
+                    if not raw.endswith(b"\n"):
+                        break  # torn tail: no newline ever landed
+                    line = raw.decode("utf-8", "replace").strip()
+                    if line:
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            break  # torn tail that happens to end in
+                            # a newline from a later write attempt
+                        if rec.get("reset"):
+                            state = {}
+                        else:
+                            state[rec["key"]] = rec["meta"]
+                        n_lines += 1
+                    good_bytes += len(raw)
         self._state = state
         self._journal_len = n_lines
+        self._good_bytes = good_bytes
         return dict(state)
 
     def is_done(self, key: str) -> bool:
@@ -108,20 +119,39 @@ class CompactionCheckpoint:
             self._fold()
 
     def reset(self) -> None:
+        """Crash-safe reset: an fsync'd RESET record lands in the
+        journal FIRST (replay clears everything before it), then the
+        base is emptied, then the journal truncated — a crash between
+        any two steps still replays to the empty state instead of
+        resurrecting stale done-entries."""
+        self.load()
+        self._append({"reset": True})
         self._state = {}
         self._journal_len = 0
         self._atomic_write({})
         if os.path.exists(self.journal_path):
             os.unlink(self.journal_path)
+        self._good_bytes = 0
 
     # -------------------------------------------------------- plumbing
     def _append(self, rec: dict) -> None:
         d = os.path.dirname(os.path.abspath(self.journal_path)) or "."
         os.makedirs(d, exist_ok=True)
+        # drop a torn tail left by a crash mid-append before writing
+        # after it (load() recorded how many bytes parsed cleanly)
+        if (
+            self._good_bytes is not None
+            and os.path.exists(self.journal_path)
+            and os.path.getsize(self.journal_path) > self._good_bytes
+        ):
+            with open(self.journal_path, "r+b") as f:
+                f.truncate(self._good_bytes)
         with open(self.journal_path, "a") as f:
             f.write(json.dumps(rec, sort_keys=True) + "\n")
             f.flush()
             os.fsync(f.fileno())
+        if self._good_bytes is not None:
+            self._good_bytes = os.path.getsize(self.journal_path)
 
     def _fold(self) -> None:
         """Fold the journal into the base snapshot and truncate it.

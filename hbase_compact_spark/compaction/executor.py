@@ -306,15 +306,24 @@ def _compact_one(
         # over it, then drop it before the write — inlining the hash
         # expression into both aggregates would evaluate it twice per
         # row (no aggregate-level CSE guarantee)
+        # a guaranteed-unused hash column name: withColumn on a NAME
+        # the table already uses would silently REPLACE (then drop)
+        # that real column, losing it from the rewrite and failing
+        # verification forever after
+        h_col = "__fp_h"
+        while h_col in src.columns:
+            h_col += "_"
         observed = (
-            src.withColumn("__fp_h", F.expr(hashes))
+            src.withColumn(h_col, F.expr(hashes))
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(__fp_h)").alias("fp"),
-                F.expr("sum(cast(__fp_h as decimal(38,0)))").alias("fpsum"),
+                F.expr(f"bit_xor(`{h_col}`)").alias("fp"),
+                F.expr(
+                    f"sum(cast(`{h_col}` as decimal(38,0)))"
+                ).alias("fpsum"),
             )
-            .drop("__fp_h")
+            .drop(h_col)
         )
         writer = observed.repartition(n_bins)
         if sort_by:
@@ -426,6 +435,16 @@ def compact_table(
             res.skipped = "single_file"  # the >1 gate, QHC.java:151
         elif n_bins >= n_files:
             res.skipped = "already_compact"
+        elif (
+            max_partitions_per_run is not None
+            and done >= max_partitions_per_run
+        ):
+            # budget exhausted: tag WITHOUT listing — at 10^6
+            # fragmented partitions a capped run must not pay one
+            # listStatus per partition it will not touch (a partition
+            # that is merely checkpointed also reports pacing_budget
+            # here; the label difference is cosmetic, the skip is not)
+            res.skipped = "pacing_budget"
         else:
             files = _list_one_partition(spark, table_root, rel)
             ck_entry = ck_state.get(rel)
@@ -435,11 +454,6 @@ def compact_table(
                 # fileset are honored as plain done-markers); a changed
                 # listing — new files arrived — re-opens the partition
                 res.skipped = "checkpointed"
-            elif (
-                max_partitions_per_run is not None
-                and done >= max_partitions_per_run
-            ):
-                res.skipped = "pacing_budget"
         report.results.append(res)
         if not res.skipped:
             done += 1

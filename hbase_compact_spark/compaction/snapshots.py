@@ -87,6 +87,31 @@ def _read_manifest_table(local_path: str, columns=None):
     return pq.read_table(local_path, columns=columns)
 
 
+def _load_manifest_files(local_path: str) -> list[tuple[str, int]]:
+    """Names+sizes ONLY — a column-pruned manifest read for the
+    files() accessor: the stats/bloom payload columns are never
+    materialized, so listing a bloom-annotated 10⁶-file table costs
+    megabytes of names on the driver, not gigabytes of bitsets."""
+    full = _MANIFEST_CACHE.get(local_path)
+    if full is not None:
+        return full["files"]
+    key = local_path + "#files"
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tbl = _read_manifest_table(local_path, columns=["relpath", "size"])
+    files = sorted(
+        zip(
+            tbl.column("relpath").to_pylist(),
+            (int(x) for x in tbl.column("size").to_pylist()),
+        )
+    )
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[key] = files
+    return files
+
+
 def _load_manifest(local_path: str) -> dict:
     """Parsed manifest: {"files": [(relpath, size)], "stats": {...},
     "blooms": {...}}. `local_path` may be a single parquet file or a
@@ -193,12 +218,17 @@ class SnapshotLog:
 
     def files(self, version: int | None = None) -> list[tuple[str, int]]:
         """[(relative path, size)] of the given (default: latest)
-        snapshot. Driver-side materialization is names+sizes only —
-        never stats or bloom payloads."""
+        snapshot. Column-pruned: the stats/bloom payload columns are
+        never read, so this really is names+sizes only on the driver
+        at any file count."""
         v = self.latest() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
-        return list(self._resolve(v)["files"])
+        snap = self.read(v)
+        name = snap.get("manifest")
+        if name:
+            return list(_load_manifest_files(self._manifest_local(name)))
+        return sorted((f[0], int(f[1])) for f in snap.get("files") or [])
 
     def blooms(self, version: int | None = None) -> dict[str, dict]:
         """Per-file bloom filters {relpath: {col: bloom}} of the given
@@ -536,10 +566,20 @@ def read_incremental(
     if schema is not None:
         reader = reader.schema(schema)
     if not added:
-        # empty delta: scan one file and filter everything out so the
-        # result keeps the snapshot's schema
-        one = log.files(to_v)[0][0]
-        return reader.parquet(posixpath.join(table_root, one)).limit(0)
+        # empty delta: keep the snapshot's schema on the empty result
+        files_to = log.files(to_v)
+        if files_to:
+            one = files_to[0][0]
+            return reader.parquet(
+                posixpath.join(table_root, one)
+            ).limit(0)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"incremental read {from_version}..{to_v}: empty table "
+            "with no declared schema — nothing to infer a result "
+            "schema from"
+        )
     return reader.parquet(*[posixpath.join(table_root, p) for p in added])
 
 
@@ -1222,48 +1262,94 @@ def _move_tmp_files(
 
 
 def _parent_meta_cols(log: SnapshotLog, version: int) -> tuple[list, list]:
-    """(stat_cols, bloom_cols) the parent snapshot's manifest carries —
-    discovered from the FIRST non-null payload rows, early-exit batch
-    scan, so the cost is O(1) rows regardless of file count."""
+    """(stat_cols, bloom_cols) the parent snapshot's manifest carries.
+    Two-stage O(1)-ish discovery: parquet COLUMN STATISTICS first — a
+    payload column whose every row group is all-NULL provably carries
+    nothing, at zero data read — then an early-exit batch scan only
+    over the columns the metadata says might hold something, stopping
+    as soon as each has yielded its column set. A stats-only manifest
+    (the common case) therefore never scans the bloom payloads at
+    all."""
     import json as _json
+    import os as _os
 
     snap = log.read(version)
     name = snap.get("manifest")
     stat_cols: set = set()
     bloom_cols: set = set()
-
-    def _absorb(st, bl) -> None:
-        if st and not stat_cols:
-            stat_cols.update((_json.loads(st).get("cols") or {}).keys())
-        if bl and not bloom_cols:
-            bloom_cols.update(_json.loads(bl).keys())
-
-    if name:
-        import os as _os
-
-        import pyarrow.dataset as ds
-
-        local = log._manifest_local(name)
-        if _os.path.isdir(local) and not any(
-            n.endswith(".parquet") for n in _os.listdir(local)
-        ):
-            return [], []  # zero-row manifest: no metadata columns
-        dataset = ds.dataset(local, format="parquet")
-        for batch in dataset.to_batches(
-            columns=["stats", "blooms"], batch_size=1024
-        ):
-            for st, bl in zip(
-                batch.column("stats").to_pylist(),
-                batch.column("blooms").to_pylist(),
-            ):
-                _absorb(st, bl)
-            if stat_cols and bloom_cols:
-                break
-    else:  # legacy inline snapshot
+    if not name:  # legacy inline snapshot
         for st in (snap.get("stats") or {}).values():
             stat_cols.update((st.get("cols") or {}).keys())
         for bl in (snap.get("blooms") or {}).values():
             bloom_cols.update(bl.keys())
+        return sorted(stat_cols), sorted(bloom_cols)
+
+    import pyarrow.parquet as pq
+
+    local = log._manifest_local(name)
+    if _os.path.isdir(local):
+        parts = sorted(
+            _os.path.join(local, n)
+            for n in _os.listdir(local)
+            if n.endswith(".parquet")
+        )
+    else:
+        parts = [local]
+    if not parts:
+        return [], []  # zero-row manifest: no metadata columns
+
+    def _column_possible(col_name: str) -> bool:
+        """False only when every row group PROVABLY holds all NULLs."""
+        for part in parts:
+            md = pq.ParquetFile(part).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            i = idx.get(col_name)
+            if i is None:
+                continue
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i).statistics
+                if st is None or st.null_count is None:
+                    return True  # unknown: must scan
+                if st.null_count < md.row_group(g).num_rows:
+                    return True
+        return False
+
+    want = []
+    if _column_possible("stats"):
+        want.append("stats")
+    if _column_possible("blooms"):
+        want.append("blooms")
+    if not want:
+        return [], []
+
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(local, format="parquet")
+    pending = set(want)
+    for batch in dataset.to_batches(columns=want, batch_size=1024):
+        cols = {nm: batch.column(nm).to_pylist() for nm in want}
+        for row_i in range(batch.num_rows):
+            if "stats" in pending:
+                st = cols.get("stats", [None])[row_i] if "stats" in cols else None
+                if st:
+                    stat_cols.update(
+                        (_json.loads(st).get("cols") or {}).keys()
+                    )
+                    if stat_cols:
+                        pending.discard("stats")
+            if "blooms" in pending:
+                bl = cols.get("blooms", [None])[row_i] if "blooms" in cols else None
+                if bl:
+                    parsed = _json.loads(bl)
+                    if parsed:
+                        bloom_cols.update(parsed.keys())
+                        pending.discard("blooms")
+            if not pending:
+                break
+        if not pending:
+            break
     return sorted(stat_cols), sorted(bloom_cols)
 
 

@@ -306,7 +306,11 @@ def ingest_root(spark: SparkSession, sf_dir: str) -> str:
     q = snapshot_ingest(
         stream, root, checkpoint_dir=posixpath.join(base, "ckpt")
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timing out silently would memoize a half-built table (the
+        # ready() gate would see >=4 batch commits and keep it)
+        q.stop()
+        raise RuntimeError("snapshot_ingest did not finish in 300 s")
     # crash-replay: batch 0 arrives again; the guard must skip it
     # (False) — committing it would double those rows and break the
     # oracle equality below

@@ -741,3 +741,39 @@ def test_checkpoint_journal_wal(tmp_path):
         assert set(ck5.load()) == {f"k{i}" for i in range(9)}
     finally:
         ckpt_mod.FOLD_EVERY = old_fold
+
+
+def test_checkpoint_journal_torn_tail_and_reset_replay(tmp_path):
+    """(1) Appending after a torn tail must TRUNCATE it first — not
+    fuse two records into one corrupt line that hides later records.
+    (2) A crash between reset's base write and journal unlink must
+    still replay to the empty state (the RESET record clears)."""
+    import json as _json
+
+    p = str(tmp_path / "torn.json")
+    ck = CompactionCheckpoint(p)
+    for i in range(3):
+        ck.mark_done(f"p{i}")
+    with open(ck.journal_path, "a") as f:
+        f.write('{"key": "torn", "meta": {"ro')  # crash mid-append
+    # fresh process: appends land after truncation, not fused
+    ck2 = CompactionCheckpoint(p)
+    ck2.mark_done("p3")
+    ck2.mark_done("p4")
+    ck3 = CompactionCheckpoint(p)
+    st = ck3.load()
+    assert set(st) == {"p0", "p1", "p2", "p3", "p4"}
+    assert "torn" not in st
+    # reset crash window: simulate by replaying a journal that holds
+    # old lines THEN a reset record over a NON-empty base (the state
+    # right after reset's _append but before base write + unlink)
+    p2 = str(tmp_path / "rst.json")
+    ckA = CompactionCheckpoint(p2)
+    for i in range(4):
+        ckA.mark_done(f"k{i}")
+    with open(ckA.journal_path, "a") as f:
+        f.write(_json.dumps({"reset": True}) + "\n")  # crash right here
+    ckB = CompactionCheckpoint(p2)
+    assert ckB.load() == {}
+    ckB.mark_done("fresh")
+    assert set(CompactionCheckpoint(p2).load()) == {"fresh"}
