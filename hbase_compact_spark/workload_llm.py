@@ -2089,3 +2089,147 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("match_id"))
     )
     return incoming.join(corpus, "h").select("doc_id", "match_id")
+
+
+RRF_K = 60          # standard reciprocal-rank-fusion damping
+RRF_TOP = 50        # fused shortlist size
+
+
+@query(
+    "rank_fusion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+          AS term
+      FROM documents
+    ),
+    tfall AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+             CAST(count(*) AS BIGINT) AS dt
+      FROM tfall GROUP BY 1
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT * FROM tfall WHERE term IN {BM25_TERMS!r}),
+    qdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * ({_BM25_K1} + 1.0)
+                       / (tf + {_BM25_K1}
+                          * (1.0 - {_BM25_B}
+                             + {_BM25_B} * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN qdf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+    ),
+    prior AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY CAST(dt AS DOUBLE) / dl DESC, doc_id) AS r
+      FROM dl
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, p.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({RRF_K} + l.r), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + p.r), 0.0), 8) AS rrf
+      FROM lex l FULL OUTER JOIN prior p ON p.doc_id = l.doc_id
+    )
+    SELECT doc_id, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: a LEXICAL ranking
+    (Okapi BM25 against the fixed query terms) fused with a QUALITY
+    PRIOR ranking (lexical diversity = distinct-token ratio) through
+    the standard RRF formula sum(1/(k + rank)). The two ranked lists
+    full-outer-join on doc_id — a doc missing from one list simply
+    contributes nothing from it — and the fused shortlist is a top-k.
+
+    Scale shape: one corpus token pass reduced to (doc, term, tf)
+    feeds BOTH rankings (the BM25 side is the bm25_score pipeline);
+    each ranking is a global row_number over per-doc SCORES (one row
+    per doc, not per token — the sort input is corpus-cardinality
+    metadata, and at 100 TB becomes a per-partition top-R + merge
+    since only ranks <= R ~ k + shortlist matter); the fusion join
+    carries two small rank tables; the final TakeOrdered keeps k rows
+    per partition. Scores are ROUNDED before ranking so the
+    libm-vs-JVM last-ulp of ln() cannot flip an ordering (same guard
+    as tfidf_top_terms)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    tfall = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tfall.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"), F.count("*").alias("dt")
+    )
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = tfall.where(F.col("term").isin(*BM25_TERMS))
+    qdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    per_term = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
+    )
+    lex = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    prior = dl.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.col("dt").cast("double") / F.col("dl")),
+                F.asc("doc_id"),
+            )
+        )
+        .alias("r_prior"),
+    )
+    fused = (
+        lex.join(prior, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_prior")), F.lit(0.0)),
+                8,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)

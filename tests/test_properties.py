@@ -85,3 +85,89 @@ def test_hash60_python_twin_matches_sql_semantics(s):
     equality is covered by oracle parity)."""
     h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     assert 0 <= h < 2**60
+
+
+# ---------------------------------------------------------------------
+# Snapshot-pruning soundness: pruning may keep too much, NEVER drop a
+# file that could hold a matching row. These drive the exact pure
+# functions scan_plan/_probe_candidates evaluate per manifest row.
+
+import json as _json
+
+from hbase_compact_spark.compaction.snapshots import (
+    _bloom_may_contain,
+    _build_bloom,
+    _disjoint,
+    _file_may_hold,
+    _row_survives,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=200),
+    st.data(),
+)
+def test_bloom_never_false_negative_ints(values, data):
+    bloom = _build_bloom(pd.Series(values), fpp=0.01, max_bits=1 << 12)
+    probe = data.draw(st.sampled_from(values))
+    assert _bloom_may_contain(bloom, probe) is True
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=100),
+    st.data(),
+)
+def test_bloom_never_false_negative_strings(values, data):
+    bloom = _build_bloom(pd.Series(values, dtype=object), 0.01, 1 << 12)
+    if bloom is None:  # all-NaN degenerate
+        return
+    probe = data.draw(st.sampled_from(values))
+    assert _bloom_may_contain(bloom, probe) is True
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-100, 100), st.integers(-100, 100),
+    st.integers(-100, 100), st.integers(-100, 100),
+)
+def test_disjoint_soundness(a, b, lo, hi):
+    mn, mx = min(a, b), max(a, b)
+    overlaps = not (hi < mn or mx < lo)
+    if overlaps:
+        assert _disjoint([mn, mx], lo, hi) is False
+    # and when it DOES claim disjoint, it must be right
+    if _disjoint([mn, mx], lo, hi):
+        assert hi < mn or mx < lo
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=100),
+    st.data(),
+)
+def test_row_survives_is_conservative(values, data):
+    """A manifest row whose file really CONTAINS a matching value must
+    survive both the range predicate (stats) and the equality
+    predicate (stats + bloom) — the end-to-end per-row prune test used
+    by scan_plan and the distributed path alike."""
+    mn, mx = min(values), max(values)
+    bloom = _build_bloom(pd.Series(values), 0.01, 1 << 12)
+    stats_json = _json.dumps({"rows": len(values), "cols": {"k": [mn, mx]}})
+    blooms_json = _json.dumps({"k": bloom})
+    target = data.draw(st.sampled_from(values))
+    lo = data.draw(st.integers(0, target))
+    hi = data.draw(st.integers(target, 10_000))
+    # range predicate covering the target value
+    assert _row_survives(
+        stats_json, blooms_json, {"k": (lo, hi)}, {}
+    ) is True
+    # equality predicate on the target value (stats AND bloom probe)
+    assert _row_survives(
+        stats_json, blooms_json, {"k": (target, target)}, {"k": target}
+    ) is True
+    # merge-probe dual: a present key must keep the file
+    assert _file_may_hold(
+        stats_json, blooms_json, ["k"], [(target,)]
+    ) is True
