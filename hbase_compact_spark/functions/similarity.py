@@ -187,7 +187,17 @@ def _assign_lists_pandas(
             if not len(pdf):
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]])
-            order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :n]
+            # COSINE nearest centroid: normalize both sides for the
+            # argmax (raw inner product is biased toward the
+            # largest-norm centroid and matches neither the cosine
+            # rerank nor Lloyd's metric); accumulate/emit RAW vectors
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[:, :n]
             b = len(pdf)
             yield pd.DataFrame(
                 {
@@ -239,8 +249,16 @@ def kmeans_refine(
                 if not len(pdf):
                     continue
                 V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                # stable argmax -> ties to the lower centroid index
-                a = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, 0]
+                # stable argmax -> ties to the lower centroid index;
+                # normalized both sides = cosine assignment (spherical
+                # k-means step), means still accumulate RAW vectors
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                Cn = C / np.maximum(
+                    np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[:, 0]
                 np.add.at(sums, a, V)
                 np.add.at(cnts, a, 1)
             yield pd.DataFrame(
@@ -317,7 +335,10 @@ def ivf_topk(
             F.round(cosine("qv", "cv2", "qn", "cn"), 6).alias("cos_sim"),
             F.round(cosine("qv", "cv2", "qn", "cn"), 9).alias("_ord"),
         )
-        .dropDuplicates(["query_id", "vec_id"])
+        # no dedup needed: each corpus vector lives in exactly ONE
+        # list (n=1 assignment) and a query probes distinct lists, so
+        # a (query, vec) pair can meet at most once — unlike lsh_topk,
+        # where shared bands genuinely duplicate pairs
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_ord"), F.asc("vec_id"))
     return (
@@ -398,7 +419,12 @@ def embedding_dup_pairs(
                 {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
             )
         S = A @ B.T
-        mask = S >= threshold - 1e-9
+        # keep any raw cosine that could ROUND to >= threshold: the
+        # downstream filter is on round(cos, round_to), and rounding
+        # can raise a value by up to half the grain — a 1e-9 slack
+        # would silently drop qualifying pairs (e.g. 0.3499996 rounds
+        # to 0.350000 but fails threshold-1e-9 for threshold=0.35)
+        mask = S >= threshold - (0.5 * 10.0 ** -round_to + 1e-12)
         if ki == kj:
             # same set on both axes: keep the upper triangle only
             mask &= A_ids[:, None] < B_ids[None, :]
@@ -467,18 +493,23 @@ def lsh_topk(
     ensure_package_on_executors(queries.sparkSession)
 
     def prep(df: DataFrame, id_alias: str, vec_alias: str, bands) -> DataFrame:
-        dims = 64
-
         def sketch_batches(batches):
             import pandas as pd
 
-            H = np.array(
-                [[_hyperplane(i, d) for d in range(dims)] for i in range(N_HYPERPLANES)]
-            )
+            H = None  # built from the observed dimensionality — a
+            # hardcoded dims breaks on any non-64-dim corpus (the
+            # deterministic _hyperplane(i, d) grid is dims-agnostic)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                if H is None or H.shape[1] != M.shape[1]:
+                    H = np.array(
+                        [
+                            [_hyperplane(i, d) for d in range(M.shape[1])]
+                            for i in range(N_HYPERPLANES)
+                        ]
+                    )
                 S = (M @ H.T > 0).astype("int32")
                 yield pd.DataFrame(
                     {

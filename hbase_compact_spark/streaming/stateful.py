@@ -37,10 +37,13 @@ def _update_user_state(
     micros = 0
     for pdf in batches:
         n += len(pdf)
-        # int64 view, not .sum() on whatever dtype arrived: a float64
-        # column (possible if NULLs ever slip past the JVM-side
-        # coalesce) silently loses exactness past 2^53.
-        micros += int(pdf["value_micros"].to_numpy(dtype="int64").sum())
+        # Python-int accumulation: a numpy int64 .sum() would WRAP
+        # silently when one micro-batch's per-user total exceeds
+        # int64 (each element is bounded by the JVM-side ANSI cast,
+        # their SUM is not), and a float64 fallback would lose
+        # exactness past 2^53 — both violate the documented
+        # loud-or-exact contract.
+        micros += sum(int(v) for v in pdf["value_micros"].tolist())
     if state.exists:
         total_n, total_micros = state.get
     else:

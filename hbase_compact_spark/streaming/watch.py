@@ -45,32 +45,47 @@ def stream_until_changed(
     *,
     budget_s: float,
     tick_s: float = 0.2,
+    checkpoint_dir: str | None = None,
 ) -> StreamWatchResult:
     """Watch `directory` through a file-source stream until the
-    largest file's name differs from `before_argmax`, or the budget
-    (the reference's 40 s/GB heuristic — watch.wait_budget_seconds)
-    runs out.
+    largest LIVE file's name differs from `before_argmax`, or the
+    budget (the reference's 40 s/GB heuristic —
+    watch.wait_budget_seconds) runs out.
 
-    Only the file METADATA columns are touched, so each micro-batch
-    is a footer-less scan; discovery state lives in the stream's own
-    checkpoint, so a restarted watch never re-processes files.
+    Only the file METADATA columns are touched, so each micro-batch is
+    a footer-less scan. Pass `checkpoint_dir` to make a RESTARTED
+    watch resume discovery from the stream's checkpoint instead of
+    re-processing; without it a throwaway checkpoint is created and
+    REMOVED when the watch returns (a daemon calling the watch per
+    compaction must not leak tmp state).
 
-    The fire predicate is gated on having discovered at least the
-    files present at watch start: with more pre-existing files than
-    maxFilesPerTrigger, an early micro-batch's PARTIAL arg-max could
-    otherwise differ from `before_argmax` and fire before anything
-    changed. The gate errs conservative — a too-early fire would
-    report a completion that never happened, while the gate's worst
-    case is an honest budget-exhausted result.
-    """
+    Deletions are first-class: the arg-max is evaluated over
+    discovered-AND-STILL-PRESENT files each batch (compaction deletes
+    its inputs, so a once-seen largest file must retire from the fold
+    rather than pin the arg-max forever), and the completeness gate
+    requires every initially-present file that still exists to have
+    been DISCOVERED (by name — a bare count could be satisfied by the
+    wrong files mid-deletion and fire on a partial arg-max). The gate
+    errs conservative: a too-early fire would report a completion that
+    never happened, while the gate's worst case is an honest
+    budget-exhausted result."""
+    import shutil
+
     from hbase_compact_spark.compaction.executor import _hadoop_fs
 
     fs, dpath, _jvm = _hadoop_fs(spark, directory)
-    initial_files = sum(
-        1
-        for st in fs.listStatus(dpath)
-        if st.getPath().getName().endswith(".parquet")
-    )
+
+    def _list_names() -> set[str]:
+        try:
+            return {
+                st.getPath().getName()
+                for st in fs.listStatus(dpath)
+                if st.getPath().getName().endswith(".parquet")
+            }
+        except Exception:  # directory vanished mid-compaction
+            return set()
+
+    initial_names = _list_names()
     schema = spark.read.parquet(directory).schema
     stream = (
         spark.readStream.schema(schema)
@@ -85,42 +100,38 @@ def stream_until_changed(
 
     state = {
         "argmax": before_argmax,
-        "max": (-1, ""),
         "batches": 0,
-        "seen": 0,
+        "discovered": {},  # name -> size, bounded file metadata
     }
     fired = threading.Event()
 
     def fold_batch(batch_df, batch_id: int) -> None:
         state["batches"] += 1
         rows = batch_df.collect()  # bounded: one row per new FILE
-        state["seen"] += len(rows)
         for r in rows:
-            name = posixpath.basename(r["path"])
-            key = (int(r["size"]), name)
-            if key > state["max"]:
-                state["max"] = key
-                state["argmax"] = name
-        # The completeness gate must not assume every start-time file
-        # will be DISCOVERED: compaction deletes its inputs, so a
-        # pre-existing file removed before its first micro-batch never
-        # arrives and `seen >= initial_files` would starve the watch
-        # for its whole budget. Re-list per batch and require only the
-        # files that still exist (capped by the start-time count, so
-        # files created after start can't satisfy the gate alone).
-        try:
-            still_present = sum(
-                1
-                for st in fs.listStatus(dpath)
-                if st.getPath().getName().endswith(".parquet")
+            state["discovered"][posixpath.basename(r["path"])] = int(
+                r["size"]
             )
-        except Exception:  # directory vanished mid-compaction
-            still_present = 0
-        required = min(initial_files, still_present)
-        if state["seen"] >= required and state["argmax"] != before_argmax:
+        current = _list_names()
+        live = {
+            n: sz
+            for n, sz in state["discovered"].items()
+            if n in current
+        }
+        if live:
+            state["argmax"] = max(live, key=lambda n: (live[n], n))
+        # completeness: every start-time file that STILL EXISTS must
+        # have been discovered by name before the arg-max is trusted
+        pending = (initial_names & current) - state["discovered"].keys()
+        if (
+            not pending
+            and live
+            and state["argmax"] != before_argmax
+        ):
             fired.set()
 
-    ckpt = tempfile.mkdtemp(prefix="watch_ckpt_")
+    owned_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="watch_ckpt_")
     q = (
         meta.writeStream.foreachBatch(fold_batch)
         .option("checkpointLocation", ckpt)
@@ -136,6 +147,8 @@ def stream_until_changed(
             time.sleep(min(tick_s, 0.1))
     finally:
         q.stop()
+        if owned_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return StreamWatchResult(
         changed=fired.is_set(),
         batches=state["batches"],
