@@ -247,3 +247,55 @@ def test_stream_watch_reports_exhaustion_honestly(spark, tmp_path):
     res = stream_until_changed(spark, d, before, budget_s=3.0)
     assert not res.changed
     assert res.final_argmax == before
+
+
+def test_stream_watch_retires_deleted_largest(spark, tmp_path):
+    """Compaction deletes its inputs: when the pre-rewrite LARGEST
+    file is removed and a smaller output lands, the watch must fire
+    on the new largest LIVE file instead of pinning the deleted one
+    as arg-max forever (which would burn the whole budget and report
+    a file that no longer exists)."""
+    import glob
+    import os as _os
+    import threading as _threading
+
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.compaction.watch import current_argmax_file
+    from hbase_compact_spark.streaming.watch import stream_until_changed
+
+    d = str(tmp_path / "store")
+    # two files: one big (the pre-compaction arg-max), one small
+    (
+        spark.range(50_000)
+        .select("id", F.md5(F.col("id").cast("string")).alias("pad"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(d)
+    )
+    spark.range(100).coalesce(1).write.mode("append").parquet(d)
+    for f in glob.glob(f"{d}/*"):
+        if not f.endswith(".parquet"):
+            _os.unlink(f)
+    before = current_argmax_file(spark, d)
+
+    def compact_like_rewrite():
+        # delete the big input, land an output SMALLER than it
+        sizes = {
+            f: _os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        }
+        _os.unlink(max(sizes, key=sizes.get))
+        spark.range(5_000).coalesce(1).write.mode("append").parquet(d)
+        for f in glob.glob(f"{d}/*"):
+            if not f.endswith(".parquet"):
+                _os.unlink(f)
+
+    t = _threading.Timer(1.5, compact_like_rewrite)
+    t.start()
+    try:
+        res = stream_until_changed(spark, d, before, budget_s=60.0)
+    finally:
+        t.join()
+    assert res.changed, "watch never fired after the arg-max was deleted"
+    assert res.final_argmax != before
+    assert res.final_argmax == current_argmax_file(spark, d)
