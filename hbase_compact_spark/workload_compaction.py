@@ -1,8 +1,15 @@
-"""Compaction workload bindings — SURVEY.md §2 Part B
-`bin_packing_plan` (the procedural planner; rows-only check — FFD is
-not expressible in SQL) and `snapshot_pruned_scan` (the snapshot log's
-stats-based file pruning, oracle-twinned against a full-scan filter),
-plus invariants exercised in tests.
+"""Compaction workload bindings — SURVEY.md §2 Part B.
+
+`bin_packing_plan` (the procedural planner; rows-only — FFD is not
+expressible in SQL) plus the snapshot-log lifecycle surfaced as
+oracle-twinned queries: stats-pruned scan, z-order scan, time travel,
+copy-on-write DELETE and MERGE, bloom point lookup, metadata-only
+schema evolution, and the Iceberg-style incremental-append read.
+Each materializes a snapshot-logged copy of `orders` under /tmp
+(fingerprint-keyed, per-sf), applies the lifecycle operation once,
+and reads the committed end state for the driver's hash compare;
+the scale claims (files pruned/carried, candidates narrowed, zero
+rewrite on evolution) are asserted in tests/test_snapshot_workloads.
 """
 
 from __future__ import annotations

@@ -1,9 +1,11 @@
-"""Streaming workload — SURVEY.md §2 Part B `stream_tumbling`.
+"""Streaming workload — SURVEY.md §2 Part B (stream_* queries).
 
-The oracle is the batch-equivalent SQL over the same bounded events
-table (SURVEY §7 M4): a genuinely streaming execution whose result
-must equal the batch answer — the strongest correctness statement a
-bounded stream can make.
+Tumbling/sliding/session windows, stream-stream interval join,
+streaming dedup, custom keyed state (applyInPandasWithState), and
+transactional snapshot-log ingest. The oracle is the batch-equivalent
+SQL over the same bounded events table (SURVEY §7 M4): a genuinely
+streaming execution whose result must equal the batch answer — the
+strongest correctness statement a bounded stream can make.
 """
 
 from __future__ import annotations
