@@ -26,11 +26,31 @@ DEFAULT_BITS = 16
 def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """One aggregate pass collecting (min, max) per clustering column
     (numeric or timestamp; strings cluster via xxhash64 order buckets
-    which destroys range pruning, so they are rejected)."""
+    which destroys range pruning, so they are rejected — loudly, not
+    by silently casting unparseable rows to bucket 0). NaN values are
+    excluded from the bounds: Spark orders NaN as largest, so a
+    single NaN max() would poison the span and collapse EVERY row's
+    scaled value to one bucket, silently removing the column from the
+    clustering."""
+    from pyspark.sql import types as T
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        dt = schema.get(c)
+        if dt is None:
+            raise ValueError(f"z-order column {c!r} not in schema")
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            raise ValueError(
+                f"z-order column {c!r} is {dt.simpleString()}: string "
+                "order buckets destroy range pruning; cluster on a "
+                "numeric/timestamp column instead"
+            )
     aggs = []
     for c in cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+        cd = F.col(c).cast("double")
+        safe = F.when(F.isnan(cd), F.lit(None)).otherwise(cd)
+        aggs += [F.min(safe).alias(f"__mn_{c}"),
+                 F.max(safe).alias(f"__mx_{c}")]
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in cols:

@@ -75,15 +75,23 @@ def rollup_with_total(
 ) -> DataFrame:
     """Per-group sums AND the grand total in ONE pass via ROLLUP —
     the hand-rolled tableSize accumulation of QHC.java:237-255.
-    NULL grouping keys from the rollup are relabeled so the output
-    hashes identically across engines."""
+    SUBTOTAL rows (and only those) are relabeled via GROUPING(), the
+    only marker that distinguishes them: a coalesce over the key
+    would also swallow DATA-NULL key groups, producing duplicate
+    'ALL' keys whose counts double-count when summed."""
     agg = df.rollup(*keys).agg(
+        *[F.grouping(k).alias(f"__g_{k}") for k in keys],
         F.count("*").alias("filenum"),
         F.sum(size_col).alias("total_bytes"),
     )
     out = agg
     for k in keys:
-        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(total_label)))
+        out = out.withColumn(
+            k,
+            F.when(F.col(f"__g_{k}") == 1, F.lit(total_label)).otherwise(
+                F.col(k)
+            ),
+        ).drop(f"__g_{k}")
     return out
 
 

@@ -75,24 +75,39 @@ def salted_groupby_agg(
     Spark's own partial/final HashAggregate already does this when the
     planner picks hash aggregation; the explicit form guarantees it
     for pipelines that would otherwise sort-aggregate, and documents
-    the 100 TB recipe."""
+    the 100 TB recipe.
+
+    Result-equivalence caveat: for fractional DOUBLE sums the salted
+    merge order differs from the unsalted plan, so results agree only
+    to float addition reordering (~1 ulp); bit-exact use cases should
+    sum through a DECIMAL cast in the spec (nested casts parse fine),
+    exactly like the registry's cross-engine hashing rules."""
     partial_exprs = []
     final_exprs = []
     for out_name, spec in aggs.items():
-        fn, col = spec.rstrip(")").split("(", 1)
+        # split at the FIRST paren and drop exactly the matching final
+        # one — rstrip(')') would eat every trailing paren and mangle
+        # nested expressions like sum(cast(x as decimal(20,6)))
+        spec = spec.strip()
+        if not spec.endswith(")") or "(" not in spec:
+            raise ValueError(f"aggregate spec must be fn(col): {spec!r}")
+        fn, col = spec[:-1].split("(", 1)
         fn = fn.strip().lower()
         p = f"_p_{out_name}"
+        cexpr = None if col == "*" else F.expr(col)
         if fn == "count":
-            partial_exprs.append(F.count("*" if col == "*" else col).alias(p))
+            partial_exprs.append(
+                F.count(F.lit(1) if cexpr is None else cexpr).alias(p)
+            )
             final_exprs.append(F.sum(p).alias(out_name))
         elif fn == "sum":
-            partial_exprs.append(F.sum(col).alias(p))
+            partial_exprs.append(F.sum(cexpr).alias(p))
             final_exprs.append(F.sum(p).alias(out_name))
         elif fn == "min":
-            partial_exprs.append(F.min(col).alias(p))
+            partial_exprs.append(F.min(cexpr).alias(p))
             final_exprs.append(F.min(p).alias(out_name))
         elif fn == "max":
-            partial_exprs.append(F.max(col).alias(p))
+            partial_exprs.append(F.max(cexpr).alias(p))
             final_exprs.append(F.max(p).alias(out_name))
         else:
             raise ValueError(f"non-decomposable aggregate: {spec}")

@@ -12,7 +12,13 @@ bit-identical values):
 * exact-sum doubles through DECIMAL: ``CAST(sum(CAST(x AS
   DECIMAL(20,6))) AS DOUBLE)`` — both engines sum decimals exactly,
   the final double conversion is deterministic, and the output type
-  is plain double on both sides.
+  is plain double on both sides. Known edge: the INPUT cast itself
+  rounds differently across engines for a double whose shortest
+  decimal repr terminates in a '5' exactly at the 7th decimal digit
+  (Spark rounds the shortest repr HALF_UP, DuckDB rounds the binary
+  value) — ~1e-7 density per uniform value, absent from the driver
+  fixtures; queries needing immunity at arbitrary distributions
+  should quantize upstream of the cast.
 * integral-valued doubles (l_quantity) sum exactly in IEEE — no cast.
 * averages / cosines: round(..., 4..6) — error is ~1e-10 relative,
   far below the rounding grain.

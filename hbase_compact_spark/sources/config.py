@@ -30,9 +30,29 @@ class CompactionConfig:
 _INT_FIELDS = {"marjorfilesize", "directcompactsize", "regionindex"}
 
 
+def _unescape(v: str) -> str:
+    """java.util.Properties escape semantics: \\t/\\n/\\r/\\f map to
+    their control characters, \\\\ to one backslash, and \\X to X for
+    any other X (java drops the backslash) — a blanket
+    .replace('\\\\', '') would collapse escaped backslashes entirely
+    and turn \\t into a literal 't'."""
+    out = []
+    i = 0
+    while i < len(v):
+        ch = v[i]
+        if ch == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            out.append({"t": "\t", "n": "\n", "r": "\r", "f": "\f"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def parse_properties(text: str) -> dict[str, str]:
     """Minimal java-properties parser: k=v lines, '#'/'!' comments,
-    backslash-escaped chars unescaped (the reference's shipped file
+    java escape sequences unescaped (the reference's shipped file
     escapes colons: '08\\:30\\:00')."""
     out: dict[str, str] = {}
     for raw in text.splitlines():
@@ -42,7 +62,7 @@ def parse_properties(text: str) -> dict[str, str]:
         if "=" not in line:
             continue
         k, _, v = line.partition("=")
-        out[k.strip()] = v.strip().replace("\\", "")
+        out[k.strip()] = _unescape(v.strip())
     return out
 
 
@@ -67,6 +87,10 @@ def store_config(path: str, cfg: CompactionConfig) -> None:
     lines = []
     for k, v in asdict(cfg).items():
         sval = str(v)
+        # escape backslashes FIRST (asymmetric round-trips otherwise:
+        # a value containing a backslash would re-parse differently),
+        # then the colon escaping the reference's shipped file uses
+        sval = sval.replace("\\", "\\\\")
         if k in ("starttime", "endtime"):
             sval = sval.replace(":", "\\:")
         lines.append(f"{k}={sval}")

@@ -100,11 +100,21 @@ def file_inventory(spark: SparkSession, root: str, *, depth: tuple[str, ...] = (
         .select("path", "length", "modificationTime")
     )
     # Paths come back as URIs (file:/... locally, hdfs://... on a
-    # cluster). Strip the scheme, then remove the `root` prefix with
-    # EXACT string arithmetic — a regex built from the root would
-    # misfire on any regex metacharacter in the path (`+`, `(`, ...),
-    # silently mis-keying every region/family downstream.
-    rootlit = root.rstrip("/") + "/"
+    # cluster). Strip the scheme from BOTH the listed path and the
+    # caller's root (a URI or relative root would otherwise never
+    # prefix-match and silently mis-key every region/family), then
+    # remove the root prefix with EXACT string arithmetic — a regex
+    # built from the root would misfire on any regex metacharacter in
+    # the path (`+`, `(`, ...). The root is qualified through the
+    # same Hadoop FileSystem the listing uses, so file://, hostful
+    # hdfs:// and relative roots all resolve identically.
+    from hbase_compact_spark.compaction.executor import (
+        _hadoop_fs,
+        _uri_path,
+    )
+
+    fs, root_path, _ = _hadoop_fs(spark, root)
+    rootlit = _uri_path(str(fs.makeQualified(root_path))).rstrip("/") + "/"
     stripped = F.regexp_replace("path", "^[a-z0-9]+:(//[^/]*)?", "")
     rel = F.when(
         stripped.startswith(rootlit),

@@ -201,8 +201,10 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_total",
     oracle=f"""
     WITH inventory AS ({INVENTORY_SQL})
-    SELECT coalesce(region, 'ALL') AS region,
-           coalesce(family, 'ALL') AS family,
+    SELECT CASE WHEN GROUPING(region) = 1 THEN 'ALL' ELSE region END
+             AS region,
+           CASE WHEN GROUPING(family) = 1 THEN 'ALL' ELSE family END
+             AS family,
            count(*) AS filenum,
            CAST(sum(size_bytes) AS BIGINT) AS total_bytes
     FROM inventory
@@ -291,9 +293,13 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # only nation gets a HARD broadcast hint (bounded: 25 rows at any
+    # scale factor); customer is left to AQE's size-based decision —
+    # it broadcasts at fixture scale but is a multi-TB table at
+    # SF~100000, where an unconditional hint would OOM the broadcast
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -19,8 +19,10 @@ from hbase_compact_spark.tables import load_table
     "cube_stats",
     oracle=f"""
     WITH inventory AS ({INVENTORY_SQL})
-    SELECT coalesce(region, 'ALL') AS region,
-           coalesce(family, 'ALL') AS family,
+    SELECT CASE WHEN GROUPING(region) = 1 THEN 'ALL' ELSE region END
+             AS region,
+           CASE WHEN GROUPING(family) = 1 THEN 'ALL' ELSE family END
+             AS family,
            count(*) AS filenum,
            CAST(sum(size_bytes) AS BIGINT) AS total_bytes
     FROM inventory
@@ -32,13 +34,22 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total in one pass — the complete lattice the reference's
     rollup only walks one path of."""
     inv = derived_inventory(spark, sf_dir)
+    # GROUPING() distinguishes subtotal rows from DATA-NULL key
+    # groups; coalescing the key itself would conflate the two into
+    # duplicate 'ALL' rows (same fix as operators.rollup_with_total)
     out = inv.cube("region", "family").agg(
+        F.grouping("region").alias("__gr"),
+        F.grouping("family").alias("__gf"),
         F.count("*").alias("filenum"),
         F.sum("size_bytes").alias("total_bytes"),
     )
     return out.select(
-        F.coalesce("region", F.lit("ALL")).alias("region"),
-        F.coalesce("family", F.lit("ALL")).alias("family"),
+        F.when(F.col("__gr") == 1, F.lit("ALL"))
+        .otherwise(F.col("region"))
+        .alias("region"),
+        F.when(F.col("__gf") == 1, F.lit("ALL"))
+        .otherwise(F.col("family"))
+        .alias("family"),
         "filenum",
         "total_bytes",
     )
@@ -48,8 +59,10 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets",
     oracle=f"""
     WITH inventory AS ({INVENTORY_SQL})
-    SELECT coalesce(region, 'ALL') AS region,
-           coalesce(family, 'ALL') AS family,
+    SELECT CASE WHEN GROUPING(region) = 1 THEN 'ALL' ELSE region END
+             AS region,
+           CASE WHEN GROUPING(family) = 1 THEN 'ALL' ELSE family END
+             AS family,
            count(*) AS filenum,
            CAST(sum(size_bytes) AS BIGINT) AS total_bytes
     FROM inventory
@@ -64,8 +77,10 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv.createOrReplaceTempView("_gs_inventory")
     return spark.sql(
         """
-        SELECT coalesce(region, 'ALL') AS region,
-               coalesce(family, 'ALL') AS family,
+        SELECT CASE WHEN GROUPING(region) = 1 THEN 'ALL'
+                    ELSE region END AS region,
+               CASE WHEN GROUPING(family) = 1 THEN 'ALL'
+                    ELSE family END AS family,
                count(*) AS filenum,
                sum(size_bytes) AS total_bytes
         FROM _gs_inventory
@@ -487,9 +502,14 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
             "cov_qty_disc"
         ),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
-        ),
+        # Spark's corr yields NaN on a zero-variance group where
+        # DuckDB yields NULL; normalize NaN -> NULL so degenerate
+        # distributions cannot silently diverge the hash compare
+        F.when(
+            F.isnan(F.corr("l_quantity", "l_extendedprice")), F.lit(None)
+        )
+        .otherwise(F.round(F.corr("l_quantity", "l_extendedprice"), 6))
+        .alias("corr_qty_price"),
         F.count("*").alias("n"),
     )
 
@@ -638,7 +658,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - s.mu) / s.sd, 6) AS z
     FROM events e JOIN s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sd) > 2.0
+    WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.0
     """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +673,12 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    j = ev.join(F.broadcast(s), "event_type")
+    # sd > 0 guard: a zero-variance group has no defined z-score —
+    # without it Spark's 0.0/0.0 = NaN combined with NaN-is-largest
+    # ordering would flag EVERY row of the group (while DuckDB's
+    # NULL division drops them): semantically wrong and silently
+    # oracle-divergent on degenerate distributions
+    j = ev.join(F.broadcast(s), "event_type").where(F.col("sd") > 0)
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return j.where(F.abs(z) > 2.0).select(
         "event_id", "event_type", "value", F.round(z, 6).alias("z")
