@@ -52,6 +52,11 @@ class DaemonConfig:
     # width — meets the reference's 40 s/GB budget by default), 1 =
     # the reference's strict one-at-a-time minimal-impact mode
     concurrency: int | None = None
+    # progress-store location; None = <table_root>/_compaction_
+    # checkpoint.json, which only works for local/file: table roots
+    # (CompactionCheckpoint is local-FS by contract) — an hdfs://
+    # or s3a:// deployment MUST point this at a local path
+    checkpoint_path: str | None = None
 
 
 @dataclass
@@ -108,7 +113,10 @@ def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
     `max_cycles` passes over the table, each compacting up to
     `partitions_per_iteration` partitions at a time with the
     reference's pacing structure."""
-    ckpt = CompactionCheckpoint(f"{cfg.table_root}/_compaction_checkpoint.json")
+    ckpt = CompactionCheckpoint(
+        cfg.checkpoint_path
+        or f"{cfg.table_root}/_compaction_checkpoint.json"
+    )
     run = DaemonRun(stats_report=stats_report(spark, cfg.table_root).collect())
 
     for cycle in range(cfg.max_cycles):

@@ -575,11 +575,23 @@ def _swap_files(
 
 
 def _write_json(fs, Path, path, payload: dict) -> None:
-    out = fs.create(path, True)  # overwrite
+    """Atomic publish: write a sibling temp file, then rename onto the
+    target — a reader racing the write sees either the previous
+    complete file or the new complete file, never a truncated stream
+    (swap manifests are read by the concurrent-read path in
+    reader.py, where a half-written JSON would crash the reader)."""
+    tmp = Path(
+        path.getParent(), f".{path.getName()}.tmp-{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+    fs.delete(path, False)  # rename-over is not portable; delete first
+    if not fs.rename(tmp, path):
+        fs.delete(tmp, False)
+        raise RuntimeError(f"atomic json publish failed: {path}")
 
 
 def _read_json(fs, jvm, path) -> dict:

@@ -55,7 +55,14 @@ def consistent_file_listing(spark: SparkSession, table_root: str) -> list[str]:
         if not fs.exists(mpath):
             out.extend(uri for uri, _ in files)
             continue
-        data = _read_json(fs, jvm, mpath)
+        try:
+            data = _read_json(fs, jvm, mpath)
+        except Exception:
+            # TOCTOU: the swap finished (manifest deleted as its last
+            # step) between the exists check and the read — the
+            # partition is already consistent, use the listing as-is
+            out.extend(uri for uri, _ in files)
+            continue
         dests = [d for _, d in data["moves"]]
         olds = set(data["old"])
         swap_complete = all(fs.exists(Path(d)) for d in dests)
@@ -81,7 +88,14 @@ def consistent_file_listing(spark: SparkSession, table_root: str) -> list[str]:
 
 def read_table_consistent(spark: SparkSession, table_root: str) -> DataFrame:
     """`spark.read.parquet` over the consistent snapshot listing —
-    safe to call while compactions are swapping files underneath."""
+    the LISTING is race-free while compactions swap files underneath,
+    but the files themselves are not pinned: a swap that retires its
+    old files after this listing but before (or during) the lazy scan
+    can still fail the read. That residual window is inherent to
+    reading bare files on a mutable directory — callers needing
+    strict isolation read through the snapshot log
+    (compaction.snapshots.read_table_at), whose versions reference
+    retired files until expire_snapshots reclaims them."""
     files = consistent_file_listing(spark, table_root)
     if not files:
         raise FileNotFoundError(f"no data files under {table_root}")

@@ -312,7 +312,7 @@ def extract_frame_meta(df: DataFrame, every_n: int = 100) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(
+    return _fan_out(df.select("doc_id", "payload")).mapInPandas(
         frame_batches, schema=FRAME_META_SCHEMA
     )
 
@@ -531,7 +531,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                         samples.shape[0],
                         round(samples.shape[0] / rate * 1000.0, 6),
                         round(float(np.sqrt(np.mean(flat**2))), 6),
-                        int(np.max(np.abs(samples))),
+                        # widen BEFORE abs: np.abs wraps on int16
+                        # -32768 (full-scale negative) and would
+                        # misreport the peak
+                        int(np.max(np.abs(samples.astype(np.int64)))),
                     )
                 )
             yield pd.DataFrame(
@@ -566,6 +569,6 @@ def extract_payload_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(
+    return _fan_out(df.select("doc_id", "payload")).mapInPandas(
         meta_batches, schema=PAYLOAD_META_SCHEMA
     )

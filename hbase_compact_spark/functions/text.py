@@ -186,7 +186,10 @@ def stopword_hits(token_col_name: str, lang: str) -> Column:
 
 def stopword_hits_duck(token_expr: str, lang: str) -> str:
     lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    # coalesce: DuckDB's list_sum([]) is NULL where the Spark twin's
+    # aggregate(..., 0, ...) is 0 — an empty/whitespace-only document
+    # must score 0 stopword hits in BOTH engines
     return (
-        f"list_sum(list_transform({token_expr}, t -> "
-        f"CASE WHEN lower(t) IN ({lst}) THEN 1 ELSE 0 END))"
+        f"coalesce(list_sum(list_transform({token_expr}, t -> "
+        f"CASE WHEN lower(t) IN ({lst}) THEN 1 ELSE 0 END)), 0)"
     )

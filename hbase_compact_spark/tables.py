@@ -72,8 +72,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp[us] (NTZ under Spark 4) by different fixture generations;
     normalize_ts handles both. nanosAsLong stays on so the NANOS
     variant loads at all instead of throwing."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    try:
+        # schema inference (where the flag matters) happens eagerly in
+        # this call; restoring afterwards keeps the session-wide
+        # default intact so UNRELATED parquet reads of TIMESTAMP(NANOS)
+        # columns don't silently load them as LongType forever after
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return normalize_ts(df)
 
 
