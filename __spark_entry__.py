@@ -23,24 +23,15 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-import hbase_compact_spark.workload_core  # noqa: E402,F401 (registers queries)
-
-try:  # registered progressively as milestones land
-    import hbase_compact_spark.workload_llm  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    import hbase_compact_spark.workload_compaction  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    import hbase_compact_spark.workload_streaming  # noqa: E402,F401
-except ImportError:
-    pass
-try:
-    import hbase_compact_spark.workload_olap  # noqa: E402,F401
-except ImportError:
-    pass
+# All workload modules import UNguarded: every one exists and
+# registers queries, so a transitive ImportError must fail the run
+# loudly — a swallow-and-continue here would silently shrink the
+# verified query surface and report the regression as success.
+import hbase_compact_spark.workload_core  # noqa: E402,F401
+import hbase_compact_spark.workload_llm  # noqa: E402,F401
+import hbase_compact_spark.workload_compaction  # noqa: E402,F401
+import hbase_compact_spark.workload_streaming  # noqa: E402,F401
+import hbase_compact_spark.workload_olap  # noqa: E402,F401
 
 from hbase_compact_spark.registry import ORACLE, QUERIES  # noqa: E402
 from hbase_compact_spark.tables import SMOKE_SF_DIR  # noqa: E402

@@ -47,11 +47,16 @@ def main() -> None:
     spark.range(1_000).toDF("id").mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    for name in os.listdir(SF_DIR):
-        if name.endswith(".parquet"):
-            with open(os.path.join(SF_DIR, name), "rb") as f:
-                while f.read(1 << 22):
-                    pass
+    for dirpath, _dirs, files in os.walk(SF_DIR):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            try:  # tables may be files OR directories of part files
+                with open(os.path.join(dirpath, name), "rb") as f:
+                    while f.read(1 << 22):
+                        pass
+            except OSError:
+                pass  # cache warming is best-effort
 
     RUNS = 3  # median-of-3: the first execution of a query pays
     # one-time codegen compilation of its expression trees (measured

@@ -181,6 +181,10 @@ def _assign_lists_pandas(
     ensure_package_on_executors(df.sparkSession)
     C = np.array([cv for _, cv in cents], dtype=np.float64)
     ids = np.array([lid for lid, _ in cents], dtype=np.int32)
+    # n_probe may legitimately exceed the list count ("probe all");
+    # without the clamp the repeat(n)/argsort[:, :n] shapes diverge
+    # and every executor task crashes on mismatched array lengths
+    n = min(n, len(cents))
 
     def run(batches):
         for pdf in batches:

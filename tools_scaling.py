@@ -75,8 +75,16 @@ def _spark() -> SparkSession:
 
 
 def _replicate(spark: SparkSession, table: str) -> "F.DataFrame":
-    """10 copies with key-offset columns shifted per copy."""
-    df = spark.read.parquet(f"{SRC_SF}/{table}.parquet")
+    """10 copies with key-offset columns shifted per copy. Events go
+    through tables.load_table so every fixture timestamp encoding
+    that has ever shipped (TIMESTAMP(NANOS)-as-long, NTZ, plain)
+    normalizes instead of crashing schema inference."""
+    from hbase_compact_spark.tables import load_table
+
+    if table == "events":
+        df = load_table(spark, SRC_SF, "events")
+    else:
+        df = spark.read.parquet(f"{SRC_SF}/{table}.parquet")
     copies = spark.range(COPIES).withColumnRenamed("id", "__copy")
     out = df.crossJoin(F.broadcast(copies))
     for col in df.columns:
