@@ -1,0 +1,70 @@
+"""Distributed exact percentiles.
+
+Generalizes the reference's single global rollup
+(QHBaseCompact.java:237-255) to order statistics: exact type-7
+(linear-interpolation — the definition shared by Spark's
+`percentile()` and DuckDB's `quantile_cont`) percentiles per group,
+in a shape that scales linearly instead of the builtin's
+super-linear distinct-value-map aggregate (measured 6.8x at 10x
+data, SCALING.md r5):
+
+1. `groupBy(group, value).count()` — map-side combine collapses rows
+   to distinct values BEFORE the shuffle (codegen'd hash agg);
+2. a cumulative-count window over each group's DISTINCT values only
+   (<< row count at any scale; integral columns are typically
+   bounded-cardinality);
+3. a broadcast join of the per-group totals (one row per group) and a
+   conditional-min aggregate that picks the two values bracketing
+   each requested position;
+4. driver-free interpolation `lower + frac * (higher - lower)` with
+   `frac = p*(n-1) - floor(p*(n-1))` — bit-identical to the builtin
+   (verified at sf0.001/sf0.01/sf0.1 in tests).
+
+The per-group window over distinct values is the only concentration
+point; when even the distinct-value state is too wide (unbounded
+continuous keys at 100 TB), `percentile_approx` is the one-pass
+fallback — see workload_olap.approx_stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_percentiles(
+    df: DataFrame, group: str, col: str, specs: list[tuple[str, float]]
+) -> DataFrame:
+    """One row per group with a double column per ``(alias, p)`` in
+    `specs` holding the exact p-th percentile of `col` (NULLs
+    ignored, matching the builtin)."""
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(group, col)
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = Window.partitionBy(group).orderBy(col)
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w))
+    tot = counts.groupBy(group).agg(F.sum("__cnt").alias("__n"))
+    joined = cum.join(F.broadcast(tot), group)
+    aggs = [F.first("__n").alias("__n")]
+    for alias, p in specs:
+        # 0-indexed fractional position, exactly as the builtin:
+        # pos = p * (n - 1); bracket values sit at 1-indexed
+        # floor(pos)+1 and floor(pos)+2 of the per-group value order.
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        lo1 = F.floor(pos) + 1
+        hi1 = lo1 + 1
+        in_lo = (F.col("__cum") >= lo1) & (F.col("__cum") - F.col("__cnt") < lo1)
+        in_hi = (F.col("__cum") >= hi1) & (F.col("__cum") - F.col("__cnt") < hi1)
+        aggs.append(F.min(F.when(in_lo, F.col(col))).alias(f"__lo_{alias}"))
+        aggs.append(F.min(F.when(in_hi, F.col(col))).alias(f"__hi_{alias}"))
+    out = joined.groupBy(group).agg(*aggs)
+    sel = [F.col(group)]
+    for alias, p in specs:
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        frac = pos - F.floor(pos).cast("double")
+        lo = F.col(f"__lo_{alias}").cast("double")
+        hi = F.coalesce(F.col(f"__hi_{alias}").cast("double"), lo)
+        sel.append((lo + frac * (hi - lo)).alias(alias))
+    return out.select(*sel)

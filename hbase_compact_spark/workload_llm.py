@@ -36,6 +36,7 @@ from hbase_compact_spark.functions.similarity import (
     embedding_dup_pairs,
     lsh_topk,
 )
+from hbase_compact_spark.operators.percentiles import exact_group_percentiles
 from hbase_compact_spark.registry import query, session_cache
 from hbase_compact_spark.shipping import ensure_package_on_executors
 from hbase_compact_spark.tables import load_table
@@ -202,7 +203,15 @@ _QUAL_D = {
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality heuristic —
-    the standard cheap pre-filter in LLM data pipelines."""
+    the standard cheap pre-filter in LLM data pipelines. Single
+    definition in _quality_frame (shared with dedup_canonical)."""
+    return _quality_frame(spark, sf_dir)
+
+
+def _quality_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + the quality heuristic (the quality_score formula; its
+    DuckDB twin is the quality_score oracle / _QUALITY_D). Kept as
+    THE single definition so every quality consumer agrees."""
     docs = _docs_with(spark, sf_dir, toks=TX.tokens())
     q = docs.select(
         "doc_id",
@@ -233,6 +242,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (0.5 + 0.5 * stop_ratio)
         ).alias("quality"),
     )
+
+
+# The quality heuristic as one DuckDB scalar over `documents.text` —
+# composed from the same _QUAL_D fragments as the quality_score
+# oracle, for oracles that need quality inline (dedup_canonical).
+_PUNCT_RATIO_D = (
+    "CASE WHEN length(text) = 0 THEN 0.0 "
+    f"ELSE CAST({_QUAL_D['punct']} AS DOUBLE) / length(text) END"
+)
+_STOP_RATIO_D = (
+    f"CASE WHEN {_QUAL_D['n_tokens']} = 0 THEN 0.0 "
+    f"ELSE CAST({_QUAL_D['stop']} AS DOUBLE) / {_QUAL_D['n_tokens']} END"
+)
+_QUALITY_D = (
+    f"(least(1.0, {_QUAL_D['n_tokens']} / 100.0) * (1.0 - {_PUNCT_RATIO_D}) "
+    f"* (0.5 + 0.5 * {_STOP_RATIO_D}))"
+)
 
 
 @query(
@@ -314,6 +340,24 @@ _FUZZY_CTES = f"""sigs AS (
       JOIN sigs sa ON sa.doc_id = doc_a
       JOIN sigs sb ON sb.doc_id = doc_b
     )"""
+
+
+# Transitive-closure CTE block over the thresholded pair graph —
+# shared by the dedup_clusters and dedup_canonical oracles (must be
+# preceded by WITH RECURSIVE {_FUZZY_CTES}). Yields comp(doc_id,
+# cluster_id) with cluster_id = the component's minimum doc_id.
+_CLUSTER_CTES = f"""fedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM est
+      WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+      UNION
+      SELECT doc_b, doc_a FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN fedges e ON reach.r = e.src
+    ),
+    comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)"""
 
 
 # Session-scoped memo for the MinHash pair pipeline: dedup_fuzzy and
@@ -412,18 +456,7 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_FUZZY_CTES},
-    fedges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM est
-      WHERE est_sim >= {MINHASH_EST_THRESHOLD}
-      UNION
-      SELECT doc_b, doc_a FROM est WHERE est_sim >= {MINHASH_EST_THRESHOLD}
-    ),
-    reach(doc_id, r) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT reach.doc_id, e.dst FROM reach JOIN fedges e ON reach.r = e.src
-    ),
-    comp AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    {_CLUSTER_CTES}
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
              AS cluster_size
@@ -2233,3 +2266,180 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+# Fixed logistic-classifier weights: the engine-side stand-in for a
+# fasttext/linear quality model's scoring pass (the model is trained
+# offline; the PIPELINE stage is pure feature extraction + a dot
+# product, which is what this query exercises at scale).
+_CLS_BIAS = -1.65
+_CLS_W_LEN = 1.8       # saturating length feature
+_CLS_W_DIV = 2.2       # lexical diversity (distinct/total tokens)
+_CLS_W_STOP = 1.5      # stopword ratio (English-like prose signal)
+_CLS_W_PUNCT = -6.0    # punctuation density penalty
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_QUAL_D["n_tokens"]} AS n_tokens,
+             len(list_distinct({_TOKS_D})) AS n_distinct,
+             {_QUAL_D["punct"]} AS punct_chars,
+             {_QUAL_D["stop"]} AS stop_hits,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             {_CLS_BIAS}
+             + {_CLS_W_LEN} * least(1.0, n_tokens / 200.0)
+             + {_CLS_W_DIV} * CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(n_distinct AS DOUBLE) / n_tokens END
+             + {_CLS_W_STOP} * CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(stop_hits AS DOUBLE) / n_tokens END
+             + {_CLS_W_PUNCT} * CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(punct_chars AS DOUBLE) / n_chars END AS z
+      FROM f
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS cls_score,
+           CAST(round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS BIGINT) AS keep
+    FROM z
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model over
+    engineered text features (saturating length, lexical diversity,
+    stopword ratio, punctuation density) — the pipeline shape of
+    fasttext-style quality filtering, where scoring is a per-row
+    feature dot product + sigmoid. Pure JVM expressions, zero
+    shuffles, trivially 100 TB-parallel. The sigmoid is rounded to 6
+    decimals BEFORE the keep threshold so the libm-vs-JVM last ulp of
+    exp() can neither flip the keep bit nor the hash."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    f = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(F.expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+        .cast("long")
+        .alias("punct_chars"),
+        TX.stopword_hits("toks", "en").cast("long").alias("stop_hits"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    div_ratio = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("n_distinct").cast("double") / F.col("n_tokens")
+    )
+    stop_ratio = F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+        F.col("stop_hits").cast("double") / F.col("n_tokens")
+    )
+    punct_ratio = F.when(F.col("n_chars") == 0, 0.0).otherwise(
+        F.col("punct_chars").cast("double") / F.col("n_chars")
+    )
+    z = (
+        F.lit(_CLS_BIAS)
+        + _CLS_W_LEN * F.least(F.lit(1.0), F.col("n_tokens") / 200.0)
+        + _CLS_W_DIV * div_ratio
+        + _CLS_W_STOP * stop_ratio
+        + _CLS_W_PUNCT * punct_ratio
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    return f.select(
+        "doc_id",
+        score.alias("cls_score"),
+        (score >= 0.5).cast("long").alias("keep"),
+    )
+
+
+@query(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_CTES},
+    {_CLUSTER_CTES},
+    qual AS (SELECT doc_id, {_QUALITY_D} AS quality FROM documents),
+    ranked AS (
+      SELECT comp.cluster_id, comp.doc_id, qual.quality,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY qual.quality DESC, comp.doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY comp.cluster_id) AS csize
+      FROM comp JOIN qual USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_id,
+           round(quality, 6) AS best_quality,
+           CAST(csize AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1 AND csize >= 2
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection: within every near-dup cluster
+    (dedup_clusters' connected components), keep the HIGHEST-QUALITY
+    member (quality_score heuristic; doc_id breaks exact ties) — the
+    production policy when duplicates differ in cleanliness, vs
+    dedup_exact's keep-min-id. One quality join + a per-cluster
+    max_by; the quality values are integer-ratio products, so both
+    engines order identically and the arg-max is deterministic.
+    Scale: the join and aggregation run over the dup-graph vertex
+    set/cluster count, both << corpus size."""
+    labels = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id, cluster_size
+    qual = _quality_frame(spark, sf_dir).select("doc_id", "quality")
+    joined = labels.where(F.col("cluster_size") >= 2).join(qual, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
+        F.count("*").alias("cluster_size"),
+    )
+
+
+@query(
+    "length_outliers",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, {_QUAL_D["n_tokens"]} AS n_tokens FROM documents
+    ),
+    f AS (
+      SELECT lang,
+             round(quantile_cont(n_tokens, 0.1), 4) AS lo_fence,
+             round(quantile_cont(n_tokens, 0.9), 4) AS hi_fence
+      FROM t GROUP BY lang
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           lo_fence, hi_fence
+    FROM t JOIN f USING (lang)
+    WHERE n_tokens < lo_fence OR n_tokens > hi_fence
+    """,
+)
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-tail trimming: flag documents whose token
+    count falls outside their language's [p10, p90] band — the
+    data-driven cousin of corpus_filter's fixed length gate. The
+    per-group quantiles come from operators/percentiles (distinct-
+    value counts + cumulative window; no percentile() map state), the
+    5-row fence table broadcasts back onto the scan, and the filter
+    stays a JVM predicate — at 100 TB this is one count-shuffle over
+    distinct (lang, length) pairs plus a map-side filtered scan.
+    Fences are rounded to 4 decimals ON BOTH ENGINES before the
+    comparison so a last-ulp quantile difference cannot flip a
+    boundary row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(TX.tokens()).cast("long").alias("n_tokens")
+    )
+    fences = exact_group_percentiles(
+        docs, "lang", "n_tokens", [("q10", 0.1), ("q90", 0.9)]
+    ).select(
+        "lang",
+        F.round("q10", 4).alias("lo_fence"),
+        F.round("q90", 4).alias("hi_fence"),
+    )
+    return (
+        docs.join(F.broadcast(fences), "lang")
+        .where(
+            (F.col("n_tokens") < F.col("lo_fence"))
+            | (F.col("n_tokens") > F.col("hi_fence"))
+        )
+        .select("doc_id", "lang", "n_tokens", "lo_fence", "hi_fence")
+    )

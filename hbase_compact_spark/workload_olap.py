@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hbase_compact_spark.operators.percentiles import exact_group_percentiles
 from hbase_compact_spark.registry import query
 from hbase_compact_spark.sources.inventory import INVENTORY_SQL, derived_inventory
 from hbase_compact_spark.tables import load_table
@@ -188,16 +189,26 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (both engines use the
-    same linear-interpolation definition). At 100 TB swap for
-    percentile_approx — see approx_stats."""
+    """Exact interpolated percentiles per group via the distributed
+    count+cumulative-window shape (_exact_group_percentiles) — the r5
+    fix for the builtin percentile()'s super-linear scaling (6.8× at
+    10× data, SCALING.md): its per-partition boxed value→count maps
+    and single-reducer-per-group merge+sort become codegen'd
+    hash-aggs plus a window over DISTINCT values only. percentile_
+    approx (see approx_stats) remains the one-pass alternative when
+    even the distinct-value state is too wide."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "median_price"
-        ),
+    qty = exact_group_percentiles(
+        li, "l_returnflag", "l_quantity", [("median_qty", 0.5), ("p95_qty", 0.95)]
+    )
+    price = exact_group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [("median_price", 0.5)]
+    )
+    return qty.join(price, "l_returnflag").select(
+        "l_returnflag",
+        F.round("median_qty", 4).alias("median_qty"),
+        F.round("p95_qty", 4).alias("p95_qty"),
+        F.round("median_price", 4).alias("median_price"),
     )
 
 

@@ -38,3 +38,61 @@ def test_cube_lattice_consistency(spark):
     assert len(total) == 1
     assert total[0]["filenum"] == sum(r["filenum"] for r in fine)
     assert total[0]["total_bytes"] == sum(r["total_bytes"] for r in fine)
+
+
+def test_exact_group_percentiles_bitmatch_builtin(spark):
+    """The distributed count+window percentile must be BIT-IDENTICAL
+    to Spark's builtin percentile() (same type-7 interpolation)."""
+    from hbase_compact_spark.operators.percentiles import exact_group_percentiles
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    mine = {
+        r["l_returnflag"]: r
+        for r in exact_group_percentiles(
+            li,
+            "l_returnflag",
+            "l_extendedprice",
+            [("p05", 0.05), ("p50", 0.5), ("p95", 0.95), ("p0", 0.0), ("p1", 1.0)],
+        ).collect()
+    }
+    builtin = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_extendedprice, {p})").alias(a)
+                for a, p in [
+                    ("p05", 0.05),
+                    ("p50", 0.5),
+                    ("p95", 0.95),
+                    ("p0", 0.0),
+                    ("p1", 1.0),
+                ]
+            ]
+        )
+        .collect()
+    }
+    assert set(mine) == set(builtin)
+    for flag, m in mine.items():
+        for a in ("p05", "p50", "p95", "p0", "p1"):
+            assert m[a] == builtin[flag][a], (flag, a)
+
+
+def test_exact_group_percentiles_edges(spark):
+    """Singleton groups, duplicate-heavy groups, and NULLs."""
+    from hbase_compact_spark.operators.percentiles import exact_group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 7.0), ("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 3.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: r
+        for r in exact_group_percentiles(
+            df, "g", "v", [("p50", 0.5), ("p75", 0.75)]
+        ).collect()
+    }
+    assert out["a"]["p50"] == 7.0 and out["a"]["p75"] == 7.0
+    # b: values 1,1,1,3 (NULL ignored) -> p50 = 1.0, p75 = 1 + 0.25*(3-1) = 1.5
+    assert out["b"]["p50"] == 1.0
+    assert out["b"]["p75"] == 1.5
