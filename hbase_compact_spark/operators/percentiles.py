@@ -37,16 +37,26 @@ def exact_group_percentiles(
 ) -> DataFrame:
     """One row per group with a double column per ``(alias, p)`` in
     `specs` holding the exact p-th percentile of `col` (NULLs
-    ignored, matching the builtin)."""
+    ignored, matching the builtin). Known edge vs the builtin: a
+    group whose values are ALL NULL is omitted from the result
+    instead of carrying a NULL percentile."""
     counts = (
         df.where(F.col(col).isNotNull())
         .groupBy(group, col)
         .agg(F.count("*").alias("__cnt"))
     )
+    # Both windows share the per-group partitioning, so Catalyst plans
+    # ONE exchange + sort: the cumulative count and the group total
+    # come out of the same window stage (no totals join needed).
     w = Window.partitionBy(group).orderBy(col)
-    cum = counts.withColumn("__cum", F.sum("__cnt").over(w))
-    tot = counts.groupBy(group).agg(F.sum("__cnt").alias("__n"))
-    joined = cum.join(F.broadcast(tot), group)
+    wg = Window.partitionBy(group)
+    joined = counts.select(
+        group,
+        col,
+        "__cnt",
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(wg).alias("__n"),
+    )
     aggs = [F.first("__n").alias("__n")]
     for alias, p in specs:
         # 0-indexed fractional position, exactly as the builtin:

@@ -669,3 +669,50 @@ def snapshot_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_incremental(spark, root, from_version=1, to_version=2).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "snapshot_cdc_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           'delete' AS change_type
+    FROM orders WHERE o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + {UPD_BUMP} AS o_totalprice,
+           'insert' AS change_type
+    FROM orders WHERE o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+    UNION ALL
+    SELECT o_orderkey + {INS_OFFSET} AS o_orderkey, o_custkey,
+           'I' AS o_orderstatus, o_totalprice,
+           'insert' AS change_type
+    FROM orders WHERE o_orderkey <= {INS_SRC_MAX}
+    """,
+)
+def snapshot_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed across the COW MERGE commit
+    (compaction/snapshots.py:read_changes — the Delta
+    CHANGE_DATA_FEED / Iceberg changelog shape): updates surface as a
+    delete (pre-image) + insert (post-image) pair, inserts as plain
+    inserts, and the rows the rewrite carried verbatim cancel out of
+    the multiset diff entirely. Only the files touched by the merge
+    are opened — the file-set diff is snapshot metadata. Shares the
+    merge materialization with snapshot_merge_scan; oracle = the
+    expected change rows written directly over the source table."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_changes,
+    )
+
+    root = merge_scan_root(spark, sf_dir)
+    log = SnapshotLog(spark, root)
+    versions = log.versions()
+    merge_v = max(v for v in versions if log.read(v).get("op") == "merge")
+    from_v = max(v for v in versions if v < merge_v)
+    return read_changes(spark, root, from_v, merge_v).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("_change_type").alias("change_type"),
+    )

@@ -2368,7 +2368,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM comp JOIN qual USING (doc_id)
     )
     SELECT cluster_id, doc_id AS canonical_id,
-           round(quality, 6) AS best_quality,
+           quality AS best_quality,
            CAST(csize AS BIGINT) AS cluster_size
     FROM ranked WHERE rn = 1 AND csize >= 2
     """,
@@ -2390,7 +2390,10 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
         ).alias("canonical_id"),
-        F.round(F.max("quality"), 6).alias("best_quality"),
+        # unrounded: quality is a product of integer ratios —
+        # bit-identical cross-engine; round() would diverge on exact
+        # decimal ties (registry.py hashing rules)
+        F.max("quality").alias("best_quality"),
         F.count("*").alias("cluster_size"),
     )
 

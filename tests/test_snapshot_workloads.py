@@ -177,3 +177,42 @@ def test_read_incremental_contract(spark, tmp_path):
     assert rep["rewritten"] >= 1
     with pytest.raises(ValueError, match="rewrite"):
         read_incremental(spark, root, 1, log.latest())
+
+
+def test_read_changes_cdc_semantics(spark):
+    """CDC across the merge commit: update pre/post-image pairs +
+    inserts; carried-verbatim rewrite rows cancel; only the touched
+    files open; empty range -> empty feed."""
+    from hbase_compact_spark.compaction.snapshots import read_changes
+
+    root = merge_scan_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    merge_v = max(
+        v for v in log.versions() if log.read(v).get("op") == "merge"
+    )
+    from_v = max(v for v in log.versions() if v < merge_v)
+    feed = read_changes(spark, root, from_v, merge_v).cache()
+    n_upd = (UPD_HI - UPD_LO + 1)
+    dels = feed.filter(F.col("_change_type") == "delete")
+    ins = feed.filter(F.col("_change_type") == "insert")
+    # every update key emits exactly one pre-image and one post-image
+    assert dels.count() == n_upd
+    assert (
+        dels.filter(F.col("o_orderkey").between(UPD_LO, UPD_HI)).count()
+        == n_upd
+    )
+    assert ins.filter(F.col("o_orderstatus") == "U").count() == n_upd
+    # inserts: the templated new keys
+    assert (
+        ins.filter(F.col("o_orderkey") >= INS_OFFSET).count()
+        == INS_SRC_MAX + 1
+    )
+    # nothing else leaked through (carried rows cancelled exactly)
+    assert feed.count() == 2 * n_upd + (INS_SRC_MAX + 1)
+    # pre-images carry the ORIGINAL status/price (not 'U')
+    assert dels.filter(F.col("o_orderstatus") == "U").count() == 0
+    # empty range
+    empty = read_changes(spark, root, from_v, from_v)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    feed.unpersist()

@@ -65,6 +65,8 @@ REHEARSAL = [
     "tfidf_top_terms",
     "token_heavy_hitters",
     "skew_salted_agg",
+    "dedup_canonical",
+    "length_outliers",
 ]
 
 
