@@ -13,9 +13,10 @@ data, SCALING.md r5):
 2. a cumulative-count window over each group's DISTINCT values only
    (<< row count at any scale; integral columns are typically
    bounded-cardinality);
-3. a broadcast join of the per-group totals (one row per group) and a
-   conditional-min aggregate that picks the two values bracketing
-   each requested position;
+3. the per-group total from an unbounded window over the SAME
+   partitioning (no totals join — one exchange serves both windows),
+   then a conditional-min aggregate that picks the two values
+   bracketing each requested position;
 4. driver-free interpolation `lower + frac * (higher - lower)` with
    `frac = p*(n-1) - floor(p*(n-1))` — bit-identical to the builtin
    (verified at sf0.001/sf0.01/sf0.1 in tests).
