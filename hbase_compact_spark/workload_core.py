@@ -324,10 +324,12 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_semi_anti",
     oracle="""
     SELECT c_custkey, c_name, 'has_orders' AS status
-    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
     SELECT c_custkey, c_name, 'no_orders' AS status
-    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

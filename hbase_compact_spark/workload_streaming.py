@@ -288,6 +288,14 @@ def ingest_root(spark: SparkSession, sf_dir: str) -> str:
     if ok:
         return root
     base = posixpath.dirname(root)
+    # A rebuild wipes the table+log (overwrite below), so the
+    # streaming checkpoint from a crashed earlier attempt MUST go
+    # too: its offsets would make Structured Streaming skip
+    # re-delivering batches the wiped log never received — silently
+    # losing rows and leaving the ready() gate permanently unmet.
+    from hbase_compact_spark.compaction.executor import _rm
+
+    _rm(spark, posixpath.join(base, "ckpt"))
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -216,3 +216,25 @@ def test_read_changes_cdc_semantics(spark):
     assert empty.count() == 0
     assert "_change_type" in empty.columns
     feed.unpersist()
+
+
+def test_ingest_rebuild_discards_stale_checkpoint(spark):
+    """A rebuild after a crashed attempt wipes table+log but used to
+    reuse the streaming checkpoint — whose offsets make Structured
+    Streaming skip re-delivering batches the wiped log never saw,
+    silently losing rows. The rebuild must start from a clean
+    checkpoint and re-deliver everything."""
+    import shutil
+
+    from hbase_compact_spark.tables import load_table
+
+    root = ingest_root(spark, SF_DIR)
+    # simulate the crash window: materialization gone, checkpoint left
+    shutil.rmtree(root)
+    root2 = ingest_root(spark, SF_DIR)
+    assert root2 == root
+    log = SnapshotLog(spark, root2)
+    ops = [log.read(v).get("op", "") for v in log.versions()]
+    assert sum(op.startswith("append:batch=") for op in ops) >= 4
+    n = read_table_at(spark, root2).count()
+    assert n == load_table(spark, SF_DIR, "events").count()
