@@ -21,11 +21,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time
     normalization is shared with the batch path (tables.normalize_ts)
     so the two can never diverge on fixture-encoding changes."""
+    from pyspark.sql.types import LongType
+
     from ..tables import normalize_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Scope the legacy NANOS flag to the schema read, same as
+    # load_events — leaving it on session-wide silently loads
+    # UNRELATED TIMESTAMP(NANOS) parquet columns as LongType forever
+    # after. One exception: if the fixture really is NANOS (ts infers
+    # as LongType), the flag must stay on for the stream's lifetime,
+    # because every micro-batch re-reads the file under it.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if not isinstance(schema["ts"].dataType, LongType):
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -89,7 +103,12 @@ def run_bounded(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        if not q.awaitTermination(600):
+            # a bounded availableNow run that hasn't finished in 10
+            # minutes is wedged; returning a partial memory sink would
+            # silently under-count
+            q.stop()
+            raise RuntimeError("bounded streaming query did not finish")
         # the memory sink holds the result rows on the driver for the
         # session lifetime; re-materialize as a local DataFrame and
         # drop the sink table so repeated bounded runs (bench loops)
