@@ -1,0 +1,94 @@
+"""Distributed BPE merge learning — tokenizer training as a corpus op.
+
+Byte-pair-encoding training is the canonical iterative
+vocabulary-learning pass of an LLM data pipeline: repeatedly find
+the most frequent ADJACENT symbol pair and fuse it. The distributed
+shape that makes this tractable at 100 TB:
+
+1. The corpus is reduced ONCE to a (word, freq) vocabulary — a
+   single token-explode + groupBy. Every later iteration runs over
+   the VOCAB table (distinct words), never the corpus; frequencies
+   weight the pair counts exactly as scanning raw text would.
+2. Each merge iteration is: adjacent-pair explode over the symbol
+   arrays (zip_with of the array against its own shift — pure JVM
+   expressions), a weighted count aggregation, a deterministic
+   arg-max (ties: lexicographic pair), and a left-to-right
+   non-overlapping rewrite of every word's symbol array via a single
+   `aggregate` fold. Only the 1-row winning pair ever reaches the
+   driver.
+3. Lineage is truncated per iteration (lazy localCheckpoint), so N
+   merges stay N linear jobs instead of an exponentially re-analyzed
+   plan — same pattern as dedup_clusters' label propagation.
+
+The greedy fold reproduces classic BPE semantics: "aaa" under pair
+(a,a) becomes [aa, a] (first occurrence wins, no overlap), because
+the merged symbol at the accumulator tail no longer equals the left
+element of the pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_MARK = "</w>"  # end-of-word sentinel, per the original BPE recipe
+
+_PAIR_EXPLODE = (
+    "zip_with(slice(syms, 1, size(syms) - 1), "
+    "slice(syms, 2, size(syms) - 1), (p, q) -> struct(p AS a, q AS b))"
+)
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) — the corpus reduced to its distinct-word
+    vocabulary with each word split into character symbols + the
+    end-of-word marker."""
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.expr(f"concat(split(w, ''), array('{END_MARK}'))").alias("syms"),
+        )
+    )
+
+
+def learn_merges(
+    vocab: DataFrame, n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """The first `n_merges` BPE merges over a (word, freq, syms)
+    vocabulary: [(rank, sym_a, sym_b, weighted_pair_freq), ...].
+    Symbols are alphanumeric runs + the end marker, so inlining them
+    as SQL string literals is injection-safe by construction."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select("freq", F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, c))
+        merged = a + b
+        vocab = vocab.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() AS array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+                "ELSE concat(acc, array(s)) END)"
+            ),
+        ).localCheckpoint(eager=False)
+    return merges

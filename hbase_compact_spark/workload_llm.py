@@ -2446,3 +2446,149 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", "lo_fence", "hi_fence")
     )
+
+
+# --- cooccurrence_pmi constants: window width, support floor, top-k
+_PMI_WINDOW = 3       # co-occurrence = within 3 token positions
+_PMI_MIN_PAIR = 5     # support floor (rare pairs are PMI noise)
+_PMI_TOP = 50
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, l[i] AS term, i AS pos
+      FROM d, unnest(range(1, len(l) + 1)) AS u(i)
+    ),
+    uni AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
+    tot AS (SELECT count(*) AS n_tok FROM pos),
+    pair AS (
+      SELECT least(a.term, b.term) AS term_a,
+             greatest(a.term, b.term) AS term_b,
+             count(*) AS c_pair
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + {_PMI_WINDOW}
+       AND a.term <> b.term
+      GROUP BY 1, 2
+    ),
+    tot_p AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_pair FROM pair),
+    scored AS (
+      SELECT term_a, term_b, c_pair,
+             round(ln((CAST(c_pair AS DOUBLE) / n_pair)
+                      / ((CAST(ua.c AS DOUBLE) / n_tok)
+                         * (CAST(ub.c AS DOUBLE) / n_tok))), 6) AS pmi
+      FROM pair
+      JOIN uni ua ON ua.term = term_a
+      JOIN uni ub ON ub.term = term_b
+      CROSS JOIN tot CROSS JOIN tot_p
+      WHERE c_pair >= {_PMI_MIN_PAIR}
+    )
+    SELECT term_a, term_b, c_pair, pmi FROM scored
+    ORDER BY pmi DESC, term_a, term_b LIMIT {_PMI_TOP}
+    """,
+)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed token co-occurrence with pointwise mutual information
+    — the collocation/phrase-mining pass (word2vec-style context
+    pairs, phrase detection a la 'new_york') over the corpus. Shape:
+    one positional token explode, a SELF-JOIN bounded per document by
+    the position band (each token pairs with at most W successors —
+    work is O(corpus_tokens x W), never quadratic), unigram counts
+    and the two scalar totals broadcast back, and a top-k
+    TakeOrdered. The unordered pair is canonicalized with
+    least/greatest at pair-formation time so (a,b) and (b,a)
+    accumulate together. PMI is rounded to 6 BEFORE the ordering so a
+    libm-vs-JVM last ulp of ln() cannot flip a rank (tie-break:
+    term_a, term_b). At 100 TB the band join keys on (doc_id) with
+    both sides the same exploded scan — co-partitioned, no skew
+    beyond document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos", "term"),
+    ).localCheckpoint(eager=False)
+    uni = pos.groupBy("term").agg(F.count("*").alias("c"))
+    n_tok = pos.agg(F.count("*").alias("n_tok"))
+    a = pos.select("doc_id", F.col("pos").alias("pa"), F.col("term").alias("ta"))
+    b = pos.select("doc_id", F.col("pos").alias("pb"), F.col("term").alias("tb"))
+    # one band join; the support filter and the normalizing total both
+    # derive from the same checkpointed pair reduction
+    pair_all = (
+        a.join(
+            b,
+            (a.doc_id == b.doc_id)
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + _PMI_WINDOW)
+            & (F.col("ta") != F.col("tb")),
+        )
+        .select(
+            F.least("ta", "tb").alias("term_a"),
+            F.greatest("ta", "tb").alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("c_pair"))
+        .localCheckpoint(eager=False)
+    )
+    pair = pair_all.where(F.col("c_pair") >= _PMI_MIN_PAIR)
+    n_pair_tot = pair_all.agg(
+        F.sum("c_pair").cast("long").alias("n_pair")
+    )
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair_tot))
+        .select(
+            "term_a",
+            "term_b",
+            "c_pair",
+            F.round(
+                F.log(
+                    (F.col("c_pair").cast("double") / F.col("n_pair"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_tok"))
+                        * (F.col("c_b").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(_PMI_TOP)
+
+
+_BPE_MERGES = 8
+
+
+@query("bpe_train_merges")  # rows-only: iterative argmax-and-rewrite
+# has no SQL dual; invariants (first merge = independent argmax,
+# monotone symbol shrinkage, determinism) in tests/test_llm.py
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER TRAINING as a corpus operator: the first 8
+    byte-pair-encoding merges learned from the documents table
+    (functions/bpe.py). The corpus reduces once to a distinct-word
+    (word, freq) vocabulary; every merge iteration then runs over the
+    vocab table only — adjacent-pair explode (JVM zip_with), weighted
+    count, deterministic arg-max (1 row to the driver), and a
+    left-to-right fold rewrite of the symbol arrays, with lineage
+    checkpointed per round. The returned merge table is
+    n_merges-bounded by construction."""
+    from hbase_compact_spark.functions.bpe import build_vocab, learn_merges
+
+    vocab = build_vocab(load_table(spark, sf_dir, "documents"))
+    merges = learn_merges(vocab, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, sym_a string, sym_b string, pair_freq long"
+    )

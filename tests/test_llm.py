@@ -606,3 +606,51 @@ def test_resize_image_invariants_and_query(spark, planted_dir):
         assert (row["out_w"], row["out_h"]) == (8, 8)
         assert row["resized_md5"] == _hl.md5(want.tobytes()).hexdigest()
         assert abs(row["mean_g"] - round(float(want[:, :, 1].mean()), 6)) < 1e-9
+
+
+# ------------------------------------------------------------- BPE
+def test_bpe_first_merge_matches_independent_argmax(spark):
+    """The first learned merge must equal the most frequent adjacent
+    character pair computed INDEPENDENTLY (python fold over the
+    collected vocab — small by construction), with the same
+    (freq desc, pair asc) tie-break."""
+    from collections import Counter
+
+    from hbase_compact_spark.functions.bpe import (
+        END_MARK,
+        build_vocab,
+        learn_merges,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vocab = build_vocab(load_table(spark, sf, "documents"))
+    rows = vocab.select("w", "freq").collect()
+    counts: Counter = Counter()
+    for r in rows:
+        syms = list(r["w"]) + [END_MARK]
+        for x, y in zip(syms, syms[1:]):
+            counts[(x, y)] += r["freq"]
+    expect = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = learn_merges(vocab, 1)[0]
+    assert (got[1], got[2]) == expect[0]
+    assert got[3] == expect[1]
+
+
+def test_bpe_merges_deterministic_and_monotone(spark):
+    """Re-learning yields the identical merge list; pair frequencies
+    are non-increasing (a merge can only create pairs bounded by the
+    merged pair's own count)."""
+    from hbase_compact_spark.functions.bpe import build_vocab, learn_merges
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    m1 = learn_merges(build_vocab(docs), 5)
+    m2 = learn_merges(build_vocab(docs), 5)
+    assert m1 == m2
+    assert len(m1) == 5
+    freqs = [c for _, _, _, c in m1]
+    assert freqs == sorted(freqs, reverse=True)
+    # merged symbols are compounds of earlier symbols (e.g. 'er</w>')
+    assert all(a and b for _, a, b, _ in m1)

@@ -67,6 +67,7 @@ REHEARSAL = [
     "skew_salted_agg",
     "dedup_canonical",
     "length_outliers",
+    "cooccurrence_pmi",
 ]
 
 
