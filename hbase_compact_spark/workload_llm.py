@@ -2592,3 +2592,57 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, sym_a string, sym_b string, pair_freq long"
     )
+
+
+# --- corpus_split: deterministic hash-based train/val/test fractions
+_SPLIT_TRAIN_PCT = 80   # hash bucket < 80  -> train
+_SPLIT_VAL_PCT = 90     # 80 <= bucket < 90 -> val; rest -> test
+_SPLIT_HASH_D = TX.hash60_duck("'split:' || CAST(doc_id AS VARCHAR)")
+_SPLIT_HASH_S = TX.hash60_sql("concat('split:', CAST(doc_id AS STRING))")
+
+
+@query(
+    "corpus_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN ({_SPLIT_HASH_D}) % 100 < {_SPLIT_TRAIN_PCT}
+                    THEN 'train'
+                  WHEN ({_SPLIT_HASH_D}) % 100 < {_SPLIT_VAL_PCT}
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split stage of
+    every training pipeline, done the scale-correct way: a salted
+    CONTENT-INDEPENDENT hash of the stable doc key buckets each row
+    (no shuffle, no sampling state, reproducible across runs/engines/
+    cluster sizes; adding documents later never reassigns an existing
+    one — the property random split orderings lose). The md5-derived
+    60-bit hash is the engine's cross-engine-stable hash (text.py
+    hash60); the salt prefix decorrelates this split from any other
+    hash use of doc_id. Emits per-(lang, split) counts + id ranges so
+    the driver's hash compare verifies the ASSIGNMENT, not just the
+    fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH_S) % 100
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
