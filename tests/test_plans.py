@@ -227,3 +227,17 @@ def test_token_index_queries_scan_corpus_once(spark, name):
     assert "Scan ExistingRDD" in p, name
     assert "Generate explode" not in p, name
     assert "CartesianProduct" not in p, name
+
+
+def test_percentile_dist_plan_shape(spark):
+    """The distributed exact-percentile shape: per value column, ONE
+    exchange feeds the cumulative+total window pair (no totals join),
+    the count agg is a partial+final pair, and the two 3-row pipeline
+    outputs meet in a broadcast join — never a sort-merge."""
+    p = _plan(spark, "percentile_dist")
+    # two pipelines x (count-agg exchange + window exchange) + the
+    # final broadcast — a totals-join regression would add exchanges
+    assert p.count("Window") == 4
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange") <= 6
