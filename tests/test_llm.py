@@ -654,3 +654,38 @@ def test_bpe_merges_deterministic_and_monotone(spark):
     assert freqs == sorted(freqs, reverse=True)
     # merged symbols are compounds of earlier symbols (e.g. 'er</w>')
     assert all(a and b for _, a, b, _ in m1)
+
+
+def test_corpus_split_assignment_is_content_independent(spark):
+    """The split contract: assignment depends ONLY on the stable doc
+    key, so computing it over any subset (or after appends) yields
+    identical labels for the same doc_ids. A salt/text regression in
+    the hash expression breaks this immediately."""
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import (
+        _SPLIT_HASH_S,
+        _SPLIT_TRAIN_PCT,
+        _SPLIT_VAL_PCT,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bucket = F.expr(_SPLIT_HASH_S) % 100
+    label = (
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    full = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", label.alias("s")).collect()
+    }
+    subset = {
+        r["doc_id"]: r["s"]
+        for r in docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", label.alias("s"))
+        .collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k % 3 == 0}
+    # all three splits are populated at fixture scale
+    assert set(full.values()) == {"train", "val", "test"}

@@ -238,3 +238,23 @@ def test_ingest_rebuild_discards_stale_checkpoint(spark):
     assert sum(op.startswith("append:batch=") for op in ops) >= 4
     n = read_table_at(spark, root2).count()
     assert n == load_table(spark, SF_DIR, "events").count()
+
+
+def test_read_changes_across_schema_evolution(spark):
+    """CDC semantics around metadata-only schema changes: the evolve
+    commit (v1->v2) touches zero files so the change feed is EMPTY,
+    and the feed across the post-evolution append (v2->v3) carries
+    exactly the appended rows as inserts under the evolved schema."""
+    from hbase_compact_spark.compaction.snapshots import read_changes
+    from hbase_compact_spark.workload_compaction import evolution_root
+
+    root = evolution_root(spark, SF_DIR)
+    assert read_changes(spark, root, 1, 2).count() == 0
+    feed = read_changes(spark, root, 2, 3)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+    ins = feed.filter(F.col("_change_type") == "insert")
+    assert ins.count() > 0
+    # inserts carry the evolved column for real
+    assert ins.filter(F.col("o_priority").isNull()).count() == 0
+    # the dropped column is hidden from the feed's schema
+    assert "o_orderstatus" not in feed.columns
