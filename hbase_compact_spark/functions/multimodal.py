@@ -264,10 +264,12 @@ def sample_frames(payload: bytes, every_n: int = 1000) -> list[bytes]:
     return [payload[i : i + 16] for i in range(0, len(payload), every_n)]
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a Python-stage input across the cluster width. A small
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow expensive stage's input across the cluster
+    width. A small
     parquet table often arrives as ONE partition, which would serialize
-    every decode/encode on a single core (measured 4x slower at
+    every decode/encode (or per-row JVM hash pipeline) on a single
+    core (measured 4x slower at
     sf0.1); the repartition shuffles only the narrow input rows —
     trivial next to the per-row Python work it parallelizes. At real
     scale the input already has >= defaultParallelism partitions and
@@ -312,7 +314,7 @@ def extract_frame_meta(df: DataFrame, every_n: int = 100) -> DataFrame:
                 }
             )
 
-    return _fan_out(df.select("doc_id", "payload")).mapInPandas(
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
         frame_batches, schema=FRAME_META_SCHEMA
     )
 
@@ -347,7 +349,7 @@ def with_bmp_payload(df: DataFrame, side: int = 16) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fan_out(df.select("doc_id", "text")).mapInPandas(
+    return fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
@@ -374,7 +376,7 @@ def with_image_payload(df: DataFrame, side: int = 16) -> DataFrame:
                     payloads.append(encode_png(rgb, filter_type=int(doc_id % 5)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fan_out(df.select("doc_id", "text")).mapInPandas(
+    return fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
@@ -397,7 +399,7 @@ def with_wav_payload(df: DataFrame, n_samples: int = 1024) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fan_out(df.select("doc_id", "text")).mapInPandas(
+    return fan_out(df.select("doc_id", "text")).mapInPandas(
         attach, schema="doc_id long, payload binary"
     )
 
@@ -569,6 +571,6 @@ def extract_payload_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return _fan_out(df.select("doc_id", "payload")).mapInPandas(
+    return fan_out(df.select("doc_id", "payload")).mapInPandas(
         meta_batches, schema=PAYLOAD_META_SCHEMA
     )

@@ -52,6 +52,10 @@ _SIG_D = TX.minhash_signature_duck(_SHINGLES_D)
 NGRAM_DF_CAP = 50
 NGRAM_THRESHOLD = 0.5
 MINHASH_EST_THRESHOLD = 0.5
+# dup-graph connected components: below this many pairs the component
+# labeling runs as driver union-find on the collected (bounded) edge
+# list; above it, distributed label propagation (see dedup_clusters)
+CC_DRIVER_MAX_PAIRS = 100_000
 # Production near-dup threshold would be ~0.9; the fixture embeddings
 # are isotropic-random (max off-diagonal cosine ~0.51 at sf0.01), so
 # 0.9 compares empty sets and proves nothing. 0.35 exercises ~270
@@ -378,7 +382,16 @@ def _fuzzy_pair_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _FUZZY_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    # fan_out BEFORE the shingle/md5 projection: a one-file fixture
+    # table scans as ONE task, so without it the entire md5-per-
+    # shingle pipeline (the expensive part) serializes on one core
+    # (the single-partition trap, STATE.md r4). The exchange carries
+    # only the narrow raw rows and is a no-op at real scale.
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.shingles().alias("sh")
+    )
     # Two materialization tricks, both load-bearing at scale:
     # 1) the repartition barrier stops Catalyst's projection collapse
     #    from inlining the md5 pipeline into all 16 MinHash lanes
@@ -470,19 +483,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list alone under-delivers — transitive duplicates (A~B, B~C)
     must collapse into one cluster.
 
-    Distributed min-label propagation: each iteration is one
-    edges-to-labels broadcast-free equi-join + a min aggregation, and
-    labels only ever decrease, so the label SUM is a convergence
+    SIZE-ADAPTIVE: the dup-pair graph is metadata-scale, so up to
+    CC_DRIVER_MAX_PAIRS edges the labeling is driver union-find (one
+    bounded collect, zero iterative jobs — the scan_plan pattern).
+    Above that, distributed min-label propagation: each iteration is
+    one edges-to-labels broadcast-free equi-join + a min aggregation,
+    and labels only ever decrease, so the label SUM is a convergence
     certificate (equal sums two iterations running = fixpoint). Dup
     components are shallow (near-dups of near-dups), so iterations ~
     graph diameter ~ a handful; each iteration's result is
     checkpointed to keep the plan linear. The same loop at 100 TB is
     the standard CC-over-joins shape (upgrade path: small-star/
-    large-star contraction if components ever get deep). Oracle:
-    DuckDB recursive CTE computing the identical transitive closure.
+    large-star contraction if components ever get deep). Both paths
+    yield the identical min-doc_id labeling (equality pinned in
+    tests/test_llm.py). Oracle: DuckDB recursive CTE computing the
+    identical transitive closure.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     prs = _fuzzy_pair_estimates(spark, sf_dir).select("doc_a", "doc_b")
+    # SIZE-ADAPTIVE execution (same split as snapshots.scan_plan):
+    # the dup-pair graph is metadata-scale — a tiny fraction of the
+    # corpus at any realistic near-dup rate — so below the bound we
+    # run union-find on the driver (one collect of the bounded edge
+    # list, zero iterative jobs); above it, the distributed
+    # label-propagation loop below takes over unchanged. Both yield
+    # the identical min-doc_id component labeling.
+    n_pairs = prs.count()  # cheap: _fuzzy_pair_estimates checkpoints
+    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in prs.collect():
+            ra, rb = find(row["doc_a"]), find(row["doc_b"])
+            if ra != rb:
+                # min root wins -> label = component's min doc_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(d, find(d)) for d in parent]
+        labels = (
+            spark.createDataFrame(rows, "doc_id long, label long")
+            if rows
+            else spark.createDataFrame([], "doc_id long, label long")
+        )
+        singletons = docs.join(
+            labels.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", F.col("doc_id").alias("label"))
+        labels = labels.unionByName(singletons)
+        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+        return labels.join(sizes, "label").select(
+            "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+        )
     edges = (
         prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -550,7 +607,13 @@ def _shingle_index(
     cached = _SHINGLE_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    # fan_out: shingle construction + explode would otherwise run on
+    # the one-file fixture scan's single task (single-partition trap)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.shingles().alias("sh")
+    )
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("s")
     ).repartition("s")
@@ -637,7 +700,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document (near-dup candidates =
     small Hamming distance; the pairing step is the declared query
     dedup_simhash_pairs)."""
-    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    # fan_out: md5-per-token is the expensive stage and a one-file
+    # fixture scan would run it all on one core (single-partition trap)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.tokens().alias("toks")
+    )
     # barrier so the 32 bit-lanes fold over a materialized hash array
     # instead of re-hashing every token per lane (projection collapse)
     return (

@@ -689,3 +689,21 @@ def test_corpus_split_assignment_is_content_independent(spark):
     assert subset == {k: v for k, v in full.items() if k % 3 == 0}
     # all three splits are populated at fixture scale
     assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The size-adaptive CC split must be invisible in the result:
+    forcing the distributed label-propagation path (threshold 0)
+    yields exactly the driver union-find labeling."""
+    sf = "/root/testdata/sf0.001"
+    fast = {
+        (r["doc_id"]): (r["cluster_id"], r["cluster_size"])
+        for r in llm.dedup_clusters(spark, sf).collect()
+    }
+    monkeypatch.setattr(llm, "CC_DRIVER_MAX_PAIRS", 0)
+    slow = {
+        (r["doc_id"]): (r["cluster_id"], r["cluster_size"])
+        for r in llm.dedup_clusters(spark, sf).collect()
+    }
+    assert fast == slow
+    assert any(size > 1 for _, size in fast.values())  # non-vacuous
