@@ -1480,7 +1480,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side scan never shuffles on shingles; each train doc's
     overlap is a broadcast-semi-join + count. Flags full or partial
     containment (near-dup leakage) that an exact-match check misses."""
-    docs = _docs_with(spark, sf_dir, sh=TX.shingles())
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    # fan_out: shingle construction + explode is the heavy JVM stage;
+    # a one-file scan would run it on a single task
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.shingles().alias("sh")
+    )
     ev = (
         docs.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode(F.array_distinct("sh")).alias("s"))
