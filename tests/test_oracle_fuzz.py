@@ -216,3 +216,46 @@ def test_fuzz_unrounded_integer_ratios(spark, group_col, avg_col, mod_col, mod):
         GROUP BY {group_col}
     """
     assert_matches_oracle(sdf, sql, SF_DIR)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part_mod=st.integers(min_value=1, max_value=5),
+    lo=st.integers(min_value=0, max_value=4),
+    hi=st.integers(min_value=0, max_value=4),
+    unbounded_lo=st.booleans(),
+    unbounded_hi=st.booleans(),
+    func=st.sampled_from(["count", "min", "max", "sum_dec"]),
+)
+def test_fuzz_window_row_frames(
+    spark, part_mod, lo, hi, unbounded_lo, unbounded_hi, func
+):
+    """Random BOUNDED row frames (N PRECEDING .. M FOLLOWING and the
+    unbounded variants) — frame-edge semantics the running-frame fuzz
+    never exercises: partial head/tail frames, single-row frames,
+    NULL-vs-0 on empty aggregation inputs. Unique order key -> total
+    order -> deterministic frame contents on both engines."""
+    lo_s = "UNBOUNDED PRECEDING" if unbounded_lo else f"{lo} PRECEDING"
+    hi_s = "UNBOUNDED FOLLOWING" if unbounded_hi else f"{hi} FOLLOWING"
+    expr = {
+        "count": "count(*) OVER w",
+        "min": "min(o_totalprice) OVER w",
+        "max": "max(o_totalprice) OVER w",
+        "sum_dec": "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w"
+        " AS DOUBLE)",
+    }[func]
+    body = f"""
+        SELECT o_orderkey, {expr} AS wval
+        FROM __T__
+        WINDOW w AS (PARTITION BY o_custkey % {part_mod}
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN {lo_s} AND {hi_s})
+    """
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("_fuzz_orders")
+    sdf = spark.sql(body.replace("__T__", "_fuzz_orders"))
+    assert_matches_oracle(sdf, body.replace("__T__", "orders"), SF_DIR)
