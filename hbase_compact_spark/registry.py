@@ -24,6 +24,11 @@ bit-identical values):
   far below the rounding grain.
 * timestamps are formatted to strings (Spark session TZ pinned UTC).
 * every computed column is aliased identically in both dialects.
+* substr/substring with START = 0 DIVERGES (Spark treats 0 as
+  position 1 and takes `len` chars; DuckDB starts the `len`-window
+  at virtual position 0 and yields one char fewer) — oracles must
+  use 1-based or negative starts only (negative-from-end semantics
+  agree).
 """
 
 from __future__ import annotations

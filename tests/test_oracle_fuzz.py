@@ -259,3 +259,45 @@ def test_fuzz_window_row_frames(
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("_fuzz_orders")
     sdf = spark.sql(body.replace("__T__", "_fuzz_orders"))
     assert_matches_oracle(sdf, body.replace("__T__", "orders"), SF_DIR)
+
+
+_LIKE_FRAGMENTS = ["%", "_", "URGENT", "BU", "A", "E", "-", "IL"]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frags=st.lists(
+        st.sampled_from(_LIKE_FRAGMENTS), min_size=1, max_size=4
+    ),
+    negate=st.booleans(),
+    start=st.one_of(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=-6, max_value=-1),
+    ),
+    length=st.integers(min_value=0, max_value=6),
+    col=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+)
+def test_fuzz_string_scalars(spark, frags, negate, start, length, col):
+    """LIKE patterns + substr windows cross-engine. start = 0 is
+    EXCLUDED by construction: Spark treats it as position 1 while
+    DuckDB starts the length window at virtual position 0 (one char
+    fewer) — a real dialect divergence, documented in registry.py;
+    1-based and negative-from-end starts agree exactly."""
+    pattern = "".join(frags)
+    op = "NOT LIKE" if negate else "LIKE"
+    body = f"""
+        SELECT o_orderkey,
+               substr({col}, {start}, {length}) AS sub,
+               CAST(length({col}) AS BIGINT) AS n,
+               upper({col}) AS u
+        FROM __T__
+        WHERE {col} {op} '{pattern}'
+    """
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("_fuzz_orders")
+    sdf = spark.sql(body.replace("__T__", "_fuzz_orders"))
+    assert_matches_oracle(sdf, body.replace("__T__", "orders"), SF_DIR)
