@@ -29,6 +29,18 @@ bit-identical values):
   at virtual position 0 and yields one char fewer) — oracles must
   use 1-based or negative starts only (negative-from-end semantics
   agree).
+* probed dialect traps (r5 sweep, tests/test_oracle_fuzz.py):
+  - concat(): Spark is NULL-propagating, DuckDB SKIPS NULL args —
+    use concat_ws (identical on both) or `||` (NULL-propagating on
+    both) when an argument can be NULL.
+  - array indexing: Spark `arr[i]` is 0-based, DuckDB 1-based —
+    never compare raw indexed elements without the offset.
+  - date_trunc returns TIMESTAMP on Spark but DATE on DuckDB for
+    week/quarter granularity — strftime/date_format to a shared
+    string form.
+  - array_join is Spark-only; DuckDB spells it array_to_string.
+  - NaN cast to string renders 'NaN' (Spark) vs '-nan'/'nan'
+    (DuckDB) — never let NaN reach a hashed string column.
 """
 
 from __future__ import annotations
