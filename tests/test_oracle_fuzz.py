@@ -301,3 +301,41 @@ def test_fuzz_string_scalars(spark, frags, negate, start, length, col):
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("_fuzz_orders")
     sdf = spark.sql(body.replace("__T__", "_fuzz_orders"))
     assert_matches_oracle(sdf, body.replace("__T__", "orders"), SF_DIR)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    sign=st.sampled_from(["+", "-"]),
+    unit=st.sampled_from(["DAY", "HOUR", "MONTH"]),
+    trunc=st.sampled_from(["day", "month", "year", "week"]),
+)
+def test_fuzz_date_arithmetic(spark, n, sign, unit, trunc):
+    """Interval shifts (incl. month-end clamping) and date_trunc
+    granularities, formatted to shared strings per the registry
+    conventions (date_trunc TYPES differ across engines; formatting
+    is the only stable comparison)."""
+    sdf = (
+        load_table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "o_orderkey",
+            f"date_format(o_orderdate {sign} INTERVAL {n} {unit}, "
+            "'yyyy-MM-dd HH:mm:ss') AS shifted",
+            f"date_format(date_trunc('{trunc}', o_orderdate), "
+            "'yyyy-MM-dd') AS truncd",
+        )
+    )
+    sql = f"""
+        SELECT o_orderkey,
+               strftime(o_orderdate {sign} INTERVAL {n} {unit},
+                        '%Y-%m-%d %H:%M:%S') AS shifted,
+               strftime(date_trunc('{trunc}', o_orderdate),
+                        '%Y-%m-%d') AS truncd
+        FROM orders
+    """
+    assert_matches_oracle(sdf, sql, SF_DIR)
