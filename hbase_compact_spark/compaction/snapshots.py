@@ -853,6 +853,12 @@ def _annotate_df(
 
     if stat_cols is False and not bloom_cols:
         return source_df
+    # the Python workers deserialize _meta_row by module reference —
+    # ship the package, or a FIRST materialization from a foreign cwd
+    # (driver conditions, cold /tmp) crashes with ModuleNotFoundError
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(source_df.sparkSession)
     hint = n_files_hint or 4096
     n_part = max(1, min(64, hint))
     return source_df.repartition(n_part).mapInPandas(
@@ -932,9 +938,17 @@ def _bloom_positions(values, m: int, k: int):
     import numpy as np
     import pandas as pd
 
-    h1 = pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
+    # categorize=False: the categorize path factorizes object strings
+    # through a NUL-terminated khash, collapsing '\x00' into '' (and
+    # any 'x\x00...' into 'x') — build and probe then disagree and the
+    # bloom produces FALSE NEGATIVES, i.e. wrongly pruned files
+    # (hypothesis found it with values ['', '', '\x00']). The direct
+    # path hashes full byte content and is build/probe-consistent.
+    h1 = pd.util.hash_pandas_object(
+        values, index=False, categorize=False
+    ).to_numpy(np.uint64)
     h2 = pd.util.hash_pandas_object(
-        values.astype(str) + "\x00salt", index=False
+        values.astype(str) + "\x00salt", index=False, categorize=False
     ).to_numpy(np.uint64) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
@@ -1160,6 +1174,11 @@ def _scan_plan_distributed(
             ]
             yield pd.DataFrame({"relpath": pdf["relpath"][mask]})
 
+    # workers resolve _row_survives by module reference (see
+    # _annotate_df) — ship the package for foreign-cwd drivers
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(log.spark)
     rows = (
         log.manifest_df(version)
         .mapInPandas(gen, "relpath string")

@@ -40,11 +40,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # pathGlobFilter matches LEAF FILES only, so when events.parquet
+    # is a DIRECTORY of part files (every real table; the sf1
+    # rehearsal dataset) the filtered listing of sf_dir was EMPTY and
+    # the stream silently produced zero rows. Directories stream
+    # directly; the single-file fixture keeps the name-filtered
+    # parent listing (the file source wants a directory to monitor).
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_ts(stream)
 
 

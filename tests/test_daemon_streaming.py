@@ -299,3 +299,23 @@ def test_stream_watch_retires_deleted_largest(spark, tmp_path):
     assert res.changed, "watch never fired after the arg-max was deleted"
     assert res.final_argmax != before
     assert res.final_argmax == current_argmax_file(spark, d)
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """Real tables are DIRECTORIES of part files; the stream source
+    must read them. Regression: pathGlobFilter('events.parquet') over
+    the parent dir matches leaf files only, so a directory-layout
+    events table silently streamed ZERO rows (found by the sf1 oracle
+    sweep — every stream query returned empty at 10x)."""
+    from hbase_compact_spark.streaming.tumbling import events_stream, run_bounded
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = src.count()
+    root = str(tmp_path / "sfdir")
+    src.repartition(3).write.parquet(os.path.join(root, "events.parquet"))
+    streamed = run_bounded(
+        events_stream(spark, root).select("event_id"),
+        mode="append",
+        n_partitions=4,
+    )
+    assert streamed.count() == n
