@@ -586,3 +586,76 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
+
+
+# --------------------------------------------------------------------
+# format_roundtrip — the multi-format source/sink layer under the
+# driver's hash check: the SAME aggregate over CSV / JSON-lines /
+# ORC / Parquet materializations of one table must be IDENTICAL, so
+# any type-fidelity loss in a format codec (timestamp precision,
+# double round-trip, NULL-vs-empty-string) breaks the oracle compare.
+@query(
+    "format_roundtrip",
+    oracle="""
+    SELECT fmt, n_rows, n_statuses, total_price, max_day FROM (
+      SELECT 'csv' AS fmt, count(*) AS n_rows,
+             count(DISTINCT o_orderstatus) AS n_statuses,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS max_day
+      FROM orders
+      UNION ALL
+      SELECT 'json', count(*), count(DISTINCT o_orderstatus),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+             strftime(max(o_orderdate), '%Y-%m-%d')
+      FROM orders
+      UNION ALL
+      SELECT 'orc', count(*), count(DISTINCT o_orderstatus),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+             strftime(max(o_orderdate), '%Y-%m-%d')
+      FROM orders
+      UNION ALL
+      SELECT 'parquet', count(*), count(DISTINCT o_orderstatus),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+             strftime(max(o_orderdate), '%Y-%m-%d')
+      FROM orders
+    )
+    """,
+)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the orders table back from CSV, JSON-lines, ORC and
+    Parquet materializations (sources/formats.py — schema-applied
+    reads, explicit text timestamp format) and aggregate each; the
+    four result rows must carry bit-identical values. Doubles survive
+    the text formats because Spark writes the shortest repr that
+    parses back to the same IEEE value; timestamps carry an explicit
+    micros format. The materialization is fingerprint-keyed in /tmp
+    and rebuilt when the fixture changes."""
+    from functools import reduce
+
+    from hbase_compact_spark.sources.formats import (
+        FORMATS,
+        materialized_formats_root,
+        read_table,
+    )
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = materialized_formats_root(spark, sf_dir, src, "formats")
+    parts = []
+    for fmt in FORMATS:
+        df = read_table(spark, f"{root}/{fmt}", fmt, src.schema)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderstatus").alias("n_statuses"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+                F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                    "max_day"
+                ),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

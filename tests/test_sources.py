@@ -116,3 +116,46 @@ def test_file_inventory_handles_regex_metachars_in_root(spark, tmp_path):
     }
     assert got == {("r0", "cf1"), ("r1", "cf2")}
     assert inv.filter(F.col("size_bytes") <= 0).count() == 0
+
+
+def test_format_roundtrip_preserves_values_and_nulls(spark, tmp_path):
+    """Every supported format must round-trip typed values EXACTLY
+    under the schema-applied read — including NULLs in numeric and
+    timestamp columns. (Known text-format caveat, asserted here so it
+    stays documented behavior: CSV cannot distinguish NULL from empty
+    STRING — both land as NULL — while JSON/ORC/parquet keep them
+    distinct.)"""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.sources.formats import (
+        FORMATS,
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 3.25, "2026-01-02 03:04:05.123456"),
+            (2, "", None, None),
+            (3, None, -0.1, "1999-12-31 23:59:59.000001"),
+        ],
+        "id long, s string, v double, ts_s string",
+    ).select("id", "s", "v", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = {r["id"]: r for r in df.collect()}
+    for fmt in FORMATS:
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt)
+        back = {
+            r["id"]: r
+            for r in read_table(spark, path, fmt, df.schema).collect()
+        }
+        assert set(back) == {1, 2, 3}
+        for i in (1, 2, 3):
+            exp = rows[i]
+            got = back[i]
+            assert got["v"] == exp["v"], (fmt, i)
+            assert got["ts"] == exp["ts"], (fmt, i)
+            if fmt == "csv" and exp["s"] == "":
+                assert got["s"] in ("", None)  # the documented caveat
+            else:
+                assert got["s"] == exp["s"], (fmt, i)
