@@ -72,6 +72,28 @@ def materialized_formats_root(
     root = posixpath.join(
         tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_{fp}"
     )
+    # same stale-generation discipline as workload_compaction.
+    # _memo_root: a fixture regeneration changes the fingerprint, and
+    # the old same-sf generation is renamed into a trash name before
+    # removal so a concurrent reader sees the intact tree or nothing
+    import glob
+    import shutil
+
+    for stale in glob.glob(
+        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
+    ):
+        if stale == root or stale.endswith(".trash"):
+            continue
+        trash = f"{stale}.trash"
+        try:
+            os.rename(stale, trash)
+        except OSError:
+            continue
+        shutil.rmtree(trash, ignore_errors=True)
+    for orphan in glob.glob(
+        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*.trash")
+    ):
+        shutil.rmtree(orphan, ignore_errors=True)
     complete = all(
         os.path.exists(posixpath.join(root, fmt, "_SUCCESS"))
         for fmt in FORMATS
