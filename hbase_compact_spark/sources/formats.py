@@ -82,7 +82,14 @@ def materialized_formats_root(
     for stale in glob.glob(
         posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
     ):
-        if stale == root or stale.endswith(".trash"):
+        # skip current-generation tmp dirs too: a concurrent writer of
+        # the SAME fingerprint (pytest-xdist worker) may be staging its
+        # copy there right now; trashing it mid-write would tear it
+        if (
+            stale == root
+            or stale.startswith(root + ".tmp")
+            or stale.endswith(".trash")
+        ):
             continue
         trash = f"{stale}.trash"
         try:
@@ -99,6 +106,24 @@ def materialized_formats_root(
         for fmt in FORMATS
     )
     if not complete:
+        # stage into a pid-suffixed temp root and publish with one
+        # atomic rename: concurrent same-fingerprint writers (xdist
+        # workers) each build their own copy and exactly one rename
+        # wins — a reader can never observe a partially rewritten tree
+        # (the previous in-place per-format overwrite could be seen
+        # half-done between formats)
+        tmp = f"{root}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         for fmt in FORMATS:
-            write_table(df, posixpath.join(root, fmt), fmt)
+            write_table(df, posixpath.join(tmp, fmt), fmt)
+        try:
+            os.rename(root, f"{root}.{os.getpid()}.trash")
+        except OSError:
+            pass  # no prior (incomplete) tree to move aside
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # another writer published first; its tree is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{root}.{os.getpid()}.trash", ignore_errors=True)
     return root
