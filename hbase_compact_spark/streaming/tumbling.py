@@ -16,6 +16,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Session-conf restores deferred until a bounded stream finishes: a
+# genuine TIMESTAMP(NANOS) events fixture needs the legacy nanosAsLong
+# flag for the stream's whole lifetime (every micro-batch re-reads the
+# files under it), so events_stream cannot restore it inline — it
+# parks (key, previous_value) here and run_bounded restores in its
+# finally, so the flag never outlives the stream into unrelated batch
+# reads. LIFO order: with two streams over the same fixture the later
+# push saw the flag already set, so popping in reverse lands back on
+# the true original.
+_PENDING_CONF_RESTORES: list[tuple[str, str | None]] = []
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time
@@ -32,14 +43,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after. One exception: if the fixture really is NANOS (ts infers
     # as LongType), the flag must stay on for the stream's lifetime,
     # because every micro-batch re-reads the file under it.
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    if not isinstance(schema["ts"].dataType, LongType):
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    # try/finally so a throwing schema read cannot leak the flag
+    # session-wide; the NANOS case re-sets it below and defers the
+    # restore to run_bounded's finally instead of leaving it forever.
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    finally:
         if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            spark.conf.unset(key)
         else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            spark.conf.set(key, prev)
+    if isinstance(schema["ts"].dataType, LongType):
+        # genuine NANOS fixture: the flag must hold for the stream's
+        # lifetime; parked for run_bounded to restore at termination
+        spark.conf.set(key, "true")
+        _PENDING_CONF_RESTORES.append((key, prev))
     # pathGlobFilter matches LEAF FILES only, so when events.parquet
     # is a DIRECTORY of part files (every real table; the sf1
     # rehearsal dataset) the filtered listing of sf_dir was EMPTY and
@@ -85,7 +106,12 @@ def tumbling_counts(events: DataFrame, window: str = "6 hours") -> DataFrame:
 
 
 def run_bounded(
-    agg: DataFrame, *, mode: str = "complete", n_partitions: int | None = None
+    agg: DataFrame,
+    *,
+    mode: str = "complete",
+    n_partitions: int | None = None,
+    timeout: float = 600.0,
+    progress: list | None = None,
 ) -> DataFrame:
     """Drive a (bounded) streaming aggregation to completion with an
     availableNow trigger into a memory sink and return the result as
@@ -115,12 +141,21 @@ def run_bounded(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
-            # a bounded availableNow run that hasn't finished in 10
-            # minutes is wedged; returning a partial memory sink would
-            # silently under-count
+        if not q.awaitTermination(timeout):
+            # a bounded availableNow run past its budget (default 10
+            # min; sf1/bench callers pass more) is wedged; returning a
+            # partial memory sink would silently under-count
+            progress = q.lastProgress
             q.stop()
-            raise RuntimeError("bounded streaming query did not finish")
+            raise RuntimeError(
+                f"bounded streaming query did not finish in {timeout} s; "
+                f"lastProgress={progress}"
+            )
+        if progress is not None:
+            # per-micro-batch progress (batchId, numInputRows, ...) so
+            # callers/tests can assert the run was genuinely multi-
+            # batch rather than one availableNow catch-all batch
+            progress.extend(q.recentProgress)
         # the memory sink holds the result rows on the driver for the
         # session lifetime; re-materialize as a local DataFrame and
         # drop the sink table so repeated bounded runs (bench loops)
@@ -136,3 +171,12 @@ def run_bounded(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # restore any session flags the stream's sources needed for
+        # their lifetime (e.g. nanosAsLong for NANOS fixtures) — LIFO
+        # so nested pushes unwind to the true original
+        while _PENDING_CONF_RESTORES:
+            k, v = _PENDING_CONF_RESTORES.pop()
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

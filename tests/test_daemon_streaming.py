@@ -319,3 +319,38 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
         n_partitions=4,
     )
     assert streamed.count() == n
+
+
+def test_stream_session_multibatch_append_equals_oracle(spark):
+    """The registered stream_session must (a) run as a GENUINE multi-
+    batch append-mode stream — >=4 data micro-batches plus the two
+    sentinel batches that drain the watermark — and (b) have its
+    union-of-per-batch-emissions equal both the batch lag/cumsum
+    oracle and the documented Complete-mode fallback. Regression
+    guard: an in-plan sentinel filter was once pushed below the
+    aggregation into the scan, pruning the sentinel events and
+    stalling the watermark (tail sessions silently missing)."""
+    from hbase_compact_spark.registry import ORACLE
+    from hbase_compact_spark.workload_streaming import (
+        stream_session,
+        stream_session_complete,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    progress = []
+    df = stream_session(spark, SF_DIR, progress=progress)
+    rows = sorted(map(tuple, df.collect()))
+
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 5, (
+        "expected >=4 time-bucket batches + sentinel batches, got "
+        f"{[(p['batchId'], p['numInputRows']) for p in progress]}"
+    )
+    # the two sentinel files must actually reach the watermark node
+    assert sum(1 for p in data_batches if p["numInputRows"] == 1) >= 2
+
+    fallback = sorted(
+        map(tuple, stream_session_complete(spark, SF_DIR).collect())
+    )
+    assert rows == fallback
+    assert_matches_oracle(df, ORACLE["stream_session"], SF_DIR)
