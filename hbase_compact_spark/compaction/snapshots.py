@@ -29,6 +29,7 @@ manifest for read-during-compaction safety (QHBaseCompact.java flows
 from __future__ import annotations
 
 import hashlib
+import os
 import posixpath
 import time
 import uuid
@@ -1696,7 +1697,12 @@ def _probe_candidates(
     }
 
 
-MERGE_KEY_PROBE_CAP = 100_000
+# Env-overridable (HCS_MERGE_KEY_PROBE_CAP) so the full oracle sweep
+# can FORCE the every-file-is-a-candidate branch (set 0) and prove it
+# hash-identical to the stats/bloom-probed fast path.
+MERGE_KEY_PROBE_CAP = int(
+    os.environ.get("HCS_MERGE_KEY_PROBE_CAP", 100_000)
+)
 
 
 def snapshot_merge(

@@ -707,3 +707,24 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark, monkeypatch):
     }
     assert fast == slow
     assert any(size > 1 for _, size in fast.values())  # non-vacuous
+
+
+def test_distributed_branch_env_hooks():
+    """The HCS_* cap overrides must reach the module constants: the
+    full oracle sweep relies on them to FORCE the distributed
+    branches (dedup_clusters label propagation, snapshot_merge
+    all-candidates) under the hash compare at any scale."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import os; "
+        "os.environ['HCS_CC_DRIVER_MAX_PAIRS']='0'; "
+        "os.environ['HCS_MERGE_KEY_PROBE_CAP']='0'; "
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import hbase_compact_spark.workload_llm as l; "
+        "from hbase_compact_spark.compaction import snapshots as s; "
+        "print(l.CC_DRIVER_MAX_PAIRS, s.MERGE_KEY_PROBE_CAP)"
+    )
+    out = subprocess.check_output([_sys.executable, "-c", code], text=True)
+    assert out.split() == ["0", "0"]
