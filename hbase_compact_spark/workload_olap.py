@@ -809,3 +809,63 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=16,
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_partkey % 10 < 9 THEN -1 ELSE l_partkey END AS k,
+             l_quantity
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT p_partkey AS k, p_type FROM part WHERE p_partkey % 10 = 9
+      UNION ALL SELECT -1, 'HOT'
+    )
+    SELECT f.k, d.p_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(f.l_quantity) AS sum_qty
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY f.k, d.p_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join under a PATHOLOGICAL 90%-hot-key: ~90% of lineitem
+    rows collapse onto one synthetic dim key (-1), the shape where a
+    plain shuffle join stalls one reducer with 90% of the fact table.
+    operators/skew.salted_join spreads the hot key's rows over `salt`
+    sub-partitions (row-hash salt on the fact side, `salt`x explode of
+    the small dim side) — result-identical to the plain join, pinned
+    against it with broadcast+AQE disabled in tests/test_semantics.py
+    (at fixture scale Catalyst rightly BROADCASTS the ~200-row dim and
+    the salt never shuffles; salting is the static recipe for when the
+    dim outgrows broadcast and AQE's runtime skew split is unavailable
+    — streaming joins, pre-partitioned pipelines). The follow-on
+    aggregation is decomposable (count + integral-double sum), so the
+    partial aggregate on the salted partitions already absorbs the
+    skew before the final merge."""
+    from hbase_compact_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 10 < 9, F.lit(-1))
+        .otherwise(F.col("l_partkey"))
+        .cast("long")
+        .alias("k"),
+        "l_quantity",
+    )
+    pt = load_table(spark, sf_dir, "part")
+    dim = (
+        pt.filter(F.col("p_partkey") % 10 == 9)
+        .select(F.col("p_partkey").cast("long").alias("k"), "p_type")
+        .unionByName(
+            pt.sparkSession.createDataFrame(
+                [(-1, "HOT")], "k long, p_type string"
+            )
+        )
+    )
+    joined = salted_join(li, dim, ["k"], salt=8)
+    return joined.groupBy("k", "p_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

@@ -108,3 +108,61 @@ def test_salted_groupby_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_skew_salted_join_parity_no_broadcast_no_aqe(spark):
+    """skew_salted_join's result must be identical to the PLAIN join
+    even when the engine cannot rescue the skew itself: broadcast
+    disabled (forces a genuine shuffle join, the regime salting is
+    for) and AQE off (no runtime skew-split). This is the static
+    salting recipe's correctness pin for the 90%-hot-key query."""
+    from hbase_compact_spark.workload_olap import skew_salted_join
+    from hbase_compact_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        salted = skew_salted_join(spark, sf)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # genuinely shuffled
+        li = load_table(spark, sf, "lineitem").select(
+            F.when(F.col("l_partkey") % 10 < 9, F.lit(-1))
+            .otherwise(F.col("l_partkey"))
+            .cast("long")
+            .alias("k"),
+            "l_quantity",
+        )
+        pt = load_table(spark, sf, "part")
+        dim = (
+            pt.filter(F.col("p_partkey") % 10 == 9)
+            .select(F.col("p_partkey").cast("long").alias("k"), "p_type")
+            .unionByName(
+                spark.createDataFrame([(-1, "HOT")], "k long, p_type string")
+            )
+        )
+        plain = (
+            li.join(dim, "k")
+            .groupBy("k", "p_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("l_quantity").alias("sum_qty"),
+            )
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
