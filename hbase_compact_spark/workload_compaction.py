@@ -716,3 +716,107 @@ def snapshot_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("_change_type").alias("change_type"),
     )
+
+
+# --------------------------------------------------------------------
+# compaction_execute — the reference's CORE ACTION (QHC.java:167) as a
+# benchmarked end-to-end query: plan + rewrite + fingerprint-verified
+# atomic swap over a freshly fragmented many-small-file table. Every
+# other compaction row measures metadata; this one measures the
+# rewrite itself, so it appears in BENCH_r{N}.json alongside the
+# declarative queries.
+_CE_PARTS = 16    # partition directories (regions)
+_CE_FILES = 64    # small files per partition -> 1024 files total
+
+
+def _compaction_staging(spark: SparkSession, sf_dir: str) -> str:
+    """One fingerprint-keyed staging tree of _CE_PARTS x _CE_FILES
+    small parquet files built from `events` (sources/memo.py
+    discipline: atomic publish, regeneration-aware). The staging is
+    IMMUTABLE — each compaction_execute run hardlink-copies it into a
+    fresh working dir, so the timed work is the compaction, not the
+    bootstrap, and runs never contend."""
+    from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
+
+    root, complete = memo_root(sf_dir, "compactexec", "events")
+    if complete:
+        return root
+    tmp = staging_dir(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for p in range(_CE_PARTS):
+        (
+            ev.filter(F.col("event_id") % _CE_PARTS == p)
+            .repartition(_CE_FILES)
+            .write.mode("overwrite")
+            .parquet(posixpath.join(tmp, f"region={p:02d}"))
+        )
+    # strip _SUCCESS/CRC noise so the tree is files-only like a real
+    # fragmented table (and so file counts below are exact)
+    for dirpath, _dirs, files in os.walk(tmp):
+        for name in files:
+            if not name.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, name))
+    publish(tmp, root)
+    return root
+
+
+@query("compaction_execute")  # rows-only: imperative rewrite action;
+# invariants (row fingerprint, fewer files, idempotent re-run) pinned
+# in tests/test_compaction.py
+def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compaction of a ~2k-small-file table: hardlink-copy
+    the fragmented staging into a fresh working dir, then
+    compact_table() — per-partition bin planning (QHC.java:151 >1-file
+    gate), distributed rewrite, count+fingerprint verification and
+    manifest-guarded atomic swap (executor.py). Returns one row per
+    partition with before/after file counts and row counts — the
+    stats report the reference prints per region (QHC.java:219-270).
+    Deterministic output (no timings in-frame; BENCH_r{N} carries the
+    wall time). Scale: each partition rewrite is its own distributed
+    job and partitions run concurrently (adaptive concurrency), so
+    the shape scales to region counts the way the reference's serial
+    loop cannot."""
+    import shutil
+    import uuid
+
+    from hbase_compact_spark.compaction.executor import compact_table
+
+    staging = _compaction_staging(spark, sf_dir)
+    work = posixpath.join(
+        tempfile.gettempdir(), f"hcs_cexec_run_{uuid.uuid4().hex[:8]}"
+    )
+    for p in range(_CE_PARTS):
+        rel = f"region={p:02d}"
+        os.makedirs(posixpath.join(work, rel))
+        src = posixpath.join(staging, rel)
+        for name in os.listdir(src):
+            os.link(
+                posixpath.join(src, name), posixpath.join(work, rel, name)
+            )
+    try:
+        report = compact_table(spark, work, priority="fragmentation")
+        rows = []
+        for r in sorted(report.results, key=lambda r: r.partition):
+            after = sum(
+                1
+                for name in os.listdir(posixpath.join(work, r.partition))
+                if name.endswith(".parquet")
+            )
+            rows.append(
+                (
+                    r.partition,
+                    int(r.files_before),
+                    int(after),
+                    int(r.rows),
+                    r.skipped or "compacted",
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "partition string, files_before long, files_after long, "
+            "n_rows long, status string",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -777,3 +777,23 @@ def test_checkpoint_journal_torn_tail_and_reset_replay(tmp_path):
     assert ckB.load() == {}
     ckB.mark_done("fresh")
     assert set(CompactionCheckpoint(p2).load()) == {"fresh"}
+
+
+def test_compaction_execute_invariants(spark):
+    """The benchmarked end-to-end rewrite (compaction_execute): every
+    partition must actually compact (64 small files -> fewer), all
+    rows survive (the executor's count+fingerprint verify is also
+    re-checked here via n_rows), and a second invocation over a fresh
+    hardlink copy is deterministic — same frame, bit for bit."""
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_compaction import compaction_execute
+
+    sf = "/root/testdata/sf0.001"
+    out1 = sorted(map(tuple, compaction_execute(spark, sf).collect()))
+    assert out1, "no partitions reported"
+    assert all(r[4] == "compacted" for r in out1), out1
+    assert all(r[2] < r[1] for r in out1), "no file-count reduction"
+    n_events = load_table(spark, sf, "events").count()
+    assert sum(r[3] for r in out1) == n_events
+    out2 = sorted(map(tuple, compaction_execute(spark, sf).collect()))
+    assert out1 == out2
