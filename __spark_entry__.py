@@ -53,19 +53,25 @@ def _verification_priority() -> list[str]:
     The per-round correctness harness records at most the first N
     queries it is handed (r1 recorded exactly 50 of 62), so a fixed
     registration order starves the tail forever. Rank every
-    registered query by how many past CORRECTNESS_r*.json rounds
-    verified it (hash-green, or rows-only by design); never-verified
-    and previously-mismatched queries sort first, ties broken by
-    registration order. Self-maintaining: each new round's JSON
-    shifts the rotation.
+    registered query by (1) the LATEST round whose
+    CORRECTNESS_r*.json verified it (hash-green, or rows-only by
+    design) — never-verified and previously-mismatched queries sort
+    first, then the longest-unverified — then (2) total times
+    verified, ties broken by registration order. Recency is the
+    primary key (not cumulative count, which let a freshly-verified
+    count-1 query outrank a two-rounds-stale count-2 one), so the
+    window always drains the stalest queries first. Self-maintaining:
+    each new round's JSON shifts the rotation.
     """
     import json
 
     verified_counts: dict[str, int] = {name: 0 for name in QUERIES}
+    latest_green: dict[str, int] = {name: 0 for name in QUERIES}
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
         try:
+            rnd = int(path.stem.split("_r")[1])
             rows = json.loads(path.read_text())
-        except (OSError, ValueError):
+        except (OSError, ValueError, IndexError):
             continue
         for name, row in rows.items():
             if name not in verified_counts or not isinstance(row, dict):
@@ -73,8 +79,12 @@ def _verification_priority() -> list[str]:
             ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
             if ok:
                 verified_counts[name] += 1
+                latest_green[name] = max(latest_green[name], rnd)
     order = {name: i for i, name in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda n: (verified_counts[n], order[n]))
+    return sorted(
+        QUERIES,
+        key=lambda n: (latest_green[n], verified_counts[n], order[n]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Full-surface oracle sweep — the committed, machine-readable twin of
+the driver's 50-slot CORRECTNESS window.
+
+The driver's per-round harness records at most ~50 queries; the other
+~60 were previously verified only in STATE.md prose. This tool runs
+EVERY registered query against its DuckDB oracle (driver-identical
+compare: row count + schema + order-insensitive value hash) and writes
+`ORACLE_FULL_r{N}.json` with one row per query:
+
+    {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+     "spark_rows": int, "oracle_rows": int, "err": str|null,
+     "seconds": float}
+
+rows-only queries (no oracle by design) get err="no_oracle" with their
+row count, same convention as the driver. Run from anywhere:
+
+    python tools_oracle_full.py [--sf-dir /root/testdata/sf0.01]
+                                [--round N] [--out FILE]
+
+The sweep intentionally uses a DEFAULT SparkSession (like the driver),
+not the tuned factory, so config assumptions surface here first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+
+
+def _default_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _hash_pdf(pdf) -> tuple[str, int, list[str]]:
+    cols = sorted(pdf.columns)
+    vals = sorted(
+        tuple(repr(v) for v in r)
+        for r in pdf[cols].itertuples(index=False, name=None)
+    )
+    digest = hashlib.md5(str(vals).encode()).hexdigest()[:12]
+    dtypes = [f"{c}:{pdf[c].dtype}" for c in cols]
+    return digest, len(pdf), dtypes
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    rnd = args.round if args.round is not None else _default_round()
+    out_path = args.out or os.path.join(_REPO, f"ORACLE_FULL_r{rnd:02d}.json")
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from hbase_compact_spark.tables import TABLE_NAMES
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        # sf1 rehearsal tables are DIRECTORIES of part files
+        p = os.path.join(args.sf_dir, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_hash_green = n_rows_only = n_fail = 0
+    for name in sorted(queries):
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "seconds": None,
+        }
+        t0 = time.perf_counter()
+        try:
+            pdf = queries[name](spark, args.sf_dir).toPandas()
+            row["spark_rows"] = len(pdf)
+            if name not in oracles:
+                row["err"] = "no_oracle"
+                n_rows_only += 1
+            else:
+                hs, ns, ds = _hash_pdf(pdf)
+                opdf = con.execute(oracles[name]).fetchdf()
+                ho, no, do = _hash_pdf(opdf)
+                row["oracle_rows"] = no
+                row["rows_match"] = ns == no
+                row["schema_match"] = ds == do
+                row["hash_match"] = hs == ho
+                if row["hash_match"]:
+                    n_hash_green += 1
+                else:
+                    n_fail += 1
+        except Exception as exc:  # record, keep sweeping
+            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            n_fail += 1
+        row["seconds"] = round(time.perf_counter() - t0, 3)
+        results[name] = row
+        status = (
+            "MATCH"
+            if row["hash_match"]
+            else ("rows-only" if row["err"] == "no_oracle" else "FAIL")
+        )
+        print(f"{name:28s} {status:9s} {row['seconds']:7.2f}s", flush=True)
+
+    payload = {
+        "_meta": {
+            "sf_dir": args.sf_dir,
+            "round": rnd,
+            "n_queries": len(results),
+            "n_hash_green": n_hash_green,
+            "n_rows_only": n_rows_only,
+            "n_fail": n_fail,
+            "compare": "rows+schema+order-insensitive value hash (driver-identical)",
+        },
+        **results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(
+        f"\n{out_path}: {n_hash_green} hash-green + {n_rows_only} rows-only, "
+        f"{n_fail} failures"
+    )
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

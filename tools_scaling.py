@@ -68,6 +68,9 @@ REHEARSAL = [
     "dedup_canonical",
     "length_outliers",
     "cooccurrence_pmi",
+    "skew_salted_join",
+    "stream_session",
+    "compaction_execute",
 ]
 
 
