@@ -27,6 +27,15 @@ from pyspark.sql import functions as F
 # the true original.
 _PENDING_CONF_RESTORES: list[tuple[str, str | None]] = []
 
+# Memory-sink temp views still alive from previous run_bounded calls:
+# each call drops its predecessors' sinks FIRST, so repeated bounded
+# runs (bench loops) hold at most one result table on the driver at a
+# time, without paying a collect + re-createDataFrame copy per run.
+# Contract: a run_bounded result must be consumed before the caller
+# starts the next bounded stream (true of every query/bench/driver
+# flow here — results go straight to toPandas()/noop).
+_LIVE_SINKS: list[str] = []
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time
@@ -127,6 +136,8 @@ def run_bounded(
     the streaming sizing never leaks into later batch queries sharing
     the session."""
     spark = agg.sparkSession
+    while _LIVE_SINKS:
+        spark.catalog.dropTempView(_LIVE_SINKS.pop())
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -156,16 +167,16 @@ def run_bounded(
             # callers/tests can assert the run was genuinely multi-
             # batch rather than one availableNow catch-all batch
             progress.extend(q.recentProgress)
-        # the memory sink holds the result rows on the driver for the
-        # session lifetime; re-materialize as a local DataFrame and
-        # drop the sink table so repeated bounded runs (bench loops)
-        # don't accumulate driver memory. The result of a bounded
-        # fixture stream is driver-sized by construction; a production
-        # unbounded stream would use a real sink, never `memory`.
-        out = spark.table(name)
-        rows, schema = out.collect(), out.schema
-        spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, schema)
+        # the memory sink holds the result rows on the driver (bounded
+        # fixture streams are driver-sized by construction; a
+        # production unbounded stream would use a real sink, never
+        # `memory`). Return the sink table DIRECTLY — the old
+        # collect + re-createDataFrame copy doubled every result's
+        # driver cost — and let the NEXT run_bounded call drop it
+        # (_LIVE_SINKS), so bench loops still hold one result at a
+        # time.
+        _LIVE_SINKS.append(name)
+        return spark.table(name)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")

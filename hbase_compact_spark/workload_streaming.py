@@ -221,7 +221,7 @@ def stream_session(
 ) -> DataFrame:
     """Session windows (30-min gap) as a REAL MULTI-BATCH Structured
     Streaming query in APPEND mode: events arrive as time-ordered
-    micro-batches (maxFilesPerTrigger=1 over the staged files, see
+    micro-batches (maxFilesPerTrigger-paced over the staged files, see
     session_stream_staging), the sessionWindow state operator merges
     per-key gap windows incrementally across batches, and each batch
     APPENDS only the sessions the advancing watermark has finalized —
@@ -243,9 +243,16 @@ def stream_session(
     schema = spark.read.parquet(
         posixpath.join(staging, "batch_00.parquet")
     ).schema
+    # two files per trigger: the four quartile buckets arrive as two
+    # 50/50 micro-batches (enough to exercise cross-batch session
+    # merging + watermark progression), the sentinel pair as a third,
+    # and availableNow's trailing no-data batch runs under the
+    # sentinel-advanced watermark to flush the final sessions (the
+    # flush batch's presence is pinned in tests). One file per
+    # trigger works identically, just with more per-batch overhead.
     ev = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(staging)
     )
     agg = (
@@ -266,8 +273,8 @@ def stream_session(
             "sum_value",
         )
     )
-    # one session-merging state store per partition PER BATCH now that
-    # the run is 6 micro-batches; keep the store count small
+    # one session-merging state store per partition per micro-batch;
+    # keep the store count small for the fixture stream
     out = run_bounded(agg, mode="append", n_partitions=4, progress=progress)
     # Sentinel guard on the BATCH result, never inside the streaming
     # plan: user_id is a grouping column, so an in-plan WHERE would be
