@@ -838,10 +838,12 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-partitions (row-hash salt on the fact side, `salt`x explode of
     the small dim side) — result-identical to the plain join, pinned
     against it with broadcast+AQE disabled in tests/test_semantics.py
-    (at fixture scale Catalyst rightly BROADCASTS the ~200-row dim and
-    the salt never shuffles; salting is the static recipe for when the
-    dim outgrows broadcast and AQE's runtime skew split is unavailable
-    — streaming joins, pre-partitioned pipelines). The follow-on
+    (at fixture scale Catalyst rightly BROADCASTS one side — it picks
+    whichever it estimates smaller, currently the pruned 2-column fact
+    projection — and the salt never shuffles; salting is the static
+    recipe for when neither side fits broadcast and AQE's runtime skew
+    split is unavailable — streaming joins, pre-partitioned
+    pipelines). The follow-on
     aggregation is decomposable (count + integral-double sum), so the
     partial aggregate on the salted partitions already absorbs the
     skew before the final merge."""

@@ -274,8 +274,19 @@ def stream_session(
         )
     )
     # one session-merging state store per partition per micro-batch;
-    # keep the store count small for the fixture stream
-    out = run_bounded(agg, mode="append", n_partitions=4, progress=progress)
+    # size the store count to the STAGED BYTES (a fixture-scale stream
+    # wants few stores, the 10x rehearsal wants real parallelism —
+    # measured 5.8 s -> 4.6 s at sf1), the same lever a production
+    # deployment sets via shuffle partitions per expected state size
+    staged_bytes = sum(
+        os.path.getsize(posixpath.join(staging, f))
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    n_parts = int(min(32, max(4, staged_bytes // (512 << 10))))
+    out = run_bounded(
+        agg, mode="append", n_partitions=n_parts, progress=progress
+    )
     # Sentinel guard on the BATCH result, never inside the streaming
     # plan: user_id is a grouping column, so an in-plan WHERE would be
     # pushed below the aggregation into the parquet scan — pruning the
