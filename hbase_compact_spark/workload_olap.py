@@ -871,3 +871,141 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT step, step_type, n_users FROM (
+      SELECT 1 AS step, 'view' AS step_type,
+             CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel (view -> click within 24 h -> purchase within
+    24 h): per-user earliest qualifying timestamp per step, then the
+    per-step distinct-user counts — the product-analytics sequence
+    operator. Each step is one per-user MIN aggregation plus one
+    broadcast join against the previous step's per-user frame, so at
+    100 TB of events the iterative state is |users| rows per step
+    (the per-user frames), never event-scale; the event scan stays a
+    pushed-down event_type filter. The reference's nearest ancestor
+    is its per-region then global two-level rollup
+    (QHBaseCompact.java:237-255) — this is the sequential-condition
+    generalization."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_type"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        _count(v, 1, "view")
+        .unionByName(_count(c, 2, "click"))
+        .unionByName(_count(p, 3, "purchase"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             epoch_us(min(ts)) // 604800000000 AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             epoch_us(e.ts) // 604800000000 AS wk
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(wk - cohort_week AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM act GROUP BY cohort_week, wk
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the epoch-week of
+    their FIRST event, counted as active in every later week they
+    appear — the (cohort_week, week_offset) -> active-users triangle
+    every growth dashboard draws. Week buckets are integer
+    epoch-seconds // 604800 on BOTH engines (date_trunc('week')
+    diverges cross-engine: TIMESTAMP vs DATE, registry.py). Scale:
+    the first-event frame is one per-user MIN (|users| rows,
+    broadcast back), activity is a DISTINCT over (user, week) —
+    bounded by users x weeks, not events — and the final count
+    shuffles only that."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = (F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    f = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("first_ts") / F.lit(604800))
+            .cast("long")
+            .alias("cohort_week"),
+        )
+    )
+    act = (
+        ev.select("user_id", wk.alias("wk"))
+        .join(F.broadcast(f), "user_id")
+        .distinct()
+    )
+    return act.groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")).agg(
+        F.count("*").alias("n_active_users")
+    )

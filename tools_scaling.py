@@ -71,6 +71,8 @@ REHEARSAL = [
     "skew_salted_join",
     "stream_session",
     "compaction_execute",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
