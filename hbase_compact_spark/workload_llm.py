@@ -1195,10 +1195,14 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (
       SELECT user_id, event_id, ts, value,
-             -- >= : session_window's [start, last+gap) is half-open,
-             -- an event exactly gap after the previous starts anew
+             -- STRICT > : Spark's session_window merges TOUCHING
+             -- windows — an event exactly gap after the previous
+             -- still extends the session (verified empirically by
+             -- the adversarial boundary test; the earlier >= form
+             -- was wrong and masked only because fixture microsecond
+             -- timestamps never land on the exact boundary)
              CASE WHEN prev IS NULL
-                       OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM l
     ),

@@ -198,8 +198,11 @@ def session_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     ),
     f AS (
       SELECT user_id, event_id, ts, value,
+             -- STRICT > : session_window merges touching windows
+             -- (exact-gap events extend the session) — pinned by the
+             -- adversarial boundary test in test_daemon_streaming
              CASE WHEN prev IS NULL
-                       OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM l
     ),

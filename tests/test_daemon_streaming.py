@@ -360,3 +360,72 @@ def test_stream_session_multibatch_append_equals_oracle(spark):
         map(tuple, stream_session_complete(spark, SF_DIR).collect())
     )
     assert rows == fallback
+
+
+def test_stream_session_adversarial_boundaries(spark, tmp_path):
+    """Hand-crafted worst-case events for the multi-batch session
+    path: a gap of EXACTLY 30 min (Spark merges touching session
+    windows, so it must EXTEND the session — the >= oracle rule this
+    test originally carried disagreed with Spark here), a session
+    spanning the quartile bucket boundary (must merge across
+    micro-batches in the state store), duplicate timestamps, and a
+    lone event at the global max ts (only the sentinel-driven flush
+    can emit it). Compared against the lag/cumsum oracle on the same
+    crafted table."""
+    import datetime as dt
+
+    import duckdb
+
+    from hbase_compact_spark.registry import ORACLE
+    from hbase_compact_spark.workload_streaming import stream_session
+    from tests.oracle_utils import canonical_rows
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, uid, seconds, val):
+        return (
+            eid,
+            t0 + dt.timedelta(seconds=seconds),
+            uid,
+            "view",
+            float(val),
+            "{}",
+        )
+
+    rows, eid = [], 0
+    # u1: the EXACT-gap boundary. Spark's session_window merges
+    # touching windows, so the event at +1800 s EXTENDS the session
+    # (this very test exposed that the oracle's original >= split
+    # rule disagreed with Spark at the boundary); the event 1801 s
+    # later (strictly > gap) opens session two.
+    for s in (0, 1800, 1800 + 1801):
+        rows.append(ev(eid := eid + 1, 1, s, 1.5))
+    # u2: a long session of events every 20 min across the whole time
+    # range -> guaranteed to straddle every quartile/bucket boundary
+    for k in range(30):
+        rows.append(ev(eid := eid + 1, 2, k * 1200, 0.25))
+    # u3: duplicate timestamps (3 events, same ts)
+    for _ in range(3):
+        rows.append(ev(eid := eid + 1, 3, 7200, 2.0))
+    # u4: lone event at the global max ts (tail-flush probe)
+    rows.append(ev(eid := eid + 1, 4, 30 * 1200 + 3600, 9.0))
+    d = str(tmp_path / "advfix")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = stream_session(spark, d)
+    pdf = out.toPandas()
+    # u1 split at the exact gap; u2 one merged session; u3 one
+    # 3-event session; u4 emitted despite being the last event
+    per_user = pdf.groupby("user_id").size().to_dict()
+    assert per_user == {1: 2, 2: 1, 3: 1, 4: 1}, per_user
+    con = duckdb.connect()  # events-only view (crafted dir has no dims)
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle_pdf = con.execute(ORACLE["stream_session"]).fetchdf()
+    assert canonical_rows(pdf) == canonical_rows(oracle_pdf)
