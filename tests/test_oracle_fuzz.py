@@ -339,3 +339,69 @@ def test_fuzz_date_arithmetic(spark, n, sign, unit, trunc):
         FROM orders
     """
     assert_matches_oracle(sdf, sql, SF_DIR)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=8),      # gap multiples
+            st.sampled_from([-1, 0, 1]),                # boundary jitter s
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_fuzz_session_window_boundaries(spark, events):
+    """Randomized session-window differential with MAXIMAL boundary
+    pressure: every event lands within ±1 s of a 30-min-gap multiple,
+    so exact-gap merges, one-second splits and duplicate timestamps
+    are all routinely generated. The batch session_window operator
+    must match the strict-> lag/cumsum oracle on every draw (this is
+    the semantics class where the >= oracle bug hid — fixtures never
+    hit the boundary)."""
+    import datetime as dt
+    import uuid
+
+    import duckdb
+
+    from hbase_compact_spark.registry import ORACLE
+    from hbase_compact_spark.workload_llm import session_window_agg
+    from tests.oracle_utils import canonical_rows
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (
+            i + 1,
+            t0 + dt.timedelta(seconds=mult * 1800 + jit),
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+        for i, (uid, mult, jit) in enumerate(events)
+    ]
+    d = f"/tmp/hcs_fuzz_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = session_window_agg(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        exp = con.execute(ORACLE["session_window_agg"]).fetchdf()
+        assert canonical_rows(got) == canonical_rows(exp)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
