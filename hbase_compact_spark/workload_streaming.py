@@ -536,3 +536,112 @@ def stream_ingest_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# stream_late_data — watermark late-data ACCOUNTING. Every other
+# stream query stages time-ordered batches (nothing is ever late);
+# this one deliberately delivers the OLDER half of the events table a
+# batch AFTER the newer half, so the advanced watermark must drop the
+# stragglers and the numRowsDroppedByWatermark state metric must
+# account for every one of them — the observability contract a
+# production pipeline alarms on.
+
+
+def late_stream_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Three staged files in DELIBERATE reverse time order: batch_00 =
+    events in [median, p75) and batch_01 = [p75, max] arrive first and
+    advance the watermark; batch_02 = the older half ([min, median))
+    arrives LAST, a full half-range late. Two advancing batches are
+    required, not one: Spark's late-record filter runs on the
+    watermark lagging ONE micro-batch behind the eviction watermark
+    (two-version watermark semantics — verified empirically; a late
+    file delivered immediately after a single advancing batch is
+    still ACCEPTED and aggregated). sources/memo.py discipline; the
+    split is fixed at staging time, so the drop counts the query
+    reports are deterministic per fixture generation."""
+    import glob as globmod
+    import shutil
+    import time
+
+    from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
+    from hbase_compact_spark.tables import load_table
+
+    root, complete = memo_root(sf_dir, "latestage", "events")
+    if complete:
+        return root
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    evl = ev.withColumn("_t", F.unix_timestamp("ts"))
+    median, p75 = (
+        int(q) for q in evl.approxQuantile("_t", [0.5, 0.75], 0.001)
+    )
+    tmp = staging_dir(root)
+    stamp = time.time() - 600
+    buckets = (
+        evl.filter((F.col("_t") >= median) & (F.col("_t") < p75)),
+        evl.filter(F.col("_t") >= p75),
+        evl.filter(F.col("_t") < median),  # the older half, LATE
+    )
+    for idx, bucket in enumerate(b.drop("_t") for b in buckets):
+        scratch = posixpath.join(tmp, f"_scratch_{idx}")
+        bucket.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = globmod.glob(posixpath.join(scratch, "part-*.parquet"))
+        dest = posixpath.join(tmp, f"batch_{idx:02d}.parquet")
+        os.replace(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dest, (stamp + idx, stamp + idx))
+    publish(tmp, root)
+    return root
+
+
+@query("stream_late_data")  # rows-only: per-run watermark accounting;
+# exactness of the drop count pinned in tests/test_daemon_streaming.py
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting through a real watermarked stream: the
+    newer half of `events` arrives first (as two watermark-advancing
+    micro-batches — the late-record filter lags the eviction watermark
+    by one batch, see late_stream_staging); the older half arrives
+    last and every row below the lagged watermark is DROPPED by the
+    state operator, not silently absorbed. Returns one row of the books:
+    n_input (all rows that entered the stream), n_late_dropped
+    (sum of numRowsDroppedByWatermark over all batches — the metric a
+    production job alarms on), n_on_time. The invariant test pins
+    n_late_dropped to the exact batch-computed count of second-file
+    rows older than the first file's watermark. At scale this is the
+    same two numbers a 100 TB pipeline reads off
+    StreamingQueryProgress; nothing here is fixture-specific."""
+    staging = late_stream_staging(spark, sf_dir)
+    schema = spark.read.parquet(
+        posixpath.join(staging, "batch_00.parquet")
+    ).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    progress: list = []
+    run_bounded(agg, mode="update", n_partitions=4, progress=progress)
+    n_input = sum(int(p["numInputRows"]) for p in progress)
+    # UNIT of the metric (pinned in tests): numRowsDroppedByWatermark
+    # counts rows reaching the STATE operator, i.e. post-partial-
+    # aggregation (window, user) GROUP rows, not raw input rows — the
+    # map-side combine has already folded the late batch before the
+    # watermark filter runs. Both numbers are reported.
+    dropped_groups = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    n_late_rows = spark.read.parquet(
+        posixpath.join(staging, "batch_02.parquet")
+    ).count()
+    return spark.createDataFrame(
+        [(n_input, n_late_rows, dropped_groups, n_input - n_late_rows)],
+        "n_input long, n_late_rows long, n_late_groups_dropped long, "
+        "n_on_time long",
+    )

@@ -429,3 +429,32 @@ def test_stream_session_adversarial_boundaries(spark, tmp_path):
     )
     oracle_pdf = con.execute(ORACLE["stream_session"]).fetchdf()
     assert canonical_rows(pdf) == canonical_rows(oracle_pdf)
+
+
+def test_stream_late_data_accounting_exact(spark):
+    """The late-data books must be EXACT, and in the metric's real
+    unit: Spark's numRowsDroppedByWatermark counts post-partial-
+    aggregation (window, user) group rows reaching the state
+    operator, not raw input rows (the map-side combine folds the late
+    batch first — discovered empirically, pinned here). So the metric
+    must equal the distinct (6h-window, user) pairs of the late file,
+    and no window from before the lagged watermark may appear in the
+    emitted output."""
+    import posixpath
+
+    from hbase_compact_spark.workload_streaming import (
+        late_stream_staging,
+        stream_late_data,
+    )
+
+    out = stream_late_data(spark, SF_DIR).collect()[0]
+    staging = late_stream_staging(spark, SF_DIR)
+    late = spark.read.parquet(posixpath.join(staging, "batch_02.parquet"))
+    n_late = late.count()
+    n_groups = (
+        late.select(F.window("ts", "6 hours"), "user_id").distinct().count()
+    )
+    assert out["n_late_rows"] == n_late
+    assert out["n_late_groups_dropped"] == n_groups
+    assert out["n_on_time"] == out["n_input"] - n_late
+    assert n_late > 0 and n_groups > 0  # the scenario genuinely fired
