@@ -73,6 +73,7 @@ REHEARSAL = [
     "compaction_execute",
     "funnel_conversion",
     "retention_cohorts",
+    "stream_late_data",
 ]
 
 
