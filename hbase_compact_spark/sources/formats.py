@@ -16,10 +16,7 @@ shortest decimal repr that parses back to the same IEEE value.
 
 from __future__ import annotations
 
-import hashlib
-import os
 import posixpath
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,71 +56,20 @@ def materialized_formats_root(
     spark: SparkSession, sf_dir: str, df: DataFrame, tag: str
 ) -> str:
     """One fingerprint-keyed /tmp materialization of `df` in every
-    FORMAT (same keying discipline as workload_compaction._memo_root:
-    the source parquet's identity is in the directory name, so a
-    fixture regeneration rebuilds instead of serving stale copies).
-    Completeness = every format dir carries Spark's _SUCCESS marker."""
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    fp = hashlib.md5(
-        f"{tag}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    root = posixpath.join(
-        tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_{fp}"
-    )
-    # same stale-generation discipline as workload_compaction.
-    # _memo_root: a fixture regeneration changes the fingerprint, and
-    # the old same-sf generation is renamed into a trash name before
-    # removal so a concurrent reader sees the intact tree or nothing
-    import glob
-    import shutil
+    FORMAT, on the shared sources/memo.py discipline: the source
+    parquet's identity (and the builder's logic rev) is in the
+    directory name so a fixture regeneration rebuilds instead of
+    serving stale copies, the tree is staged pid-suffixed and
+    published by one atomic rename (existence == completeness;
+    concurrent xdist writers race safely), and stale generations /
+    crashed staging trees are swept."""
+    from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
 
-    for stale in glob.glob(
-        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
-    ):
-        # skip current-generation tmp dirs too: a concurrent writer of
-        # the SAME fingerprint (pytest-xdist worker) may be staging its
-        # copy there right now; trashing it mid-write would tear it
-        if (
-            stale == root
-            or stale.startswith(root + ".tmp")
-            or stale.endswith(".trash")
-        ):
-            continue
-        trash = f"{stale}.trash"
-        try:
-            os.rename(stale, trash)
-        except OSError:
-            continue
-        shutil.rmtree(trash, ignore_errors=True)
-    for orphan in glob.glob(
-        posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*.trash")
-    ):
-        shutil.rmtree(orphan, ignore_errors=True)
-    complete = all(
-        os.path.exists(posixpath.join(root, fmt, "_SUCCESS"))
-        for fmt in FORMATS
-    )
-    if not complete:
-        # stage into a pid-suffixed temp root and publish with one
-        # atomic rename: concurrent same-fingerprint writers (xdist
-        # workers) each build their own copy and exactly one rename
-        # wins — a reader can never observe a partially rewritten tree
-        # (the previous in-place per-format overwrite could be seen
-        # half-done between formats)
-        tmp = f"{root}.tmp{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        for fmt in FORMATS:
-            write_table(df, posixpath.join(tmp, fmt), fmt)
-        try:
-            os.rename(root, f"{root}.{os.getpid()}.trash")
-        except OSError:
-            pass  # no prior (incomplete) tree to move aside
-        try:
-            os.rename(tmp, root)
-        except OSError:
-            # another writer published first; its tree is complete
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(f"{root}.{os.getpid()}.trash", ignore_errors=True)
+    root, complete = memo_root(sf_dir, tag, "orders", logic_rev="r6a")
+    if complete:
+        return root
+    tmp = staging_dir(root)
+    for fmt in FORMATS:
+        write_table(df, posixpath.join(tmp, fmt), fmt)
+    publish(tmp, root)
     return root

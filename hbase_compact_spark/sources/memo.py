@@ -28,30 +28,49 @@ import os
 import posixpath
 import shutil
 import tempfile
+import time
 
 
-def memo_root(sf_dir: str, tag: str, src_table: str) -> tuple[str, bool]:
+_CRASHED_TMP_MAX_AGE_S = 24 * 3600
+
+
+def memo_root(
+    sf_dir: str, tag: str, src_table: str, logic_rev: str = "1"
+) -> tuple[str, bool]:
     """Return (root, is_complete) for a fingerprint-keyed memo dir.
 
+    `logic_rev` is the BUILDER's logic revision and is part of the
+    fingerprint: the source-parquet stat alone cannot see a code
+    change in whatever produces the materialization, so bumping the
+    rev when the builder's semantics change forces a rebuild instead
+    of serving a stale pre-change tree (the staleness would otherwise
+    surface as an unexplainable oracle mismatch).
+
     Sweeps stale same-sf generations (different fingerprint) and
-    orphaned trash; skips current-generation ``.tmp*`` dirs because a
-    concurrent same-fingerprint builder may be staging there."""
+    orphaned trash; skips current-generation ``.tmp*`` dirs unless
+    they are older than a day — a fresh one may belong to a live
+    concurrent builder, but a day-old tree is a crashed builder's
+    leftover that would otherwise accumulate in /tmp forever."""
     src = os.path.join(sf_dir, f"{src_table}.parquet")
     st = os.stat(src)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
     fp = hashlib.md5(
-        f"{tag}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{tag}:{src}:{st.st_mtime_ns}:{st.st_size}:rev={logic_rev}".encode()
     ).hexdigest()[:12]
     root = posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_{fp}")
+    now = time.time()
     for stale in glob.glob(
         posixpath.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
     ):
-        if (
-            stale == root
-            or stale.startswith(root + ".tmp")
-            or stale.endswith(".trash")
-        ):
+        if stale == root or stale.endswith(".trash"):
             continue
+        if stale.startswith(root + ".tmp"):
+            try:
+                fresh = now - os.stat(stale).st_mtime < _CRASHED_TMP_MAX_AGE_S
+            except OSError:
+                continue
+            if fresh:
+                continue  # possibly a LIVE concurrent builder's staging
         trash = f"{stale}.trash"
         try:
             os.rename(stale, trash)

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 # finally, so the flag never outlives the stream into unrelated batch
 # reads. LIFO order: with two streams over the same fixture the later
 # push saw the flag already set, so popping in reverse lands back on
-# the true original.
+# the true original. CONTRACT: build the source stream(s) for ONE
+# bounded query and run_bounded it before building the next — the
+# drain cannot attribute parked restores to streams, so an
+# interleaved build-A, run-B ordering would restore A's flag early
+# (every query in this repo follows build-then-run).
 _PENDING_CONF_RESTORES: list[tuple[str, str | None]] = []
 
 # Memory-sink temp views still alive from previous run_bounded calls:
@@ -155,12 +159,17 @@ def run_bounded(
         if not q.awaitTermination(timeout):
             # a bounded availableNow run past its budget (default 10
             # min; sf1/bench callers pass more) is wedged; returning a
-            # partial memory sink would silently under-count
-            progress = q.lastProgress
+            # partial memory sink would silently under-count. The
+            # caller's progress list still gets what ran (do NOT
+            # rebind the parameter — that would discard the caller's
+            # reference on the one path where diagnostics matter).
+            if progress is not None:
+                progress.extend(q.recentProgress)
+            last = q.lastProgress
             q.stop()
             raise RuntimeError(
                 f"bounded streaming query did not finish in {timeout} s; "
-                f"lastProgress={progress}"
+                f"lastProgress={last}"
             )
         if progress is not None:
             # per-micro-batch progress (batchId, numInputRows, ...) so

@@ -738,7 +738,7 @@ def _compaction_staging(spark: SparkSession, sf_dir: str) -> str:
     bootstrap, and runs never contend."""
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
 
-    root, complete = memo_root(sf_dir, "compactexec", "events")
+    root, complete = memo_root(sf_dir, "compactexec", "events", logic_rev="r6a")
     if complete:
         return root
     tmp = staging_dir(root)
@@ -766,7 +766,7 @@ def _compaction_staging(spark: SparkSession, sf_dir: str) -> str:
 # invariants (row fingerprint, fewer files, idempotent re-run) pinned
 # in tests/test_compaction.py
 def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END compaction of a ~2k-small-file table: hardlink-copy
+    """END-TO-END compaction of a ~1k-small-file table: hardlink-copy
     the fragmented staging into a fresh working dir, then
     compact_table() — per-partition bin planning (QHC.java:151 >1-file
     gate), distributed rewrite, count+fingerprint verification and

@@ -2475,7 +2475,7 @@ def cluster_labels_root(spark: SparkSession, sf_dir: str) -> str:
     snapshot-logged tables the snapshot_* queries read."""
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
 
-    root, complete = memo_root(sf_dir, "clusterlabels", "documents")
+    root, complete = memo_root(sf_dir, "clusterlabels", "documents", logic_rev="r6a")
     if complete:
         return root
     tmp = staging_dir(root)

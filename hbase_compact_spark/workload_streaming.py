@@ -131,7 +131,7 @@ def session_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
     from hbase_compact_spark.tables import load_table
 
-    root, complete = memo_root(sf_dir, "sessstage", "events")
+    root, complete = memo_root(sf_dir, "sessstage", "events", logic_rev="r6a")
     if complete:  # atomic publish => existence == complete
         return root
 
@@ -567,7 +567,7 @@ def late_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
     from hbase_compact_spark.tables import load_table
 
-    root, complete = memo_root(sf_dir, "latestage", "events")
+    root, complete = memo_root(sf_dir, "latestage", "events", logic_rev="r6a")
     if complete:
         return root
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")

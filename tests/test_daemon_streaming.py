@@ -323,8 +323,9 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
 
 def test_stream_session_multibatch_append_equals_oracle(spark):
     """The registered stream_session must (a) run as a GENUINE multi-
-    batch append-mode stream — >=4 data micro-batches plus the two
-    sentinel batches that drain the watermark — and (b) have its
+    batch append-mode stream — at least two data micro-batches, the
+    sentinel batch that drains the watermark, and the trailing
+    no-data flush batch — and (b) have its
     union-of-per-batch-emissions equal both the batch lag/cumsum
     oracle and the documented Complete-mode fallback. Regression
     guard: an in-plan sentinel filter was once pushed below the

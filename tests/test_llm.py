@@ -717,11 +717,14 @@ def test_distributed_branch_env_hooks():
     import subprocess
     import sys as _sys
 
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
     code = (
         "import os; "
         "os.environ['HCS_CC_DRIVER_MAX_PAIRS']='0'; "
         "os.environ['HCS_MERGE_KEY_PROBE_CAP']='0'; "
-        "import sys; sys.path.insert(0, '/root/repo'); "
+        f"import sys; sys.path.insert(0, {repo!r}); "
         "import hbase_compact_spark.workload_llm as l; "
         "from hbase_compact_spark.compaction import snapshots as s; "
         "print(l.CC_DRIVER_MAX_PAIRS, s.MERGE_KEY_PROBE_CAP)"

@@ -55,22 +55,37 @@ def main() -> None:
         (r["query_id"], r["vec_id"])
         for r in llm.similarity_topk(spark, args.sf_dir).collect()
     }
-    # settings mirror the registered queries' calls exactly
+
+    def _call_params(fn) -> dict:
+        """Extract the k=/n_probe=/rerank_factor=/refine_iters= args
+        from the registered query's SOURCE, so the artifact can never
+        record settings that drifted from the code actually measured."""
+        import inspect
+        import re
+
+        src = inspect.getsource(fn)
+        return {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(
+                r"(k|n_probe|rerank_factor|refine_iters)\s*=\s*(\d+)", src
+            )
+        }
+
     settings = {
-        "ann_lsh": {"k": 10, "multiprobe": True, "rerank": "exact cosine"},
+        "ann_lsh": {
+            **_call_params(llm.ann_lsh),
+            "multiprobe": True,
+            "rerank": "exact cosine",
+        },
         "ann_ivf": {
-            "k": 10,
-            "n_probe": 6,
+            **_call_params(llm.ann_ivf),
             "n_lists": 10,
-            "refine_iters": 2,
             "rerank": "exact cosine",
         },
         "ann_pq": {
-            "k": 10,
+            **_call_params(llm.ann_pq),
             "pq_m": sim.PQ_M,
             "pq_k": sim.PQ_K,
-            "refine_iters": 2,
-            "rerank_factor": 40,
             "rerank": "exact cosine on ADC candidates",
         },
     }
