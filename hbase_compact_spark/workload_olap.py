@@ -909,10 +909,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     24 h): per-user earliest qualifying timestamp per step, then the
     per-step distinct-user counts — the product-analytics sequence
     operator. Each step is one per-user MIN aggregation plus one
-    broadcast join against the previous step's per-user frame, so at
+    equi-join against the previous step's per-user frame, so at
     100 TB of events the iterative state is |users| rows per step
     (the per-user frames), never event-scale; the event scan stays a
-    pushed-down event_type filter. The reference's nearest ancestor
+    pushed-down event_type filter. The step joins carry NO broadcast
+    hint on purpose: AQE picks BroadcastHashJoin at fixture scale
+    (pinned in tests/test_plans.py) and falls back to a shuffled
+    equi-join at 1e8+ users, where a forced broadcast of the
+    per-user frame would blow Spark's 8 GB broadcast ceiling. The reference's nearest ancestor
     is its per-region then global two-level rollup
     (QHBaseCompact.java:237-255) — this is the sequential-condition
     generalization."""
@@ -926,7 +930,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(
             (F.col("ts") >= F.col("t1"))
             & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
@@ -936,7 +940,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(
             (F.col("ts") >= F.col("t2"))
             & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
@@ -985,10 +989,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every growth dashboard draws. Week buckets are integer
     epoch-seconds // 604800 on BOTH engines (date_trunc('week')
     diverges cross-engine: TIMESTAMP vs DATE, registry.py). Scale:
-    the first-event frame is one per-user MIN (|users| rows,
-    broadcast back), activity is a DISTINCT over (user, week) —
-    bounded by users x weeks, not events — and the final count
-    shuffles only that."""
+    the first-event frame is one per-user MIN (|users| rows, joined
+    back with no broadcast hint — AQE broadcasts it at fixture scale,
+    pinned in tests/test_plans.py, and shuffles at 1e8+ users where a
+    forced broadcast would OOM), activity is a DISTINCT over
+    (user, week) — bounded by users x weeks, not events — and the
+    final count shuffles only that."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     wk = (F.unix_timestamp("ts") / F.lit(604800)).cast("long")
     f = (
@@ -1003,7 +1009,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     act = (
         ev.select("user_id", wk.alias("wk"))
-        .join(F.broadcast(f), "user_id")
+        .join(f, "user_id")
         .distinct()
     )
     return act.groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")).agg(

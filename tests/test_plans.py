@@ -229,6 +229,27 @@ def test_token_index_queries_scan_corpus_once(spark, name):
     assert "CartesianProduct" not in p, name
 
 
+@pytest.mark.parametrize("name", ["funnel_conversion", "retention_cohorts"])
+def test_event_analytics_joins_are_aqe_chosen_broadcast(spark, name):
+    """funnel_conversion / retention_cohorts join per-user frames back
+    to events with NO broadcast hint — a forced F.broadcast on a
+    |users|-row frame is a hard OOM at 1e8+ users. At fixture scale
+    AQE must still CHOOSE BroadcastHashJoin from its runtime size
+    estimates (visible only in the post-execution adaptive plan), and
+    the source must contain no broadcast hint to force it."""
+    import inspect
+
+    import hbase_compact_spark.workload_olap as olap
+
+    src = inspect.getsource(getattr(olap, name))
+    assert "F.broadcast" not in src, name
+    df = _Q[name](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, name
+    assert "CartesianProduct" not in p, name
+
+
 def test_percentile_dist_plan_shape(spark):
     """The distributed exact-percentile shape: per value column, ONE
     exchange feeds the cumulative+total window pair (no totals join),
