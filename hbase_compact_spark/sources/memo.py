@@ -95,8 +95,16 @@ def staging_dir(root: str) -> str:
 
 def publish(tmp: str, root: str) -> None:
     """Atomically promote `tmp` to `root`; if a concurrent builder
-    published first, its complete tree wins and `tmp` is discarded."""
+    published first, its complete tree wins and `tmp` is discarded.
+    A rename failure with NO winner present (cross-device tmp,
+    permissions) is a real error and re-raises — swallowing it would
+    discard the completed build and hand the caller a root that does
+    not exist (a FileNotFound far from the cause, rebuilt and
+    re-discarded on every call)."""
     try:
         os.rename(tmp, root)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(root):  # lost the race to a complete winner
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise

@@ -11,6 +11,7 @@ stream table.
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,8 +29,11 @@ from pyspark.sql import functions as F
 # bounded query and run_bounded it before building the next — the
 # drain cannot attribute parked restores to streams, so an
 # interleaved build-A, run-B ordering would restore A's flag early
-# (every query in this repo follows build-then-run).
-_PENDING_CONF_RESTORES: list[tuple[str, str | None]] = []
+# (every query in this repo follows build-then-run). Entries carry the
+# parking thread's ident; run_bounded refuses to drain another
+# thread's restores — the cheap detector for the concurrent-callers
+# misuse this module-global protocol cannot survive.
+_PENDING_CONF_RESTORES: list[tuple[str, str | None, int]] = []
 
 # Memory-sink temp views still alive from previous run_bounded calls:
 # each call drops its predecessors' sinks FIRST, so repeated bounded
@@ -73,7 +77,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # genuine NANOS fixture: the flag must hold for the stream's
         # lifetime; parked for run_bounded to restore at termination
         spark.conf.set(key, "true")
-        _PENDING_CONF_RESTORES.append((key, prev))
+        _PENDING_CONF_RESTORES.append((key, prev, threading.get_ident()))
     # pathGlobFilter matches LEAF FILES only, so when events.parquet
     # is a DIRECTORY of part files (every real table; the sf1
     # rehearsal dataset) the filtered listing of sf_dir was EMPTY and
@@ -138,8 +142,32 @@ def run_bounded(
     stream wants more) — it is pinned per query at start time. The
     session's own shuffle-partition setting is restored afterwards so
     the streaming sizing never leaks into later batch queries sharing
-    the session."""
+    the session. The memory sink is NOT fault-tolerant (Spark refuses
+    to restart one from a checkpoint) — checkpoint-recovery flows use
+    a foreachBatch sink instead (stream_restart_recovery).
+
+    CONTRACTS (module-global protocol, single-threaded by design):
+    1. CONSUME-BEFORE-NEXT-STREAM — the returned DataFrame reads a
+       memory-sink temp view that the NEXT run_bounded call on this
+       session DROPS. Collect/convert the result before starting
+       another bounded stream; a stale frame evaluated afterwards
+       raises TABLE_OR_VIEW_NOT_FOUND for a `stream_out_*` view, and
+       this contract is why.
+    2. BUILD-THEN-RUN — build the source stream(s) for ONE bounded
+       query (events_stream may park session-conf restores) and
+       run_bounded it before building the next query's sources;
+       parked restores from a DIFFERENT thread raise RuntimeError
+       below instead of being silently mis-attributed."""
     spark = agg.sparkSession
+    for key, _val, tid in _PENDING_CONF_RESTORES:
+        if tid != threading.get_ident():
+            raise RuntimeError(
+                "run_bounded: pending session-conf restore for "
+                f"{key!r} was parked by another thread — the "
+                "build-then-run contract (see run_bounded docstring) "
+                "does not support concurrent bounded streams on one "
+                "session"
+            )
     while _LIVE_SINKS:
         spark.catalog.dropTempView(_LIVE_SINKS.pop())
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
@@ -195,7 +223,7 @@ def run_bounded(
         # their lifetime (e.g. nanosAsLong for NANOS fixtures) — LIFO
         # so nested pushes unwind to the true original
         while _PENDING_CONF_RESTORES:
-            k, v = _PENDING_CONF_RESTORES.pop()
+            k, v, _tid = _PENDING_CONF_RESTORES.pop()
             if v is None:
                 spark.conf.unset(k)
             else:

@@ -112,6 +112,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_SENTINEL_USER = -1  # heartbeat rows that drain the watermark
 
 
+def _session_agg(ev: DataFrame) -> DataFrame:
+    """The shared session-window aggregation (30-min gap, 1 h
+    watermark, exact decimal value sums) used by stream_session, its
+    Complete-mode fallback, and the checkpoint-recovery query."""
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     """Materialize `events` once per (fixture generation, sf) as
     batch_00..03.parquet — ts-range buckets at the exact quartile
@@ -188,9 +212,7 @@ def session_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-@query(
-    "stream_session",
-    oracle="""
+_SESSION_ORACLE_SQL = """
     WITH l AS (
       SELECT user_id, event_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -217,8 +239,10 @@ def session_stream_staging(spark: SparkSession, sf_dir: str) -> str:
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("stream_session", oracle=_SESSION_ORACLE_SQL)
 def stream_session(
     spark: SparkSession, sf_dir: str, progress: list | None = None
 ) -> DataFrame:
@@ -258,24 +282,7 @@ def stream_session(
         .option("maxFilesPerTrigger", 2)
         .parquet(staging)
     )
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            "n_events",
-            "sum_value",
-        )
-    )
+    agg = _session_agg(ev)
     # one session-merging state store per partition per micro-batch;
     # size the store count to the STAGED BYTES (a fixture-scale stream
     # wants few stores, the 10x rehearsal wants real parallelism —
@@ -309,28 +316,137 @@ def stream_session_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT the registered query because full-state re-emission is exactly
     the shape that dies at scale. Pinned result-equal to the append
     path in tests/test_daemon_streaming.py."""
-    from pyspark.sql import functions as F
+    return run_bounded(_session_agg(events_stream(spark, sf_dir)), n_partitions=8)
 
-    ev = events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            "n_events",
-            "sum_value",
-        )
+
+@query("stream_restart_recovery", oracle=_SESSION_ORACLE_SQL)
+def stream_restart_recovery(
+    spark: SparkSession,
+    sf_dir: str,
+    phases: list | None = None,
+) -> DataFrame:
+    """Checkpoint RECOVERY for the session-window stream — the
+    property the reference's whole identity rests on (its persisted
+    positional cursor, QHBaseCompact.java:102-115, exists so a killed
+    run resumes where it stopped, processing nothing twice and losing
+    nothing). Run 1 streams only the first half of the staged
+    time-ordered micro-batches against an explicit checkpointLocation
+    and terminates (the killed job); run 2 restarts FROM THE SAME
+    CHECKPOINT with the remaining files present and must (a) resume at
+    the recorded offsets — its batch ids continue after run 1's, the
+    already-committed files are never re-read — (b) restore the
+    state store so sessions straddling the kill point merge across the
+    restart, and (c) never re-emit a session run 1 already appended.
+    The UNION of the two runs' append-mode emissions equals the batch
+    lag/cumsum oracle exactly — no duplicates, no losses — which is
+    the strongest recovery statement a bounded stream can make.
+    The sink is foreachBatch writing one parquet dir per batch id
+    (idempotent overwrite — re-delivery of a committed batch would
+    land on the same path; the memory sink is refused by Spark on
+    restart because it cannot make that promise). Disjointness +
+    batch-id continuation are pinned in tests/test_daemon_streaming.py;
+    each call builds a fresh scratch checkpoint (recovery is per-run
+    by nature), hardlinking the staged batches so mtime-ordered
+    delivery matches event time."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    staging = session_stream_staging(spark, sf_dir)
+    files = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
     )
-    return run_bounded(agg, n_partitions=8)
+    work = tempfile.mkdtemp(prefix="hcs_restart_")
+    try:
+        live = posixpath.join(work, "in")
+        ckpt = posixpath.join(work, "ckpt")
+        out_root = posixpath.join(work, "out")
+        os.makedirs(live)
+        os.makedirs(out_root)
+        schema = spark.read.parquet(
+            posixpath.join(staging, files[0])
+        ).schema
+        n_first = max(1, (len(files) - 2) // 2)  # half the data batches
+
+        def _arrive(names: list[str]) -> None:
+            for f in names:  # hardlink shares the inode => same mtime
+                os.link(
+                    posixpath.join(staging, f), posixpath.join(live, f)
+                )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # one dir per batch id, overwritten on re-delivery — the
+            # idempotence that makes this sink restartable
+            batch_df.write.mode("overwrite").parquet(
+                posixpath.join(out_root, f"b{batch_id:05d}")
+            )
+
+        def _run(tag: str) -> list[str]:
+            ev = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(live)
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+            # 8 stores, pinned IDENTICALLY across the restart: the
+            # state-store partition count is baked into the checkpoint
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                q = (
+                    _session_agg(ev)
+                    .writeStream.foreachBatch(_sink)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(f"restart-recovery {tag} wedged")
+                if phases is not None:
+                    phases.append(
+                        {"phase": tag, "progress": list(q.recentProgress)}
+                    )
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.shuffle.partitions")
+                else:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+            return sorted(globmod.glob(posixpath.join(out_root, "b*")))
+
+        _arrive(files[:n_first])
+        dirs_first = _run("before_kill")
+        _arrive(files[n_first:])  # the rest lands while we were down
+        dirs_all = _run("restarted")
+        dirs_new = [d for d in dirs_all if d not in dirs_first]
+        out_schema = (
+            "user_id long, session_start string, n_events long, "
+            "sum_value double"
+        )
+
+        def _emitted(dirs: list[str]) -> list:
+            if not dirs:
+                return []
+            return (
+                spark.read.schema(out_schema)
+                .parquet(*dirs)
+                .where(F.col("user_id") != _SESSION_SENTINEL_USER)
+                .collect()
+            )
+
+        first_rows = _emitted(dirs_first)
+        second_rows = _emitted(dirs_new)
+        if phases is not None:
+            phases.append(
+                {
+                    "phase": "emissions",
+                    "before_kill": first_rows,
+                    "restarted": second_rows,
+                }
+            )
+        return spark.createDataFrame(first_rows + second_rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(
@@ -345,11 +461,60 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming answer equals batch DISTINCT exactly. Global dedup keeps
     state per distinct key forever by design — the bounded-state
     production variant is dropDuplicatesWithinWatermark when duplicate
-    arrivals are time-bounded; distinct-key state here is the same
-    cardinality a batch DISTINCT would shuffle."""
+    arrivals are time-bounded (demonstrated by stream_dedup_bounded,
+    state eviction pinned in tests); distinct-key state here is the
+    same cardinality a batch DISTINCT would shuffle."""
     ev = events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = ev.dropDuplicates(["user_id", "event_type"])
     return run_bounded(deduped, mode="append", n_partitions=8)
+
+
+@query(
+    "stream_dedup_bounded",
+    oracle="""
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+    """,
+)
+def stream_dedup_bounded(
+    spark: SparkSession, sf_dir: str, progress: list | None = None
+) -> DataFrame:
+    """BOUNDED-STATE streaming dedup — the production variant
+    stream_dedup's docstring promises: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes its event
+    time, so state size follows the WATERMARK HORIZON, not the
+    all-time distinct-key count (which global dropDuplicates holds
+    forever). The key is (user_id, epoch-day): duplicates of a key
+    are at most 24 h apart by construction, the watermark delay is
+    25 h, and the staged micro-batches arrive in event-time order
+    (session_stream_staging), so every duplicate arrives while its
+    key's state is provably alive — the streaming emission set equals
+    batch DISTINCT exactly while old days' state is evicted as the
+    watermark advances past them (numRowsTotal at the final batch is
+    a small fraction of the distinct keys — pinned in
+    tests/test_daemon_streaming.py). The sentinel heartbeats drain
+    the watermark through the tail; their own keys are filtered from
+    the result."""
+    staging = session_stream_staging(spark, sf_dir)
+    schema = spark.read.parquet(
+        posixpath.join(staging, "batch_00.parquet")
+    ).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    dd = (
+        ev.withColumn(
+            "day", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd")
+        )
+        .withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .select("user_id", "day")
+    )
+    out = run_bounded(dd, mode="append", n_partitions=8, progress=progress)
+    return out.where(F.col("user_id") != _SESSION_SENTINEL_USER)
 
 
 @query(
@@ -602,14 +767,19 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches — the late-record filter lags the eviction watermark
     by one batch, see late_stream_staging); the older half arrives
     last and every row below the lagged watermark is DROPPED by the
-    state operator, not silently absorbed. Returns one row of the books:
-    n_input (all rows that entered the stream), n_late_dropped
-    (sum of numRowsDroppedByWatermark over all batches — the metric a
-    production job alarms on), n_on_time. The invariant test pins
-    n_late_dropped to the exact batch-computed count of second-file
-    rows older than the first file's watermark. At scale this is the
-    same two numbers a 100 TB pipeline reads off
+    state operator, not silently absorbed. Returns one row of the
+    books: n_input (all rows that entered the stream), n_late_rows
+    (late-file rows), n_late_dropped_rows (late-file rows strictly
+    below the OBSERVED applied watermark — derived from
+    StreamingQueryProgress, not assumed equal to the late file),
+    n_late_groups_dropped (sum of numRowsDroppedByWatermark — the
+    metric a production job alarms on), n_on_time, and the applied
+    watermark itself. The invariant test pins the group metric to the
+    exact batch-computed distinct-group count below that watermark.
+    At scale these are the same numbers a 100 TB pipeline reads off
     StreamingQueryProgress; nothing here is fixture-specific."""
+    import datetime as dt
+
     staging = late_stream_staging(spark, sf_dir)
     schema = spark.read.parquet(
         posixpath.join(staging, "batch_00.parquet")
@@ -637,11 +807,41 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in progress
         for so in p.get("stateOperators", [])
     )
-    n_late_rows = spark.read.parquet(
+    # The dropped-row books come from the OBSERVED watermark, not from
+    # the staging assumption that every late-file row lands below it:
+    # the filter applied to batch N uses the watermark REPORTED for
+    # batch N-1 (the one-batch lag pinned in the r6 tests), so the
+    # count of late-file rows strictly below that watermark is the
+    # exact number the state operator refused — on a denser fixture
+    # whose median-to-p75 gap is inside the window+delay horizon, some
+    # late rows would be accepted and these books would still be right.
+    entries = sorted(progress, key=lambda p: int(p["batchId"]))
+    data_idx = [
+        i for i, p in enumerate(entries) if int(p["numInputRows"]) > 0
+    ]
+    late_i = data_idx[-1]  # the batch that read the late file
+    wm_str = entries[late_i - 1]["eventTime"]["watermark"]
+    wm = dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00")).replace(
+        tzinfo=None
+    )
+    late = spark.read.parquet(
         posixpath.join(staging, "batch_02.parquet")
-    ).count()
+    )
+    wm_lit = F.lit(wm.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+    n_late_rows = late.count()
+    n_late_dropped_rows = late.where(F.col("ts") < wm_lit).count()
     return spark.createDataFrame(
-        [(n_input, n_late_rows, dropped_groups, n_input - n_late_rows)],
-        "n_input long, n_late_rows long, n_late_groups_dropped long, "
-        "n_on_time long",
+        [
+            (
+                n_input,
+                n_late_rows,
+                n_late_dropped_rows,
+                dropped_groups,
+                n_input - n_late_dropped_rows,
+                wm.strftime("%Y-%m-%d %H:%M:%S"),
+            )
+        ],
+        "n_input long, n_late_rows long, n_late_dropped_rows long, "
+        "n_late_groups_dropped long, n_on_time long, "
+        "watermark_applied string",
     )
