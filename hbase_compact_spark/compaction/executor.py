@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import posixpath
 import time
 import uuid
@@ -51,12 +52,17 @@ from dataclasses import dataclass, field
 from datetime import datetime
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_compact_spark.compaction.checkpoint import CompactionCheckpoint
 
 SWAP_MANIFEST_NAME = "_swap_manifest.json"
+# single-bin partitions below this size join the batched rewrite;
+# larger ones keep their own concurrent per-partition job (overhead
+# amortizes, and one big rel would straggle the batch's
+# one-file-per-rel write stage)
+_BATCH_MAX_PARTITION_BYTES = 16 * 1024 * 1024
 
 
 @dataclass
@@ -217,24 +223,32 @@ def listing_df(spark: SparkSession, table_root: str) -> DataFrame:
 
 def _list_one_partition(
     spark: SparkSession, table_root: str, rel: str
-) -> list[tuple[str, int]]:
-    """[(file_uri, size)] of ONE leaf partition directory via a single
-    listStatus — the bounded on-demand companion to the distributed
-    listing: compact_table resolves file lists only for partitions it
-    is about to rewrite."""
+) -> tuple[list[tuple[str, int]], bool]:
+    """([(file_uri, size)], pure) of ONE leaf partition directory via
+    a single listStatus — the bounded on-demand companion to the
+    distributed listing: compact_table resolves file lists only for
+    partitions it is about to rewrite. `pure` is True when the
+    directory holds nothing beyond those visible .parquet files and
+    hidden (_/. prefixed) entries — i.e. reading the DIRECTORY is
+    equivalent to reading the file list (no stray files, no
+    subdirectories that Spark's reader would partition-discover)."""
     fs, root, jvm = _hadoop_fs(spark, table_root)
     Path = jvm.org.apache.hadoop.fs.Path
     part = Path(posixpath.join(table_root, rel)) if rel else root
     out = []
+    pure = True
     for st in fs.listStatus(part):
         name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # hidden: ignored by Spark's reader too
         if (
             st.isFile()
             and name.endswith(".parquet")
-            and not name.startswith(("_", "."))
         ):
             out.append((str(st.getPath()), int(st.getLen())))
-    return sorted(out)
+        else:
+            pure = False  # subdir or non-parquet visible file
+    return sorted(out), pure
 
 
 def partition_summary(spark: SparkSession, table_root: str) -> DataFrame:
@@ -277,6 +291,18 @@ def _compact_one(
 
     part_dir = posixpath.join(table_root, rel) if rel else table_root
     src = spark.read.parquet(*[p for p, _ in files])
+    # Pack the small-file scan into byte-capped partitions: Spark's
+    # openCostInBytes weighting turns a 64-small-file partition into
+    # ~dozens of near-empty scan tasks, and with many partitions
+    # compacting concurrently the per-task scheduling overhead — not
+    # bytes — dominates the rewrite. Coalesce (narrow, no shuffle) to
+    # ~32 MB of REAL bytes per scan task; a 128 GB partition still
+    # fans out to thousands of tasks, a fragmented 6 MB one becomes
+    # exactly one.
+    total_bytes = sum(sz for _, sz in files)
+    scan_parts = max(1, -(-total_bytes // (32 << 20)))
+    if scan_parts < len(files):
+        src = src.coalesce(scan_parts)
     # stable per-partition tmp name (md5, not the salted builtin hash)
     # so a crashed run's leftover tmp dir is simply overwritten by the
     # retry instead of orphaned under an unreproducible name
@@ -349,6 +375,256 @@ def _compact_one(
         spark, tmp_dir, part_dir, [p for p, _ in files], trash_dir, rel=rel
     )
     return n_after, new_names
+
+
+def _compact_batch(
+    spark: SparkSession,
+    table_root: str,
+    items: list,
+    sort_by: list[str] | None,
+    trash_dir: str | None,
+    ckpt,
+    dirs_ok: bool,
+) -> None:
+    """Rewrite MANY single-bin partitions in ONE read-shuffle-write
+    pass plus one read-back verification.
+
+    The per-partition path pays driver-side planning + job scheduling
+    per partition — right for big partitions, but a fragmented table
+    is typically thousands-to-millions of SMALL partitions, and a
+    driver cannot run 10^6 jobs (the reference's serial region loop,
+    QHC.java:139-170, has the same flaw one process at a time). Here
+    every 1-bin partition is tagged with its relative path (derived
+    from input_file_name, so the tag is a per-FILE constant), unioned,
+    hash-repartitioned BY that tag (all rows of a partition land in
+    one task -> exactly one output file each), and written once via
+    partitionBy.
+
+    Verification, without a second scan of the fragmented source:
+    - the WRITE pass observes global count + xor/sum hash lanes over
+      the data columns (Observation metrics, same lanes as
+      _compact_one) — one source read total;
+    - a metadata-only per-rel COUNT over the source (column-pruned to
+      zero data columns, so parquet serves it from footer row counts)
+      pins each partition's row count individually;
+    - the read-back aggregate over the COMPACTED files (16-64x fewer
+      files than the source) recomputes per-rel count + both hash
+      lanes; per-rel counts must equal the source's and the combined
+      lanes must equal the observed globals.
+    Rows cannot migrate between partitions undetected: the tag is a
+    per-file constant and partitionBy routes each row to its tag's
+    directory, so a tag-derivation bug would shift whole files and
+    trip the per-rel count check (tag derivation itself is pinned by
+    adversarial-name tests).
+
+    The swap stays per-partition through the same crash-safe manifest
+    (_swap_files), so batch atomicity semantics are unchanged: each
+    partition independently either swaps fully or is reconciled."""
+    from urllib.parse import unquote
+
+    # ONE read + ONE analysis for the whole batch — per-partition
+    # spark.read calls would reinstate the driver cost being removed.
+    # When every batched partition's planned fileset is exactly its
+    # directory listing (dirs_ok — the overwhelmingly common case),
+    # read the DIRECTORIES: a handful of roots lists orders of
+    # magnitude faster than enumerating every file path to the file
+    # index, and schema inference reads a single footer. Otherwise
+    # fall back to the explicit file list with a one-file schema so
+    # stray non-planned files are never pulled into the rewrite.
+    if dirs_ok:
+        src = spark.read.parquet(
+            *[posixpath.join(table_root, rel) for rel, _f, _n, _r in items]
+        )
+    else:
+        all_files = [p for _rel, files, _n, _r in items for p, _ in files]
+        schema = spark.read.parquet(all_files[0]).schema
+        src = spark.read.schema(schema).parquet(*all_files)
+    bcol = "__hcs_rel"
+    while bcol in src.columns:  # never shadow a real column
+        bcol += "_"
+    # input_file_name returns a percent-ENCODED URI ("x y" -> "x%20y",
+    # "%" -> "%25"): decode before extracting the tag, or encoded-name
+    # partitions silently fail to match their planned rel. url_decode
+    # is form-decoding ('+' -> space), which would corrupt literal '+'
+    # in dir names — shield it first.
+    fname = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
+    if all("/" not in rel and rel for rel, _f, _n, _r in items):
+        # single-level partitions: the tag is just the parent dir
+        # name (split beats a per-row regex on the hot path)
+        tag = F.element_at(F.split(fname, "/"), -2)
+    else:
+        root_abs = os.path.abspath(table_root)
+        tag = F.regexp_extract(
+            fname,
+            ".*\\Q" + root_abs + "\\E/(.*)/[^/]+$",
+            1,
+        )
+    data_cols = list(src.columns)
+    hashes = "xxhash64(" + ", ".join(f"`{c}`" for c in data_cols) + ")"
+    h_col = "__fp_h"
+    while h_col in src.columns:
+        h_col += "_"
+
+    tmp_batch = posixpath.join(
+        table_root, f"_compact_batchtmp_{uuid.uuid4().hex[:10]}"
+    )
+    # Scope file-split sizing to the batch: the default 4 MB
+    # openCostInBytes turns a thousand ~100 KB store files into
+    # hundreds of near-empty scan tasks whose scheduling — not bytes —
+    # would dominate both read passes. The batch runs single-threaded
+    # before the per-partition pool, so the scoped conf cannot race.
+    split_confs = {
+        "spark.sql.files.openCostInBytes": str(64 << 10),
+        "spark.sql.files.maxPartitionBytes": str(32 << 20),
+    }
+    prev_confs = {k: spark.conf.get(k, None) for k in split_confs}
+    for k, v in split_confs.items():
+        spark.conf.set(k, v)
+    try:
+        # metadata-only per-rel row counts: groupBy(tag).count() reads
+        # NO data columns, so the parquet reader answers from footer
+        # row counts. Runs CONCURRENTLY with the write job (separate
+        # thread — the write's output tasks are capped at one per
+        # partition, so cores are free); nothing destructive happens
+        # until both have finished and been cross-checked.
+        import threading
+
+        count_out: dict = {}
+
+        def run_count() -> None:
+            try:
+                count_out["before_n"] = {
+                    r["rel"]: int(r["n"])
+                    for r in src.groupBy(tag.alias("rel"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            except BaseException as exc:  # surfaced after join
+                count_out["err"] = exc
+
+        count_thread = threading.Thread(target=run_count, daemon=True)
+        count_thread.start()
+        obs = Observation()
+        observed = (
+            src.withColumn(h_col, F.expr(hashes))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(`{h_col}`)").alias("fp"),
+                F.expr(f"sum(cast(`{h_col}` as decimal(38,0)))").alias(
+                    "fpsum"
+                ),
+            )
+            .drop(h_col)
+            .withColumn(bcol, tag)
+        )
+        writer = observed.repartition(len(items), F.col(bcol))
+        if sort_by:
+            writer = writer.sortWithinPartitions(bcol, *sort_by)
+        writer.write.partitionBy(bcol).mode("overwrite").parquet(tmp_batch)
+        metrics = obs.get
+        g_before = (
+            int(metrics["n"]),
+            int(metrics["fp"] or 0),
+            int(metrics["fpsum"] or 0),
+        )
+        count_thread.join()
+        if "err" in count_out:
+            raise count_out["err"]
+        before_n = count_out["before_n"]
+        # fail-safe BEFORE any swap: every observed tag must be a
+        # planned partition, or rows would be routed to a directory
+        # no swap claims and then deleted with tmp_batch
+        unknown = set(before_n) - {rel for rel, _f, _n, _r in items}
+        if unknown:
+            raise RuntimeError(
+                "batch tag derivation produced unplanned partitions "
+                f"{sorted(unknown)[:5]}; refusing to rewrite"
+            )
+        rewritten = spark.read.parquet(tmp_batch)
+        after_rows = (
+            rewritten.withColumn(h_col, F.expr(hashes))
+            .groupBy(bcol)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(`{h_col}`)").alias("fp"),
+                F.expr(f"sum(cast(`{h_col}` as decimal(38,0)))").alias(
+                    "fpsum"
+                ),
+            )
+            .collect()
+        )
+        after_n = {r[bcol]: int(r["n"]) for r in after_rows}
+        g_after = (
+            sum(int(r["n"]) for r in after_rows),
+            _xor_all(int(r["fp"] or 0) for r in after_rows),
+            sum(int(r["fpsum"] or 0) for r in after_rows),
+        )
+        bad = [
+            rel
+            for rel, _f, _n, _r in items
+            if before_n.get(rel) != after_n.get(rel)
+        ]
+        if bad or g_before != g_after:
+            raise RuntimeError(
+                "batched compaction verification failed: "
+                f"per-rel count mismatches {bad}, "
+                f"global lanes {g_before} -> {g_after}"
+            )
+        # map each rel to its escaped partition dir under tmp_batch
+        # (Spark %-escapes special path chars in partition values);
+        # list via Hadoop FS so hdfs:// and s3a:// roots work too
+        fs, tmp_path, _jvm = _hadoop_fs(spark, tmp_batch)
+        subdirs = {}
+        for st in fs.listStatus(tmp_path):
+            name = st.getPath().getName()
+            if name.startswith(f"{bcol}="):
+                subdirs[unquote(name.split("=", 1)[1])] = posixpath.join(
+                    tmp_batch, name
+                )
+        for rel, files, _n_bins, res in items:
+            if rel not in subdirs and not before_n.get(rel):
+                # zero-row partition (all its source files are empty):
+                # partitionBy wrote no dir for its tag; swap against an
+                # empty staging dir so the old files still retire
+                empty = posixpath.join(tmp_batch, f"{bcol}=__zero__")
+                fs.mkdirs(_jvm.org.apache.hadoop.fs.Path(empty))
+                subdirs[rel] = empty
+            part_dir = (
+                posixpath.join(table_root, rel) if rel else table_root
+            )
+            new_names = _swap_files(
+                spark,
+                subdirs[rel],
+                part_dir,
+                [p for p, _ in files],
+                trash_dir,
+                rel=rel,
+            )
+            res.rows = before_n.get(rel, 0)
+            ckpt.mark_done(
+                rel,
+                files_before=len(files),
+                files_after=len(new_names),
+                rows=res.rows,
+                fileset=fileset_signature(new_names),
+            )
+    finally:
+        for k, v in prev_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        _rm(spark, tmp_batch)
+
+
+def _xor_all(vals) -> int:
+    out = 0
+    for v in vals:
+        out ^= v
+    return out
 
 
 def compact_table(
@@ -425,6 +701,7 @@ def compact_table(
         # region cursor (QHC.java:133,146)
         order = sorted(summary)
     todo: list[tuple[str, list[tuple[str, int]], int, PartitionResult]] = []
+    purity: dict[str, bool] = {}  # rel -> dir listing == planned files
     done = 0
     ck_state = ckpt.load()
     for rel in order:
@@ -446,7 +723,7 @@ def compact_table(
             # here; the label difference is cosmetic, the skip is not)
             res.skipped = "pacing_budget"
         else:
-            files = _list_one_partition(spark, table_root, rel)
+            files, pure = _list_one_partition(spark, table_root, rel)
             ck_entry = ck_state.get(rel)
             cur_sig = fileset_signature([p for p, _ in files])
             if ck_entry is not None and ck_entry.get("fileset") in (None, cur_sig):
@@ -458,6 +735,44 @@ def compact_table(
         if not res.skipped:
             done += 1
             todo.append((rel, files, n_bins, res))
+            purity[rel] = pure
+
+    # SMALL single-bin partitions batch into ONE job pair (union-tag
+    # -> partitionBy write + one per-tag verify agg) unless a knob
+    # asks for the reference's serial region-at-a-time politeness
+    # (explicit concurrency=1, pacing, time windows) or the rewrite
+    # needs the per-partition z-order path. A fragmented table is
+    # mostly small 1-bin partitions, and per-partition driver
+    # planning is what caps throughput there — see _compact_batch.
+    # Partitions ABOVE the size gate keep their own overlapped
+    # concurrent jobs: their per-job overhead amortizes over real
+    # bytes, and one big rel inside the batch would otherwise
+    # straggle the whole single-file-per-rel write stage.
+    if (
+        concurrency != 1
+        and time_window is None
+        and not pacing_seconds
+        and not cluster_by
+    ):
+        batchable = [
+            t
+            for t in todo
+            if t[2] == 1
+            and t[0]
+            and t[3].bytes_total < _BATCH_MAX_PARTITION_BYTES
+        ]
+        if len(batchable) >= 2:
+            _compact_batch(
+                spark,
+                table_root,
+                batchable,
+                sort_by,
+                trash_dir,
+                ckpt,
+                dirs_ok=all(purity[t[0]] for t in batchable),
+            )
+            batched = {id(t) for t in batchable}
+            todo = [t for t in todo if id(t) not in batched]
 
     def run_one(item) -> None:
         rel, files, n_bins, res = item
@@ -645,12 +960,35 @@ def reconcile_swaps(spark: SparkSession, table_root: str) -> int:
     qroot = fs.makeQualified(root)
     if not fs.exists(qroot):
         return 0
-    manifests = []
-    it = fs.listFiles(qroot, True)
-    while it.hasNext():
-        p = it.next().getPath()
-        if p.getName() == SWAP_MANIFEST_NAME:
-            manifests.append(p)
+    # Find leftover manifests with ONE JVM-side glob (brace
+    # alternation over partition depths 0-6) instead of draining a
+    # recursive listFiles iterator through py4j — the iterator pays
+    # one py4j round trip PER FILE, turning a clean 1000-file startup
+    # into seconds and a 10^6-file one into hours. The glob returns
+    # only matches (normally zero). Tables nested deeper than 6
+    # partition levels fall back to the exhaustive walk, detected by
+    # a single depth-7 probe glob.
+    base = str(qroot)
+    depth_pats = ",".join(
+        "/".join(["*"] * d) + ("/" if d else "") + SWAP_MANIFEST_NAME
+        for d in range(0, 7)
+    )
+    manifests = [
+        st.getPath()
+        for st in (fs.globStatus(Path(f"{base}/{{{depth_pats}}}")) or [])
+    ]
+    deep = fs.globStatus(Path(base + "/" + "/".join(["*"] * 7)))
+    if deep is not None and len(deep) > 0:
+        it = fs.listFiles(qroot, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            if p.getName() == SWAP_MANIFEST_NAME:
+                manifests.append(p)
+        seen = set()
+        manifests = [
+            m for m in manifests
+            if str(m) not in seen and not seen.add(str(m))
+        ]
     fixed = 0
     for mpath in manifests:
         data = _read_json(fs, jvm, mpath)
