@@ -1860,6 +1860,147 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "html_strip",
+    oracle=r"""
+    WITH built AS (
+      SELECT doc_id, text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style type="text/css">p{margin:0}</style>'
+             || '<script>var x = 1 &amp;&amp; 2;</script></head>'
+             || '<body><nav class="menu"><a href="/">Home</a>'
+             || '<a href="/tags">Tags</a>'
+             || repeat('<a href="/p">p</a>', CAST(doc_id % 3 AS INT))
+             || '</nav><article><p>'
+             || regexp_replace(text, '\bfast\b',
+                               '<em>fast &amp; furious</em>', 'g')
+             || '&nbsp;</p></article>'
+             || '<footer><a href="/privacy">Privacy</a></footer>'
+             || '</body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, text, html,
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+               '<style[^>]*>.*?</style>', ' ', 'g') AS s2
+      FROM built
+    ),
+    deboiler AS (
+      SELECT doc_id, text, html, s2,
+             regexp_replace(
+               regexp_replace(s2, '<nav[^>]*>.*?</nav>', ' ', 'g'),
+               '<footer[^>]*>.*?</footer>', ' ', 'g') AS s3
+      FROM stripped
+    )
+    SELECT doc_id,
+           CAST((len(html) - len(replace(html, '<a href', ''))) / 7
+                AS BIGINT) AS n_links,
+           CAST(len(s2) - len(s3) AS BIGINT) AS boilerplate_chars,
+           trim(regexp_replace(
+             replace(replace(
+               regexp_replace(s3, '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean_text,
+           trim(regexp_replace(
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+               || regexp_replace(text, '\bfast\b', 'fast & furious', 'g'),
+             '\s+', ' ', 'g'))
+           = trim(regexp_replace(
+             replace(replace(
+               regexp_replace(s3, '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean_matches_source
+    FROM deboiler
+    """,
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup stripping + boilerplate removal, trafilatura-style:
+    drop script/style, remove link-farm nav/footer blocks (reporting
+    how many characters of boilerplate were cut and how many links the
+    page carried), strip remaining tags, decode entities, collapse
+    whitespace. The fixture corpus is plain text, so a deterministic
+    HTML page is synthesized around each document first (title, style,
+    script, nav with doc_id-varying link count, article, footer); the
+    strip must then recover EXACTLY the expected visible text —
+    `clean_matches_source` pins the round trip row by row. The regex
+    subset is chosen to mean the same thing to Java regex and RE2 (no
+    backreferences — script/style and nav/footer are separate passes).
+    Pure per-row codegen expression work: one scan, no shuffle,
+    trivially 100 TB-parallel. Extends the reference's text surface;
+    no QHC.java counterpart (its rows are region names, QHC.java:144).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    inline = F.regexp_replace(
+        F.col("text"), r"\bfast\b", "<em>fast &amp; furious</em>"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style type="text/css">p{margin:0}</style>'),
+        F.lit("<script>var x = 1 &amp;&amp; 2;</script></head>"),
+        F.lit('<body><nav class="menu"><a href="/">Home</a>'),
+        F.lit('<a href="/tags">Tags</a>'),
+        F.expr("repeat('<a href=\"/p\">p</a>', CAST(doc_id % 3 AS INT))"),
+        F.lit("</nav><article><p>"),
+        inline,
+        F.lit("&nbsp;</p></article>"),
+        F.lit('<footer><a href="/privacy">Privacy</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    s2 = F.regexp_replace(
+        F.regexp_replace(html, r"<script[^>]*>.*?</script>", " "),
+        r"<style[^>]*>.*?</style>",
+        " ",
+    )
+    s3 = F.regexp_replace(
+        F.regexp_replace(s2, r"<nav[^>]*>.*?</nav>", " "),
+        r"<footer[^>]*>.*?</footer>",
+        " ",
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.regexp_replace(s3, r"<[^>]+>", " "),
+                    F.lit("&nbsp;"),
+                    F.lit(" "),
+                ),
+                F.lit("&amp;"),
+                F.lit("&"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.lit("Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.regexp_replace(F.col("text"), r"\bfast\b", "fast & furious"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        (
+            (F.length(html) - F.length(F.replace(html, F.lit("<a href"))))
+            / 7
+        )
+        .cast("long")
+        .alias("n_links"),
+        (F.length(s2) - F.length(s3)).cast("long").alias(
+            "boilerplate_chars"
+        ),
+        clean.alias("clean_text"),
+        (clean == expected).alias("clean_matches_source"),
+    )
+
+
+@query(
     "ngram_lm_score",
     oracle=r"""
     WITH t AS (

@@ -152,6 +152,31 @@ def test_blocklist_and_pii_scrub_are_pure_scans(spark):
         assert "*(1)" in p, name  # whole-stage-codegen'd scan
 
 
+def test_html_strip_pure_scan_and_round_trip(spark):
+    """html_strip is a per-row regex chain (no shuffle), and the strip
+    must recover exactly the expected visible text for EVERY document
+    — the self-verifying column the oracle also hashes."""
+    import pyspark.sql.functions as F
+
+    from hbase_compact_spark.workload_llm import html_strip
+
+    p = _plan(spark, "html_strip")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+    out = html_strip(spark, "/root/testdata/sf0.001")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("clean_matches_source").cast("int")).alias("ok"),
+        F.min("boilerplate_chars").alias("min_boiler"),
+        F.min("n_links").alias("min_links"),
+        F.max("n_links").alias("max_links"),
+    ).collect()[0]
+    assert agg["n"] > 0 and agg["ok"] == agg["n"]
+    assert agg["min_boiler"] > 0  # nav+footer always removed
+    assert (agg["min_links"], agg["max_links"]) == (3, 5)  # 3 + id%3
+
+
 def test_ngram_lm_model_join_broadcasts(spark):
     """The trained bigram table is aggregation-bounded; joining it
     back to doc bigrams must broadcast, not sort-merge the corpus."""

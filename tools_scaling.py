@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Scale rehearsal: generate an ~sf1 dataset (10x the sf0.1 fixtures)
-under /tmp and measure t(sf1)/t(sf0.1) for the shuffle-heaviest
+"""Scale rehearsal: generate ~sf1 (10x) and ~sf10 (100x) datasets
+under /tmp and measure t(sfN)/t(sf0.1) for the shuffle-heaviest
 queries — the observed-scaling evidence behind SCALING.md's plan-shape
-claims.
+claims. The sf10 decade turns the brief's "survives 100x" question
+into a measured three-point curve (sf0.1 -> sf1 -> sf10).
 
-    python tools_scaling.py generate   # build /tmp/hcs_scale/sf1
-    python tools_scaling.py bench      # run the rehearsal set at both
-                                       # sfs, print one JSON line
+    python tools_scaling.py generate        # build /tmp/hcs_scale/sf1
+    python tools_scaling.py generate sf10   # build /tmp/hcs_scale/sf10
+    python tools_scaling.py bench           # two-point sweep (sf0.1, sf1)
+    python tools_scaling.py bench3 [qs] [N] # three-point sweep of the
+                                            # state-heavy set -> SCALE_r{N}.json
 
 Generation is DETERMINISTIC and referential-integrity-preserving:
 fact/dim tables are replicated 10x with per-copy key offsets (so
@@ -30,8 +33,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 SRC_SF = "/root/testdata/sf0.1"
-OUT_DIR = "/tmp/hcs_scale/sf1"
-COPIES = 10
+TARGETS = {  # label -> (copies vs sf0.1, output dir)
+    "sf1": (10, "/tmp/hcs_scale/sf1"),
+    "sf10": (100, "/tmp/hcs_scale/sf10"),
+}
+OUT_DIR = TARGETS["sf1"][1]
+COPIES = TARGETS["sf1"][0]
 
 # per-copy key offsets = max key + 1 of the sf0.1 fixture generation
 OFFSETS = {
@@ -83,8 +90,8 @@ def _spark() -> SparkSession:
     return get_spark("scale_rehearsal")
 
 
-def _replicate(spark: SparkSession, table: str) -> "F.DataFrame":
-    """10 copies with key-offset columns shifted per copy. Events go
+def _replicate(spark: SparkSession, table: str, copies: int) -> "F.DataFrame":
+    """`copies` copies with key-offset columns shifted per copy. Events go
     through tables.load_table so every fixture timestamp encoding
     that has ever shipped (TIMESTAMP(NANOS)-as-long, NTZ, plain)
     normalizes instead of crashing schema inference."""
@@ -94,8 +101,8 @@ def _replicate(spark: SparkSession, table: str) -> "F.DataFrame":
         df = load_table(spark, SRC_SF, "events")
     else:
         df = spark.read.parquet(f"{SRC_SF}/{table}.parquet")
-    copies = spark.range(COPIES).withColumnRenamed("id", "__copy")
-    out = df.crossJoin(F.broadcast(copies))
+    copy_ids = spark.range(copies).withColumnRenamed("id", "__copy")
+    out = df.crossJoin(F.broadcast(copy_ids))
     for col in df.columns:
         if col in OFFSETS:
             out = out.withColumn(
@@ -104,23 +111,25 @@ def _replicate(spark: SparkSession, table: str) -> "F.DataFrame":
     return out.drop("__copy")
 
 
-def generate() -> None:
+def generate(target: str = "sf1") -> None:
+    copies, out_dir = TARGETS[target]
+    scale_up = copies // 10  # partition counts grow with the decade
     spark = _spark()
-    os.makedirs(OUT_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     # dims stay fixture-sized (they would be broadcast at any scale)
     for t in ("region", "nation"):
         spark.read.parquet(f"{SRC_SF}/{t}.parquet").write.mode(
             "overwrite"
-        ).parquet(f"{OUT_DIR}/{t}.parquet")
+        ).parquet(f"{out_dir}/{t}.parquet")
     for t in ("customer", "supplier", "part", "orders", "lineitem", "events"):
-        n_out = {"lineitem": 16, "orders": 8, "events": 8}.get(t, 4)
-        _replicate(spark, t).repartition(n_out).write.mode(
+        n_out = {"lineitem": 16, "orders": 8, "events": 8}.get(t, 4) * scale_up
+        _replicate(spark, t, copies).repartition(n_out).write.mode(
             "overwrite"
-        ).parquet(f"{OUT_DIR}/{t}.parquet")
+        ).parquet(f"{out_dir}/{t}.parquet")
 
     # documents: synthesized from the fixture vocabulary, fresh draws
     src_docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
-    n_docs = src_docs.count() * COPIES
+    n_docs = src_docs.count() * copies
     vocab = [
         r["w"]
         for r in src_docs.select(
@@ -165,13 +174,13 @@ def generate() -> None:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    docs.repartition(8).write.mode("overwrite").parquet(
-        f"{OUT_DIR}/documents.parquet"
+    docs.repartition(8 * scale_up).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
     )
 
     # embeddings: 64-dim unit-range floats, xxhash-seeded
     n_vecs = (
-        spark.read.parquet(f"{SRC_SF}/embeddings.parquet").count() * COPIES
+        spark.read.parquet(f"{SRC_SF}/embeddings.parquet").count() * copies
     )
     emb = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),
@@ -183,10 +192,10 @@ def generate() -> None:
         ).alias("embedding"),
         F.pmod(F.xxhash64("id", F.lit(9)), 10).cast("int").alias("label"),
     )
-    emb.repartition(4).write.mode("overwrite").parquet(
-        f"{OUT_DIR}/embeddings.parquet"
+    emb.repartition(4 * scale_up).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
     )
-    print("generated", OUT_DIR)
+    print("generated", out_dir)
 
 
 def bench(queries: list[str] | None = None, runs: int = 3) -> None:
@@ -216,12 +225,100 @@ def bench(queries: list[str] | None = None, runs: int = 3) -> None:
     print(json.dumps({"rehearsal": out}, separators=(",", ":")))
 
 
+# the state-heavy / shuffle-heavy tail whose 10x ratios most deserve a
+# second decade of evidence (VERDICT r6): the streaming state-store
+# family plus the heaviest batch shapes
+HEAVY3 = [
+    "stream_tumbling",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_late_data",
+    "dedup_ngram_jaccard",
+    "compaction_execute",
+    "percentile_dist",
+    "skew_salted_join",
+]
+
+
+def bench3(queries: list[str] | None = None, rnd: int | None = None) -> None:
+    """Three-point sweep (sf0.1 / sf1 / sf10) of the state-heavy set;
+    writes SCALE_r{N}.json next to the other round artifacts. sf0.1
+    and sf1 run median-of-3; sf10 runs twice and records the WARM
+    (second) time — at tens of seconds per query the first run's
+    codegen/session warmup would otherwise dominate a 2-run median."""
+    import __spark_entry__ as entrymod
+    from hbase_compact_spark import registry
+
+    if rnd is None:
+        import glob as _g
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _g.glob(str(Path(__file__).parent / "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+
+    spark = _spark()
+    qs = entrymod.queries()
+    names = queries or [q for q in HEAVY3 if q in qs]
+    points = [("sf0.1", SRC_SF, 3), ("sf1", TARGETS["sf1"][1], 3),
+              ("sf10", TARGETS["sf10"][1], 2)]
+    for label, d, _ in points[1:]:
+        if not os.path.isdir(d):
+            raise SystemExit(f"{label} missing — run generate first: {d}")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict[str, float] = {}
+        for label, sf_dir, runs in points:
+            ts = []
+            for _ in range(runs):
+                registry.clear_session_caches()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+            row[label] = round(
+                sorted(ts)[len(ts) // 2] if runs >= 3 else ts[-1], 3
+            )
+        row["ratio_10x"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+        row["ratio_100x"] = round(row["sf10"] / max(row["sf0.1"], 1e-9), 2)
+        row["decade2"] = round(row["sf10"] / max(row["sf1"], 1e-9), 2)
+        out[name] = row
+        print(name, row, flush=True)
+    payload = {
+        "points": {"sf0.1": "median-of-3", "sf1": "median-of-3",
+                   "sf10": "warm (2nd of 2 runs)"},
+        "rows": {"lineitem": {"sf0.1": "600k", "sf1": "6M", "sf10": "60M"},
+                 "events": {"sf0.1": "100k", "sf1": "1M", "sf10": "10M"},
+                 "documents": {"sf0.1": "5k", "sf1": "50k", "sf10": "500k"}},
+        "queries": out,
+    }
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("wrote", out_path)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     if cmd == "generate":
-        generate()
+        generate(sys.argv[2] if len(sys.argv) > 2 else "sf1")
     elif cmd == "bench":
         qlist = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         bench(qlist)
+    elif cmd == "bench3":
+        qlist = (
+            sys.argv[2].split(",")
+            if len(sys.argv) > 2 and sys.argv[2] != "-"
+            else None
+        )
+        rnd = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        bench3(qlist, rnd)
     else:
         raise SystemExit(f"unknown command {cmd!r}")
