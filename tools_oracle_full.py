@@ -63,7 +63,44 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset (default: every registered query)",
+    )
+    ap.add_argument(
+        "--forced-branches",
+        action="store_true",
+        help="set HCS_CC_DRIVER_MAX_PAIRS=0 / HCS_MERGE_KEY_PROBE_CAP=0 "
+        "and wipe the affected memos BEFORE importing the workload "
+        "modules, so the distributed production branches (label "
+        "propagation, every-file merge candidates) run under the same "
+        "oracle compare; pair with --queries for the 4 branch queries",
+    )
+    ap.add_argument(
+        "--with-forced",
+        action="store_true",
+        help="after the main sweep, run the forced-branch subset in a "
+        "SUBPROCESS (the caps are read at module import) and embed its "
+        "rows under a 'forced_branches' key in the same artifact",
+    )
     args = ap.parse_args()
+    if args.forced_branches:
+        # caps are read at workload-module IMPORT time — set them
+        # before __spark_entry__ is imported below, and wipe the memo
+        # trees the capped builders materialize so they rebuild under
+        # the forced branch instead of serving the fast-path tree
+        import shutil
+        import tempfile
+
+        os.environ["HCS_CC_DRIVER_MAX_PAIRS"] = "0"
+        os.environ["HCS_MERGE_KEY_PROBE_CAP"] = "0"
+        sf_name = os.path.basename(args.sf_dir.rstrip("/"))
+        for tag in ("clusterlabels", "merge_scan"):
+            for d in glob.glob(
+                os.path.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
     rnd = args.round if args.round is not None else _default_round()
     out_path = args.out or os.path.join(_REPO, f"ORACLE_FULL_r{rnd:02d}.json")
 
@@ -83,6 +120,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if args.queries:
+        wanted = args.queries.split(",")
+        queries = {n: queries[n] for n in wanted}
     results: dict[str, dict] = {}
     n_hash_green = n_rows_only = n_fail = 0
     for name in sorted(queries):
@@ -97,12 +137,19 @@ def main() -> None:
         }
         t0 = time.perf_counter()
         try:
-            pdf = queries[name](spark, args.sf_dir).toPandas()
-            row["spark_rows"] = len(pdf)
+            sdf = queries[name](spark, args.sf_dir)
             if name not in oracles:
+                # rows-only: the compare needs only the row COUNT —
+                # collecting a data-proportional result (e.g.
+                # bin_packing_plan's per-file plan, millions of rows
+                # at sf1+) to pandas would fail the HARNESS, not the
+                # query
+                row["spark_rows"] = sdf.count()
                 row["err"] = "no_oracle"
                 n_rows_only += 1
             else:
+                pdf = sdf.toPandas()
+                row["spark_rows"] = len(pdf)
                 hs, ns, ds = _hash_pdf(pdf)
                 opdf = con.execute(oracles[name]).fetchdf()
                 ho, no, do = _hash_pdf(opdf)
@@ -126,6 +173,53 @@ def main() -> None:
         )
         print(f"{name:28s} {status:9s} {row['seconds']:7.2f}s", flush=True)
 
+    forced = None
+    if args.with_forced:
+        import subprocess
+        import tempfile
+
+        ftmp = os.path.join(
+            tempfile.gettempdir(), f"oracle_forced_r{rnd:02d}.json"
+        )
+        fqueries = (
+            "dedup_clusters,dedup_canonical,"
+            "snapshot_merge_scan,snapshot_cdc_scan"
+        )
+        rc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--sf-dir",
+                args.sf_dir,
+                "--forced-branches",
+                "--queries",
+                fqueries,
+                "--round",
+                str(rnd),
+                "--out",
+                ftmp,
+            ],
+            check=False,
+        ).returncode
+        with open(ftmp) as f:
+            fdata = json.load(f)
+        forced = {
+            "caps": {
+                "HCS_CC_DRIVER_MAX_PAIRS": "0",
+                "HCS_MERGE_KEY_PROBE_CAP": "0",
+            },
+            "memos_wiped": ["clusterlabels", "merge_scan"],
+            "subprocess_rc": rc,
+            **{k: v for k, v in fdata.items() if k != "_meta"},
+        }
+        n_fail += sum(
+            1
+            for k, v in fdata.items()
+            if k != "_meta"
+            and isinstance(v, dict)
+            and v.get("hash_match") is not True
+        )
+
     payload = {
         "_meta": {
             "sf_dir": args.sf_dir,
@@ -138,6 +232,8 @@ def main() -> None:
         },
         **results,
     }
+    if forced is not None:
+        payload["forced_branches"] = forced
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(
