@@ -69,8 +69,32 @@ def session_cache() -> dict:
 
 
 def clear_session_caches() -> None:
+    """Drop every session-scoped memo AND free its storage. The
+    cached values are localCheckpoint'ed / persisted DataFrames whose
+    blocks live in the block manager's (partially eviction-protected)
+    storage pool — merely clearing the dicts keeps the blocks alive
+    until the JVM notices the dropped references, and a long sweep at
+    sf1+ fills the pool until some later query's broadcast build dies
+    with UNABLE_TO_ACQUIRE_MEMORY. Unpersist what we can reach and
+    nudge the GC so the ContextCleaner can reclaim checkpoint blocks
+    promptly."""
+    import gc
+
+    def _unpersist(v) -> None:
+        if isinstance(v, DataFrame):
+            try:
+                v.unpersist(False)
+            except Exception:
+                pass
+        elif isinstance(v, (tuple, list)):
+            for item in v:
+                _unpersist(item)
+
     for cache in SESSION_CACHES:
+        for v in list(cache.values()):
+            _unpersist(v)
         cache.clear()
+    gc.collect()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

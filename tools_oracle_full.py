@@ -110,7 +110,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from hbase_compact_spark.tables import TABLE_NAMES
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master("local[8]")
+    # the driver's own sweep runs at sf0.01 where the default 1g heap
+    # is ample; the sf1 artifact run needs headroom for 10x the data
+    # (opt-in knob, default session otherwise — config assumptions
+    # must still surface here first)
+    mem = os.environ.get("ORACLE_SWEEP_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -125,7 +133,16 @@ def main() -> None:
         queries = {n: queries[n] for n in wanted}
     results: dict[str, dict] = {}
     n_hash_green = n_rows_only = n_fail = 0
+    from hbase_compact_spark import registry as _registry
+
     for name in sorted(queries):
+        # drop session-scoped shared-intermediate caches between
+        # queries (same discipline as bench.py): at sf1+ the
+        # accumulated persisted frames of earlier queries fill the
+        # default session's storage pool and a later query's broadcast
+        # build dies with UNABLE_TO_ACQUIRE_MEMORY — a harness
+        # artifact, not an engine one
+        _registry.clear_session_caches()
         row = {
             "rows_match": None,
             "schema_match": None,
