@@ -824,6 +824,118 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, EMBED_DUP_THRESHOLD)
 
 
+LINE_LEN = 10  # tokens per "line" (fixture text has no newlines)
+LINE_DUP_MIN_DOCS = 2  # a line shared by >= this many docs is boilerplate
+
+
+@query(
+    "dedup_lines",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_D} AS toks FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             CAST(start // {LINE_LEN} AS BIGINT) AS line_no,
+             array_to_string(toks[start + 1 : start + {LINE_LEN}], ' ')
+               AS line
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, {LINE_LEN}))
+                     AS start
+            FROM t WHERE len(toks) >= 1)
+    ),
+    dup AS (
+      SELECT line FROM l
+      GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}
+    ),
+    kept AS (
+      SELECT l.doc_id, l.line_no, l.line
+      FROM l LEFT JOIN dup ON l.line = dup.line
+      WHERE dup.line IS NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_no) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.toks) / {LINE_LEN}.0) AS BIGINT) AS n_lines,
+           CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(ceil(len(t.toks) / {LINE_LEN}.0) - coalesce(p.n_kept, 0)
+                AS BIGINT) AS n_dropped,
+           coalesce(p.clean_text, '') AS clean_text
+    FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet / RefinedWeb "remove
+    duplicated lines" stage): every document splits into fixed
+    LINE_LEN-token lines (the fixture text has no newlines, so the
+    chunk stands in for the newline split), a line whose exact text
+    occurs in >= LINE_DUP_MIN_DOCS distinct documents is boilerplate
+    and is dropped from ALL of them, and each document is re-assembled
+    from its surviving lines in order with kept/dropped books.
+
+    Scale shape: one scan + generator explode produces the line
+    index; the duplicate set is a line-keyed partial-agg groupBy
+    (count_distinct collapses map-side) that yields ONLY the
+    duplicated lines — at 100 TB that set is the boilerplate mass,
+    orders smaller than the corpus — and survivors come from a
+    shuffled LEFT ANTI join on the line hash, never a broadcast of
+    anything corpus-sized. Reassembly is one groupBy(doc_id) whose
+    input is already the surviving lines. Three shuffles total, all
+    key-partitioned; nothing touches the driver.
+
+    Reference analogy: the HAVING filenum>1 duplicate-region gate of
+    QHBaseCompact.java:151 applied to line fingerprints."""
+    docs = _docs_with(spark, sf_dir, toks=TX.tokens())
+    nt = F.size("toks")
+    starts = docs.where(nt >= 1).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), nt - 1, F.lit(LINE_LEN))
+        ).alias("start"),
+    )
+    lines = starts.select(
+        "doc_id",
+        (F.col("start") / LINE_LEN).cast("long").alias("line_no"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("start") + 1, LINE_LEN)
+        ).alias("line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= LINE_DUP_MIN_DOCS)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id", F.ceil(nt / F.lit(float(LINE_LEN))).alias("n_lines")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 # ======================================================== similarity
 @query(
     "similarity_topk",

@@ -660,6 +660,91 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gapfill_resample",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(20,6))) AS vsum
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(h) AS hmin, max(h) AS hmax
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    )
+    SELECT g.event_type,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(coalesce(hh.n_events, 0) AS BIGINT) AS n_events,
+           hh.n_events IS NULL AS gap_filled,
+           coalesce(CAST(hh.vsum AS DOUBLE), 0.0) AS sum_value,
+           last_value(CAST(hh.vsum AS DOUBLE) IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_value
+    FROM grid g LEFT JOIN hourly hh USING (event_type, h)
+    """,
+)
+def gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket GAP FILL + last-observation-carried-forward — the
+    hypertable resample primitive (TimescaleDB time_bucket_gapfill /
+    locf): hourly rollup per event_type, a dense hour grid generated
+    from each type's own [min, max] span, missing hours materialized
+    with n_events=0 / sum_value=0 / gap_filled=true, and locf_value
+    carrying the last observed hourly sum across the gap.
+
+    Scale shape: the rollup is one map-side-partial groupBy; the grid
+    is |types| rows EXPLODED to |types|x|span| (generated, never
+    scanned); the fill join is keyed on (type, hour) over
+    rollup-cardinality inputs — AQE broadcasts the grid at fixture
+    scale and shuffles it at dashboard scale, both fine because
+    NOTHING here is raw-event cardinality after the first agg. The
+    locf window partitions by type over hourly rows (bounded by the
+    time span, not the data volume). At 100 TB of events the only
+    event-scale stage is the first partial agg — exactly the
+    hypertable_rollup shape this builds on.
+
+    Generalizes the reference's poll-loop gap tolerance
+    (QHBaseCompact.java:62-73 — absent regions simply produce no
+    row) into explicit, queryable gap materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("vsum"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vsum_d = F.col("vsum").cast("double")
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        F.coalesce(vsum_d, F.lit(0.0)).alias("sum_value"),
+        F.last(vsum_d, ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@query(
     "anomaly_zscore",
     oracle="""
     WITH s AS (

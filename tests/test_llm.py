@@ -731,3 +731,28 @@ def test_distributed_branch_env_hooks():
     )
     out = subprocess.check_output([_sys.executable, "-c", code], text=True)
     assert out.split() == ["0", "0"]
+
+
+def test_dedup_lines_drops_planted_boilerplate(spark, planted_dir):
+    """Line-dedup invariants on the planted corpus: docs 0/1 are
+    exact duplicates so EVERY line is shared by >=2 docs and both
+    reduce to empty text; the near-dup doc 2 differs only at token 10,
+    so exactly its line 1 (tokens 10-19) survives and every other
+    line is dropped as boilerplate; unique docs 3/4 keep everything.
+    Books must balance for all docs."""
+    out = {r["doc_id"]: r for r in llm.dedup_lines(spark, planted_dir).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert r["n_kept"] + r["n_dropped"] == r["n_lines"]
+    assert out[0]["n_kept"] == 0 and out[0]["clean_text"] == ""
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+    toks = BASE.split()
+    expected_line1 = " ".join(
+        ["shiny" if i == 10 else toks[i] for i in range(10, 20)]
+    )
+    assert out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == expected_line1
+    for d in (3, 4):
+        assert out[d]["n_dropped"] == 0
+        assert out[d]["clean_text"] == " ".join(out[d]["clean_text"].split())
+        assert out[d]["n_kept"] == out[d]["n_lines"]

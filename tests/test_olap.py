@@ -96,3 +96,32 @@ def test_exact_group_percentiles_edges(spark):
     # b: values 1,1,1,3 (NULL ignored) -> p50 = 1.0, p75 = 1 + 0.25*(3-1) = 1.5
     assert out["b"]["p50"] == 1.0
     assert out["b"]["p75"] == 1.5
+
+
+def test_gapfill_grid_dense_and_locf(spark):
+    """Gap-fill invariants: per type the hour grid is DENSE over
+    [min, max] (span = rows, no holes), gap rows carry n_events=0 /
+    sum_value=0, observed rows carry their own sum, and locf_value
+    equals the most recent observed (non-gap) sum at or before the
+    row."""
+    out = olap.gapfill_resample(spark, SF_DIR).toPandas()
+    assert out.gap_filled.any(), "fixture must exercise the fill path"
+    for etype, g in out.groupby("event_type"):
+        g = g.sort_values("hour_start").reset_index(drop=True)
+        import pandas as pd
+
+        hours = pd.to_datetime(g.hour_start)
+        span = int((hours.max() - hours.min()).total_seconds() // 3600) + 1
+        assert span == len(g), f"{etype}: grid has holes"
+        assert (hours.diff().dropna().dt.total_seconds() == 3600).all()
+        # first grid row is an observed hour by construction (min(h))
+        assert not g.gap_filled.iloc[0]
+        last = None
+        for _, r in g.iterrows():
+            if r.gap_filled:
+                assert r.n_events == 0 and r.sum_value == 0.0
+                assert r.locf_value == last
+            else:
+                assert r.n_events > 0
+                last = r.sum_value
+                assert r.locf_value == r.sum_value
