@@ -227,14 +227,16 @@ def _quality_frame(
     DuckDB twin is the quality_score oracle / _QUALITY_D). Kept as
     THE single definition so every quality consumer agrees. `scope`
     (a doc_id frame) semi-joins BEFORE the regexp/token expressions:
-    a consumer needing quality for a small doc subset (dedup_canonical
-    — dup-cluster members only) pays the expression cost on that
-    subset, not a full corpus pass."""
+    a consumer needing quality for a doc subset (dedup_canonical —
+    dup-cluster members only) pays the expression cost on that
+    subset, not a full corpus pass. The semi-join is UNhinted: the
+    dup-cluster member set is data-dependent (web-scale near-dup
+    membership is commonly 30-50% of the corpus), so AQE picks
+    broadcast at fixture scale and a shuffle semi-join past the
+    ceiling — a forced broadcast here is a 100 TB OOM."""
     docs = load_table(spark, sf_dir, "documents")
     if scope is not None:
-        docs = docs.join(
-            F.broadcast(scope.select("doc_id")), "doc_id", "left_semi"
-        )
+        docs = docs.join(scope.select("doc_id"), "doc_id", "left_semi")
     docs = docs.withColumn("toks", TX.tokens())
     q = docs.select(
         "doc_id",
@@ -904,14 +906,20 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             " ", F.slice("toks", F.col("start") + 1, LINE_LEN)
         ).alias("line"),
-    )
+    ).withColumn("line_h", F.xxhash64("line"))
+    # the dup-set groupBy and the anti-join both key on the 64-bit
+    # xxhash64 fingerprint, NOT the raw line text — shuffle bytes are
+    # 8 B/key instead of the corpus's text bytes (CCNet keys its line
+    # dedup on hashes for the same reason; a 64-bit collision merely
+    # drops one extra boilerplate-look-alike line, the standard
+    # fingerprint-dedup tradeoff)
     dup = (
-        lines.groupBy("line")
+        lines.groupBy("line_h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= LINE_DUP_MIN_DOCS)
-        .select("line")
+        .select("line_h")
     )
-    kept = lines.join(dup, "line", "left_anti")
+    kept = lines.join(dup, "line_h", "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(
@@ -1125,9 +1133,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, term), so df = rows per term and n = distinct doc_ids) —
     the corpus is scanned once, not three times, which is the
     difference between 1x and 3x a 100 TB pass. tf is checkpointed so
-    its three consumers read one materialization. idf broadcast-joined
-    back, top-1 per doc by a window. Rounded before ranking so the
-    libm-vs-JVM last-ulp of ln() cannot flip an ordering."""
+    its three consumers read one materialization. The per-term df
+    frame is VOCABULARY-cardinality (1e8-1e9 distinct tokens on a web
+    corpus), so it joins back UNhinted — AQE chooses broadcast at
+    fixture scale from runtime sizes and falls back to a shuffle join
+    past the broadcast ceiling; only the 1-row corpus count n keeps a
+    broadcast hint. Top-1 per doc by a window. Rounded before ranking
+    so the libm-vs-JVM last-ulp of ln() cannot flip an ordering."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -1143,7 +1155,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2894,8 +2906,10 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, phrase detection a la 'new_york') over the corpus. Shape:
     one positional token explode, a SELF-JOIN bounded per document by
     the position band (each token pairs with at most W successors —
-    work is O(corpus_tokens x W), never quadratic), unigram counts
-    and the two scalar totals broadcast back, and a top-k
+    work is O(corpus_tokens x W), never quadratic), the
+    VOCABULARY-cardinality unigram tables joined back UNhinted (AQE
+    broadcasts at fixture scale, shuffles past the ceiling at web
+    vocab sizes), the two 1-row scalar totals broadcast, and a top-k
     TakeOrdered. The unordered pair is canonicalized with
     least/greatest at pair-formation time so (a,b) and (b,a)
     accumulate together. PMI is rounded to 6 BEFORE the ordering so a
@@ -2939,8 +2953,8 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = uni.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
     scored = (
-        pair.join(F.broadcast(ua), "term_a")
-        .join(F.broadcast(ub), "term_b")
+        pair.join(ua, "term_a")
+        .join(ub, "term_b")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_pair_tot))
         .select(

@@ -275,6 +275,73 @@ def test_event_analytics_joins_are_aqe_chosen_broadcast(spark, name):
     assert "CartesianProduct" not in p, name
 
 
+@pytest.mark.parametrize(
+    "name,scalar_hints",
+    [
+        ("tfidf_top_terms", 1),  # only the 1-row corpus count n
+        ("cooccurrence_pmi", 2),  # only the 1-row n_tok / n_pair_tot
+    ],
+)
+def test_vocab_joins_are_aqe_chosen_broadcast(spark, name, scalar_hints):
+    """tfidf_top_terms / cooccurrence_pmi join VOCABULARY-cardinality
+    frames (per-term df, unigram counts) back to the reduced token
+    table with NO broadcast hint — vocab grows with the corpus
+    (1e8-1e9 distinct tokens at 100 TB) and a forced broadcast there
+    is a hard OOM. Only 1-row scalar frames may keep hints. At
+    fixture scale AQE must still CHOOSE BroadcastHashJoin from its
+    runtime size estimates."""
+    import inspect
+
+    import hbase_compact_spark.workload_llm as llm
+
+    src = inspect.getsource(getattr(llm, name))
+    assert src.count("F.broadcast") == scalar_hints, name
+    df = _Q[name](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, name
+    assert "SortMergeJoin" not in p, name
+    assert "CartesianProduct" not in p, name
+
+
+def test_quality_scope_semi_join_is_aqe_chosen(spark):
+    """_quality_frame's scope semi-join (dedup_canonical's cluster-
+    member subset) is UNhinted: near-dup membership is a large,
+    data-dependent corpus fraction at web scale, so the planner must
+    be free to shuffle it. AQE still broadcasts at fixture scale."""
+    import inspect
+
+    import hbase_compact_spark.workload_llm as llm
+
+    src = inspect.getsource(llm._quality_frame)
+    assert "F.broadcast" not in src
+    df = _Q["dedup_canonical"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_lines_shuffles_on_line_hash(spark):
+    """dedup_lines keys its dup-set groupBy and LEFT ANTI join on
+    xxhash64(line), not the raw line text — shuffle keys are 8 bytes,
+    not corpus text bytes. The hash must be visible in the executed
+    plan and the anti-join present; no broadcast hint in the source."""
+    import inspect
+
+    import hbase_compact_spark.workload_llm as llm
+
+    src = inspect.getsource(llm.dedup_lines)
+    assert "F.broadcast" not in src
+    assert "xxhash64" in src
+    df = _Q["dedup_lines"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_percentile_dist_plan_shape(spark):
     """The distributed exact-percentile shape: per value column, ONE
     exchange feeds the cumulative+total window pair (no totals join),
