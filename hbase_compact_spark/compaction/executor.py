@@ -431,14 +431,31 @@ def _compact_batch(
     # index, and schema inference reads a single footer. Otherwise
     # fall back to the explicit file list with a one-file schema so
     # stray non-planned files are never pulled into the rewrite.
+    # Scope file-split sizing to an ISOLATED session (same
+    # SparkContext, own SQLConf): the default 4 MB openCostInBytes
+    # turns a thousand ~100 KB store files into hundreds of
+    # near-empty scan tasks whose scheduling — not bytes — would
+    # dominate both read passes. Mutating the CALLER's session conf
+    # instead would silently resize every concurrent query sharing
+    # the session (the repo shares sessions across workloads), so the
+    # batch reads run through `bspark` and the caller session is
+    # never touched. cloneSession() copies the caller's session state
+    # (runtime SQL confs, so planner behavior — AQE, shuffle
+    # partitions, session TZ — matches) in one JVM call; subsequent
+    # conf.set calls affect only the clone.
+    bspark = SparkSession(
+        spark.sparkContext, spark._jsparkSession.cloneSession()
+    )
+    bspark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+    bspark.conf.set("spark.sql.files.maxPartitionBytes", str(32 << 20))
     if dirs_ok:
-        src = spark.read.parquet(
+        src = bspark.read.parquet(
             *[posixpath.join(table_root, rel) for rel, _f, _n, _r in items]
         )
     else:
         all_files = [p for _rel, files, _n, _r in items for p, _ in files]
-        schema = spark.read.parquet(all_files[0]).schema
-        src = spark.read.schema(schema).parquet(*all_files)
+        schema = bspark.read.parquet(all_files[0]).schema
+        src = bspark.read.schema(schema).parquet(*all_files)
     bcol = "__hcs_rel"
     while bcol in src.columns:  # never shadow a real column
         bcol += "_"
@@ -455,9 +472,20 @@ def _compact_batch(
         # name (split beats a per-row regex on the hot path)
         tag = F.element_at(F.split(fname, "/"), -2)
     else:
-        root_abs = os.path.abspath(table_root)
+        # multi-level: strip the scheme/authority from the decoded
+        # file URI and anchor on the QUALIFIED root path, exactly as
+        # listing_df does — os.path.abspath would mangle URI roots
+        # (file:///t, hdfs://nn/t) into cwd-prefixed nonsense and tag
+        # every row '' (the unknown-tag guard would then kill the
+        # whole batch after the rewrite).
+        fs_root, root_path, _ = _hadoop_fs(spark, table_root)
+        root_abs = _uri_path(str(fs_root.makeQualified(root_path))).rstrip(
+            "/"
+        )
+        scheme_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
+        fname_abs = F.regexp_replace(fname, scheme_re, "")
         tag = F.regexp_extract(
-            fname,
+            fname_abs,
             ".*\\Q" + root_abs + "\\E/(.*)/[^/]+$",
             1,
         )
@@ -470,18 +498,6 @@ def _compact_batch(
     tmp_batch = posixpath.join(
         table_root, f"_compact_batchtmp_{uuid.uuid4().hex[:10]}"
     )
-    # Scope file-split sizing to the batch: the default 4 MB
-    # openCostInBytes turns a thousand ~100 KB store files into
-    # hundreds of near-empty scan tasks whose scheduling — not bytes —
-    # would dominate both read passes. The batch runs single-threaded
-    # before the per-partition pool, so the scoped conf cannot race.
-    split_confs = {
-        "spark.sql.files.openCostInBytes": str(64 << 10),
-        "spark.sql.files.maxPartitionBytes": str(32 << 20),
-    }
-    prev_confs = {k: spark.conf.get(k, None) for k in split_confs}
-    for k, v in split_confs.items():
-        spark.conf.set(k, v)
     try:
         # metadata-only per-rel row counts: groupBy(tag).count() reads
         # NO data columns, so the parquet reader answers from footer
@@ -543,7 +559,71 @@ def _compact_batch(
                 "batch tag derivation produced unplanned partitions "
                 f"{sorted(unknown)[:5]}; refusing to rewrite"
             )
-        rewritten = spark.read.parquet(tmp_batch)
+        # The directory-read fast path scanned DIRECTORIES, so a data
+        # file landing between planning and the batch read would have
+        # its rows compacted into the new output while _swap_files
+        # retires only the PLANNED files — the late file would survive
+        # alongside the compacted copy of its rows, permanently
+        # duplicating them (and the per-rel count check cannot see it:
+        # both sides read the same directory snapshot). Re-list every
+        # batched partition — the source read is complete here (the
+        # write job and the footer-count job both finished above), so
+        # any file the read could have seen is visible to the re-list
+        # — and later swap only those whose listing still equals the
+        # planned fileset; a changed partition is left untouched for
+        # the next run to re-plan. The re-list is ONE recursive
+        # binaryFile listing over just the batched dirs (JVM-parallel,
+        # no per-file py4j round trips — the 10^5-partition path),
+        # OVERLAPPED with the read-back verification job below. A late
+        # NON-parquet visible file is invisible to this listing, but
+        # also harmless: one present during the read fails the parquet
+        # read outright, one arriving after it contributes no read
+        # rows and merely survives the swap untouched.
+        relist_out: dict = {}
+        relist_thread = None
+        if dirs_ok:
+            fs_r, root_path_r, _ = _hadoop_fs(spark, table_root)
+            r_abs = _uri_path(
+                str(fs_r.makeQualified(root_path_r))
+            ).rstrip("/")
+
+            def run_relist() -> None:
+                try:
+                    found: dict[str, list[str]] = {
+                        rel: [] for rel, _f, _n, _r in items
+                    }
+                    rows = (
+                        bspark.read.format("binaryFile")
+                        .option("pathGlobFilter", "*.parquet")
+                        .option("recursiveFileLookup", "true")
+                        .load(
+                            [
+                                posixpath.join(table_root, rel)
+                                for rel, _f, _n, _r in items
+                            ]
+                        )
+                        .select("path")
+                        .collect()
+                    )
+                    for row in rows:
+                        p = _uri_path(row["path"])
+                        if not p.startswith(r_abs + "/"):
+                            continue  # foreign mount: cannot be planned
+                        tail = p[len(r_abs) + 1 :]
+                        d = posixpath.dirname(tail)
+                        while d and d not in found:
+                            d = posixpath.dirname(d)  # nested late subdir
+                        if d:
+                            found[d].append(tail)
+                    relist_out["found"] = {
+                        rel: sorted(tails) for rel, tails in found.items()
+                    }
+                except BaseException as exc:  # surfaced after join
+                    relist_out["err"] = exc
+
+            relist_thread = threading.Thread(target=run_relist, daemon=True)
+            relist_thread.start()
+        rewritten = bspark.read.parquet(tmp_batch)
         after_rows = (
             rewritten.withColumn(h_col, F.expr(hashes))
             .groupBy(bcol)
@@ -584,7 +664,18 @@ def _compact_batch(
                 subdirs[unquote(name.split("=", 1)[1])] = posixpath.join(
                     tmp_batch, name
                 )
+        if relist_thread is not None:
+            relist_thread.join()
+            if "err" in relist_out:
+                raise relist_out["err"]
         for rel, files, _n_bins, res in items:
+            if dirs_ok:
+                planned = sorted(
+                    _uri_path(p)[len(r_abs) + 1 :] for p, _ in files
+                )
+                if relist_out["found"][rel] != planned:
+                    res.skipped = "concurrent_arrival"
+                    continue
             if rel not in subdirs and not before_n.get(rel):
                 # zero-row partition (all its source files are empty):
                 # partitionBy wrote no dir for its tag; swap against an
@@ -612,11 +703,6 @@ def _compact_batch(
                 fileset=fileset_signature(new_names),
             )
     finally:
-        for k, v in prev_confs.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
         _rm(spark, tmp_batch)
 
 
@@ -969,26 +1055,41 @@ def reconcile_swaps(spark: SparkSession, table_root: str) -> int:
     # partition levels fall back to the exhaustive walk, detected by
     # a single depth-7 probe glob.
     base = str(qroot)
-    depth_pats = ",".join(
-        "/".join(["*"] * d) + ("/" if d else "") + SWAP_MANIFEST_NAME
-        for d in range(0, 7)
-    )
-    manifests = [
-        st.getPath()
-        for st in (fs.globStatus(Path(f"{base}/{{{depth_pats}}}")) or [])
-    ]
-    deep = fs.globStatus(Path(base + "/" + "/".join(["*"] * 7)))
-    if deep is not None and len(deep) > 0:
+    if any(c in base for c in "*?[]{}\\"):
+        # a glob metacharacter in the TABLE ROOT itself would corrupt
+        # the pattern (brace alternation swallows a literal '{', a
+        # '[x]' range-matches) and could silently return no manifests
+        # — the interrupted swap would never reconcile and the next
+        # run would bake the old+new duplication in permanently.
+        # Exhaustive walk for such roots; they are rare, the glob fast
+        # path covers the normal fleet.
+        manifests = []
         it = fs.listFiles(qroot, True)
         while it.hasNext():
             p = it.next().getPath()
             if p.getName() == SWAP_MANIFEST_NAME:
                 manifests.append(p)
-        seen = set()
+    else:
+        depth_pats = ",".join(
+            "/".join(["*"] * d) + ("/" if d else "") + SWAP_MANIFEST_NAME
+            for d in range(0, 7)
+        )
         manifests = [
-            m for m in manifests
-            if str(m) not in seen and not seen.add(str(m))
+            st.getPath()
+            for st in (fs.globStatus(Path(f"{base}/{{{depth_pats}}}")) or [])
         ]
+        deep = fs.globStatus(Path(base + "/" + "/".join(["*"] * 7)))
+        if deep is not None and len(deep) > 0:
+            it = fs.listFiles(qroot, True)
+            while it.hasNext():
+                p = it.next().getPath()
+                if p.getName() == SWAP_MANIFEST_NAME:
+                    manifests.append(p)
+            seen = set()
+            manifests = [
+                m for m in manifests
+                if str(m) not in seen and not seen.add(str(m))
+            ]
     fixed = 0
     for mpath in manifests:
         data = _read_json(fs, jvm, mpath)

@@ -35,15 +35,6 @@ from pyspark.sql import functions as F
 # misuse this module-global protocol cannot survive.
 _PENDING_CONF_RESTORES: list[tuple[str, str | None, int]] = []
 
-# Memory-sink temp views still alive from previous run_bounded calls:
-# each call drops its predecessors' sinks FIRST, so repeated bounded
-# runs (bench loops) hold at most one result table on the driver at a
-# time, without paying a collect + re-createDataFrame copy per run.
-# Contract: a run_bounded result must be consumed before the caller
-# starts the next bounded stream (true of every query/bench/driver
-# flow here — results go straight to toPandas()/noop).
-_LIVE_SINKS: list[str] = []
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time
@@ -146,14 +137,16 @@ def run_bounded(
     to restart one from a checkpoint) — checkpoint-recovery flows use
     a foreachBatch sink instead (stream_restart_recovery).
 
-    CONTRACTS (module-global protocol, single-threaded by design):
-    1. CONSUME-BEFORE-NEXT-STREAM — the returned DataFrame reads a
-       memory-sink temp view that the NEXT run_bounded call on this
-       session DROPS. Collect/convert the result before starting
-       another bounded stream; a stale frame evaluated afterwards
-       raises TABLE_OR_VIEW_NOT_FOUND for a `stream_out_*` view, and
-       this contract is why.
-    2. BUILD-THEN-RUN — build the source stream(s) for ONE bounded
+    The returned DataFrame is the memory sink's rows eagerly
+    localCheckpoint'ed into executor block storage, with the sink's
+    temp view dropped before returning — so the result stays valid
+    across any number of later run_bounded calls (the old
+    consume-before-next-stream footgun, where the next call dropped
+    the view under a stale frame, is gone) and the blocks free when
+    the frame is garbage collected.
+
+    CONTRACT (module-global protocol, single-threaded by design):
+    BUILD-THEN-RUN — build the source stream(s) for ONE bounded
        query (events_stream may park session-conf restores) and
        run_bounded it before building the next query's sources;
        parked restores from a DIFFERENT thread raise RuntimeError
@@ -168,8 +161,6 @@ def run_bounded(
                 "does not support concurrent bounded streams on one "
                 "session"
             )
-    while _LIVE_SINKS:
-        spark.catalog.dropTempView(_LIVE_SINKS.pop())
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
@@ -207,13 +198,15 @@ def run_bounded(
         # the memory sink holds the result rows on the driver (bounded
         # fixture streams are driver-sized by construction; a
         # production unbounded stream would use a real sink, never
-        # `memory`). Return the sink table DIRECTLY — the old
-        # collect + re-createDataFrame copy doubled every result's
-        # driver cost — and let the NEXT run_bounded call drop it
-        # (_LIVE_SINKS), so bench loops still hold one result at a
-        # time.
-        _LIVE_SINKS.append(name)
-        return spark.table(name)
+        # `memory`). Materialize ONCE into executor block storage and
+        # drop the sink view immediately: the returned frame no longer
+        # depends on a temp view a later run_bounded call would drop,
+        # so stale-frame TABLE_OR_VIEW_NOT_FOUND surprises cannot
+        # happen, and bench loops still hold one result's blocks at a
+        # time (freed when the frame is GC'd).
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")

@@ -424,27 +424,30 @@ def stream_restart_recovery(
             "sum_value double"
         )
 
-        def _emitted(dirs: list[str]) -> list:
+        def _emitted(dirs: list[str]) -> DataFrame:
             if not dirs:
-                return []
+                return spark.createDataFrame([], out_schema)
             return (
                 spark.read.schema(out_schema)
                 .parquet(*dirs)
                 .where(F.col("user_id") != _SESSION_SENTINEL_USER)
-                .collect()
             )
 
-        first_rows = _emitted(dirs_first)
-        second_rows = _emitted(dirs_new)
-        if phases is not None:
+        first_df = _emitted(dirs_first)
+        second_df = _emitted(dirs_new)
+        if phases is not None:  # diagnostics only — not the result path
             phases.append(
                 {
                     "phase": "emissions",
-                    "before_kill": first_rows,
-                    "restarted": second_rows,
+                    "before_kill": first_df.collect(),
+                    "restarted": second_df.collect(),
                 }
             )
-        return spark.createDataFrame(first_rows + second_rows, out_schema)
+        # union of the two runs' emission frames, materialized to
+        # executor storage (eager localCheckpoint) so the result
+        # outlives the staging tree removed below — a distributed
+        # materialization, never a driver collect+re-create.
+        return first_df.unionByName(second_df).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -820,7 +823,22 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         i for i, p in enumerate(entries) if int(p["numInputRows"]) > 0
     ]
     late_i = data_idx[-1]  # the batch that read the late file
-    wm_str = entries[late_i - 1]["eventTime"]["watermark"]
+    # the staging guarantees an earlier on-time batch; if the late
+    # file were somehow read first, entries[late_i - 1] would
+    # negative-index the LAST entry and the books would silently lie
+    if late_i < 1:
+        raise RuntimeError(
+            "stream_late_data: the late file was read in the first "
+            "progress entry — no prior on-time batch to take the "
+            "applied watermark from (staging contract violated)"
+        )
+    wm_str = entries[late_i - 1]["eventTime"].get("watermark")
+    if wm_str is None:
+        raise RuntimeError(
+            "stream_late_data: progress entry before the late batch "
+            f"(batchId {entries[late_i - 1]['batchId']}) reports no "
+            "eventTime.watermark — cannot derive the dropped-row books"
+        )
     wm = dt.datetime.fromisoformat(wm_str.replace("Z", "+00:00")).replace(
         tzinfo=None
     )

@@ -942,3 +942,158 @@ def test_compaction_execute_throughput_beats_reference(spark):
     if mbps <= 25.6:
         mbps = max(mbps, attempt())
     assert mbps > 25.6, f"compaction_execute too slow: {mbps:.1f} MB/s"
+
+
+def test_reconcile_handles_glob_metachar_root(spark, tmp_path):
+    """A table root containing Hadoop-glob metacharacters must still
+    find leftover manifests: the brace-alternation fast path would
+    corrupt its own pattern on such a root and silently return none
+    (the interrupted swap then never reconciles and the next run
+    bakes the old+new duplication in), so metachar roots take the
+    exhaustive listFiles walk. Data READS of such roots are
+    separately unsupported (Spark glob-expands source paths);
+    reconcile works at the FileSystem layer and must not care."""
+    import json as jsonmod
+    import posixpath
+
+    from hbase_compact_spark.compaction.executor import (
+        SWAP_MANIFEST_NAME,
+        reconcile_swaps,
+    )
+
+    root = str(tmp_path / "t{0}[ab]")
+    part = os.path.join(root, "region=p0")
+    tmpd = os.path.join(root, "_compact_tmp_crash")
+    os.makedirs(part)
+    os.makedirs(tmpd)
+    with open(os.path.join(tmpd, "new-00000.parquet"), "wb") as f:
+        f.write(b"NEW")
+    old_f = os.path.join(part, "old-00000.parquet")
+    with open(old_f, "wb") as f:
+        f.write(b"OLD")
+    manifest = {
+        "tmp_dir": tmpd,
+        "rel": "region=p0",
+        "moves": [
+            [
+                posixpath.join(tmpd, "new-00000.parquet"),
+                posixpath.join(part, "compacted-00000.parquet"),
+            ]
+        ],
+        "old": [old_f],
+        "trash_dir": None,
+    }
+    with open(os.path.join(part, SWAP_MANIFEST_NAME), "w") as f:
+        jsonmod.dump(manifest, f)
+
+    assert reconcile_swaps(spark, root) == 1
+    assert os.path.exists(os.path.join(part, "compacted-00000.parquet"))
+    assert not os.path.exists(old_f)
+    assert not os.path.exists(tmpd)
+    assert not os.path.exists(os.path.join(part, SWAP_MANIFEST_NAME))
+    assert reconcile_swaps(spark, root) == 0  # idempotent
+
+
+def test_batch_compacts_uri_root_multilevel(spark, tmp_path):
+    """compact_table with the TABLE ROOT given as a file:// URI and
+    MULTI-LEVEL partitions (forces the regexp tag branch of the
+    batched rewrite). Regression: the tag anchor used
+    os.path.abspath(table_root), which mangles URI roots (prepends
+    cwd, collapses //) — every row tagged '' and the unknown-tag
+    guard killed the whole batch after the rewrite. The anchor now
+    derives from the scheme-stripped qualified root, like listing_df."""
+    from hbase_compact_spark.tables import load_table
+
+    plain = str(tmp_path / "uri_tbl")
+    ev = load_table(spark, SF_DIR, "events").drop("ts").limit(2000)
+    rels = ["n=1/m=a", "n=1/m=b", "n=2/m=c"]
+    for i, rel in enumerate(rels):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .repartition(6)
+            .write.mode("overwrite")
+            .parquet(os.path.join(plain, rel))
+        )
+    for dirpath, _, files in os.walk(plain):
+        for f in files:
+            if not f.endswith(".parquet"):
+                os.unlink(os.path.join(dirpath, f))
+    before = _fingerprint(spark.read.parquet(plain))
+
+    report = compact_table(
+        spark, "file://" + plain, target_bytes=64 * 1024 * 1024
+    )
+
+    assert sorted(r.partition for r in report.compacted) == sorted(rels)
+    for rel in rels:
+        files = [
+            f
+            for f in os.listdir(os.path.join(plain, rel))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (rel, files)
+    assert _fingerprint(spark.read.parquet(plain)) == before
+
+
+def test_batch_skips_partition_with_concurrent_arrival(
+    spark, small_files_table, tmp_path, monkeypatch
+):
+    """The batched rewrite's directory-read fast path re-lists each
+    partition AFTER the batch read and swaps only when the listing
+    still equals the planned fileset. Regression: a data file landing
+    between planning and the batch read had its rows compacted into
+    the new output while only the planned files were retired — the
+    late file survived NEXT TO the compacted copy of its rows,
+    permanently duplicating them, invisibly to the per-rel count
+    check (both sides read the same directory snapshot)."""
+    import hbase_compact_spark.compaction.executor as ex
+    from hbase_compact_spark.tables import load_table
+
+    root = small_files_table
+    n_before = spark.read.parquet(root).count()
+    extra = (
+        load_table(spark, SF_DIR, "events").drop("ts").limit(7)
+        .localCheckpoint()
+    )
+    real_list = ex._list_one_partition
+    state = {"dropped": False}
+
+    def listing(sp, tr, rel):
+        out = real_list(sp, tr, rel)
+        if rel == "region=p1" and not state["dropped"]:
+            # simulate a concurrent writer: a file lands right after
+            # this partition was planned, before the batch read
+            state["dropped"] = True
+            extra.coalesce(1).write.mode("append").parquet(
+                os.path.join(root, "region=p1")
+            )
+        return out
+
+    monkeypatch.setattr(ex, "_list_one_partition", listing)
+    ckpt = CompactionCheckpoint(str(tmp_path / "ca.json"))
+    report = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt
+    )
+    skipped = {r.partition: r.skipped for r in report.results if r.skipped}
+    assert skipped.get("region=p1") == "concurrent_arrival"
+    assert {r.partition for r in report.compacted} == {
+        "region=p0",
+        "region=p2",
+    }
+    # p1 untouched: original fragment files + the late file, no dup
+    assert spark.read.parquet(root).count() == n_before + 7
+    p1_files = [
+        f
+        for f in os.listdir(os.path.join(root, "region=p1"))
+        if f.endswith(".parquet")
+    ]
+    assert len(p1_files) == 21  # 20 planned + 1 late, none retired
+
+    # the skipped partition was NOT checkpointed: the next run
+    # re-plans it with the late file included and compacts cleanly
+    monkeypatch.setattr(ex, "_list_one_partition", real_list)
+    report2 = compact_table(
+        spark, root, target_bytes=64 * 1024 * 1024, checkpoint=ckpt
+    )
+    assert {r.partition for r in report2.compacted} == {"region=p1"}
+    assert spark.read.parquet(root).count() == n_before + 7

@@ -544,3 +544,37 @@ def test_stream_late_data_accounting_exact(spark):
     # the whole late file sits below the lagged watermark
     assert n_below == n_late
     assert n_late > 0 and n_groups_below > 0  # genuinely fired
+
+
+def test_run_bounded_result_survives_later_runs(spark):
+    """A run_bounded result must stay valid after LATER bounded runs
+    on the same session. Regression: the result used to read a
+    memory-sink temp view that the NEXT run_bounded call dropped, so
+    a stale frame raised a bare TABLE_OR_VIEW_NOT_FOUND; the sink is
+    now materialized (eager localCheckpoint) and its view dropped
+    before returning, so no stream_out_* view outlives the call."""
+    from hbase_compact_spark.streaming.tumbling import (
+        events_stream,
+        run_bounded,
+        tumbling_counts,
+    )
+
+    first = run_bounded(
+        tumbling_counts(events_stream(spark, SF_DIR)), n_partitions=4
+    )
+    n1 = first.count()
+    second = run_bounded(
+        tumbling_counts(events_stream(spark, SF_DIR)), n_partitions=4
+    )
+    # the first frame still evaluates, to the same rows as the rerun
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
+    assert first.count() == n1
+    # and no memory-sink view leaks past its run_bounded call
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("stream_out_")
+    ]
+    assert leaked == []
