@@ -897,3 +897,151 @@ def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------
+# ingest_compact_lifecycle — the reference's WHOLE daemon loop
+# (QHBaseCompact.java:135-195) as one verifiable pipeline: streaming
+# ingest fragments the table, compaction rewrites it under the
+# snapshot log, and the verified read proves nothing was lost.
+
+_LC_STREAM_FILES = 8  # micro-batches; each commits one snapshot
+_LC_SEED_MOD = 5      # event_id % 5 == 0 rows pre-exist (bootstrap)
+_LC_BINS = 4          # compaction output files (z-ordered, prunable)
+
+
+def lifecycle_root(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized end state of ingest -> fragmentation -> compaction ->
+    stats: seed the table with the event_id % 5 == 0 slice (the
+    pre-existing table the log bootstraps over), stream the remaining
+    rows in as _LC_STREAM_FILES single-file micro-batches (one atomic
+    snapshot commit each — the fragmentation the reference's daemon
+    exists to fight), snapshot_compact the small files into _LC_BINS
+    z-ordered-by-event_id files under the log (old versions stay
+    readable), then annotate_stats so the compacted layout is
+    file-prunable. The builder self-checks that compaction actually
+    rewrote; everything downstream (file shrinkage, time travel
+    across compaction, pruned reads) is asserted by the query and
+    tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.executor import _rm
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        snapshot_compact,
+    )
+    from hbase_compact_spark.streaming.ingest import snapshot_ingest
+
+    def _ready(lg) -> bool:
+        if lg.latest() is None:
+            return False
+        ops = [lg.read(v).get("op", "") for v in lg.versions()]
+        return (
+            sum(op.startswith("append:batch=") for op in ops)
+            >= _LC_STREAM_FILES
+            and any(op == "compact" for op in ops)
+            and any(op == "stats" for op in ops)
+        )
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "lifecycle", _ready, src_table="events"
+    )
+    if ok:
+        return root
+    base = posixpath.dirname(root)
+    # wipe a crashed attempt's stream checkpoint with the table: its
+    # offsets would make Structured Streaming skip re-delivering
+    # batches the wiped log never received
+    _rm(spark, posixpath.join(base, "ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    seed = ev.filter(F.col("event_id") % _LC_SEED_MOD == 0)
+    seed.coalesce(1).write.mode("overwrite").parquet(root)
+    staging = posixpath.join(base, "staging")
+    rest = ev.filter(F.col("event_id") % _LC_SEED_MOD != 0)
+    rest.repartition(_LC_STREAM_FILES).write.mode("overwrite").parquet(
+        staging
+    )
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = snapshot_ingest(
+        stream, root, checkpoint_dir=posixpath.join(base, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("lifecycle ingest did not finish in 300 s")
+    # bin target sized off the live total so the compacted layout is
+    # _LC_BINS files at EVERY sf — multiple z-ordered output files is
+    # what makes the stats-pruned read assertion non-vacuous
+    total = sum(s for _, s in log.files(log.latest()))
+    res = snapshot_compact(
+        spark,
+        root,
+        target_bytes=max(1, total // _LC_BINS + 1),
+        cluster_by=["event_id"],
+    )
+    if not res["rewritten"]:
+        raise RuntimeError("lifecycle compaction rewrote nothing")
+    annotate_stats(spark, root, cols=["event_id"])
+    return root
+
+
+@query(
+    "ingest_compact_lifecycle",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ingest_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE daemon loop (QHBaseCompact.java:135-195)
+    as one verifiable pipeline: transactional streaming ingest
+    fragments the table into per-batch small files (the positional
+    cursor's generalization, QHC.java:102-133), snapshot_compact
+    rewrites them under the log (the majorCompact action, :167)
+    z-ordered on event_id, annotate_stats publishes per-file min/max
+    (the completion bookkeeping the reference polls for, :171-184),
+    and the aggregate read out of the compacted latest version must
+    equal the batch dual over `events` EXACTLY — ingest ->
+    fragmentation -> compaction -> verified read. Before returning,
+    the query re-derives from the log that the compact commit shrank
+    the live file set; time travel across the compaction boundary and
+    the stats-pruned point read are pinned in
+    tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_table_at,
+    )
+
+    root = lifecycle_root(spark, sf_dir)
+    log = SnapshotLog(spark, root)
+    versions = log.versions()
+    ops = {v: log.read(v).get("op", "") for v in versions}
+    compacts = [v for v in versions if ops[v] == "compact"]
+    if len(compacts) != 1:
+        raise RuntimeError(f"lifecycle wants exactly one compact: {ops}")
+    v_compact = compacts[0]
+    v_pre = max(v for v in versions if v < v_compact)
+    files_pre = len(log.files(v_pre))
+    files_post = len(log.files(v_compact))
+    if files_post >= files_pre:
+        raise RuntimeError(
+            "compaction did not shrink the live file set: "
+            f"{files_pre} -> {files_post}"
+        )
+    return (
+        read_table_at(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

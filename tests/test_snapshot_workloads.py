@@ -258,3 +258,52 @@ def test_read_changes_across_schema_evolution(spark):
     assert ins.filter(F.col("o_priority").isNull()).count() == 0
     # the dropped column is hidden from the feed's schema
     assert "o_orderstatus" not in feed.columns
+
+
+def test_lifecycle_time_travel_and_pruned_read(spark):
+    """ingest_compact_lifecycle's supporting claims: (a) the builder
+    committed >= _LC_STREAM_FILES append batches then exactly one
+    compact; (b) the pre-compaction version stays readable across the
+    compaction boundary and returns the identical row set (old files
+    are never touched, only de-referenced); (c) the compacted layout
+    is multiple z-ordered files whose stats PRUNE a point read's scan
+    list; (d) the pruned read equals full-scan + filter exactly."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_table_at,
+        read_table_where,
+        scan_plan,
+    )
+    from hbase_compact_spark.workload_compaction import (
+        _LC_STREAM_FILES,
+        lifecycle_root,
+    )
+
+    root = lifecycle_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    versions = log.versions()
+    ops = {v: log.read(v).get("op", "") for v in versions}
+    assert (
+        sum(op.startswith("append:batch=") for op in ops.values())
+        >= _LC_STREAM_FILES
+    )
+    (v_compact,) = [v for v in versions if ops[v] == "compact"]
+    v_pre = max(v for v in versions if v < v_compact)
+    assert len(log.files(v_compact)) < len(log.files(v_pre))
+
+    pre = read_table_at(spark, root, version=v_pre)
+    post = read_table_at(spark, root)
+    assert sorted(map(tuple, pre.collect())) == sorted(
+        map(tuple, post.collect())
+    )
+
+    files_post = len(log.files(log.latest()))
+    assert files_post >= 2  # multiple files, else pruning is vacuous
+    lo = post.agg(F.min("event_id")).first()[0]
+    plan = scan_plan(spark, root, {"event_id": (lo, lo)})
+    assert len(plan["paths"]) < files_post  # stats skipped files
+    got = read_table_where(spark, root, {"event_id": (lo, lo)})
+    exp = post.where(F.col("event_id") == lo)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )

@@ -239,6 +239,10 @@ HEAVY3 = [
     "compaction_execute",
     "percentile_dist",
     "skew_salted_join",
+    # r8 additions: the corpus-scale line-dedup shuffle shape and the
+    # end-to-end ingest->compact->read lifecycle
+    "dedup_lines",
+    "ingest_compact_lifecycle",
 ]
 
 
