@@ -32,6 +32,7 @@ from hbase_compact_spark.functions.multimodal import (
     with_image_payload,
     with_wav_payload,
 )
+from hbase_compact_spark.functions.ranking import with_global_row_number
 from hbase_compact_spark.functions.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
@@ -1541,9 +1542,12 @@ def corpus_mix_with(
         list(target.items()), "lang string, share double"
     )
     j = counts.join(shares, "lang")
-    w_all = Window.partitionBy()
+    # min(n/share) is a 1-row scalar — an aggregate + broadcast cross
+    # join, not an unpartitioned window (which would single-task the
+    # frame and trip the WindowExec warning for no reason).
+    scale = j.agg(F.min(F.col("n") / F.col("share")).alias("scale"))
     rates = (
-        j.withColumn("scale", F.min(F.col("n") / F.col("share")).over(w_all))
+        j.crossJoin(F.broadcast(scale))
         .withColumn(
             "rate_permille",
             F.least(
@@ -2564,15 +2568,13 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus token pass reduced to (doc, term, tf)
     feeds BOTH rankings (the BM25 side is the bm25_score pipeline);
     each ranking is a global row_number over per-doc SCORES (one row
-    per doc, not per token — the sort input is corpus-cardinality
-    metadata, and at 100 TB becomes a per-partition top-R + merge
-    since only ranks <= R ~ k + shortlist matter); the fusion join
-    carries two small rank tables; the final TakeOrdered keeps k rows
-    per partition. Scores are ROUNDED before ranking so the
-    libm-vs-JVM last-ulp of ln() cannot flip an ordering (same guard
-    as tfidf_top_terms)."""
-    from pyspark.sql import Window
-
+    per doc, not per token — but doc cardinality GROWS with the
+    corpus, so the position comes from the two-phase range-partitioned
+    row_number in functions/ranking.py, never a single-task global
+    window); the fusion join carries two small rank tables; the final
+    TakeOrdered keeps k rows per partition. Scores are ROUNDED before
+    ranking so the libm-vs-JVM last-ulp of ln() cannot flip an
+    ordering (same guard as tfidf_top_terms)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -2613,23 +2615,17 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("bm25"))
     )
-    lex = bm.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .alias("r_lex"),
-    )
-    prior = dl.select(
-        "doc_id",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.desc(F.col("dt").cast("double") / F.col("dl")),
-                F.asc("doc_id"),
-            )
-        )
-        .alias("r_prior"),
-    )
+    lex = with_global_row_number(
+        bm, [F.desc("bm25"), F.asc("doc_id")], name="r_lex"
+    ).select("doc_id", "r_lex")
+    prior = with_global_row_number(
+        dl.select(
+            "doc_id",
+            (F.col("dt").cast("double") / F.col("dl")).alias("__prior"),
+        ),
+        [F.desc("__prior"), F.asc("doc_id")],
+        name="r_prior",
+    ).select("doc_id", "r_prior")
     fused = (
         lex.join(prior, "doc_id", "full_outer")
         .select(

@@ -10,6 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hbase_compact_spark.functions.ranking import (
+    cume_dist_expr,
+    ntile_expr,
+    percent_rank_expr,
+    with_global_row_number,
+)
 from hbase_compact_spark.operators.percentiles import exact_group_percentiles
 from hbase_compact_spark.registry import query
 from hbase_compact_spark.sources.inventory import INVENTORY_SQL, derived_inventory
@@ -464,25 +470,31 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles: ntile / percent_rank / cume_dist over
     per-customer totals. The window orders by (spend, custkey) — ntile
     splits ties by position, so the ordering must be total for the
-    answer to be well-defined on any engine. One aggregation shuffle
-    plus one global-sort window over the already-reduced per-customer
-    rows (cardinality = customers, not orders)."""
+    answer to be well-defined on any engine. A bare Window.orderBy
+    would funnel every customer through ONE task (1e9 rows at 100 TB),
+    so the global position comes from the two-phase range-partitioned
+    row_number in functions/ranking.py and ntile/percent_rank/cume
+    are derived expressions — bit-identical to the window functions
+    under a total ordering (pinned in tests/test_ranking.py)."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_spend")
     )
-    w = Window.orderBy("total_spend", "o_custkey")
+    ranked = with_global_row_number(
+        spend, ["total_spend", "o_custkey"], name="__rn", count_name="__n"
+    )
+    rn, n = F.col("__rn"), F.col("__n")
     # pct_rank/cume unrounded: integer-ratio doubles are bit-identical
     # cross-engine, while round() diverges on exact decimal ties (see
     # window_rank_dist)
-    return spend.select(
+    return ranked.select(
         "o_custkey",
         "total_spend",
-        F.ntile(4).over(w).cast("long").alias("spend_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_expr(rn, n, 4).cast("long").alias("spend_quartile"),
+        percent_rank_expr(rn, n).alias("pct_rank"),
+        cume_dist_expr(rn, n).alias("cume"),
     )
 
 

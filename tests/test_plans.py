@@ -117,15 +117,16 @@ def test_date_funcs_single_scan_no_exchange(spark):
     assert "*(1)" in p  # whole-stage-codegen'd scan+project
 
 
-def test_window_ntile_reduces_before_global_window(spark):
-    """The global-order window must run over per-customer aggregates
-    (cardinality = customers), never over raw orders."""
+def test_window_ntile_reduces_before_global_rank(spark):
+    """The global ranking must run over per-customer aggregates
+    (cardinality = customers), never over raw orders — and since r8,
+    never through a single-partition window either: the rank window is
+    partitioned by the range bucket (full pins in test_ranking.py)."""
     p = _plan(spark, "window_ntile")
-    # aggregation happens below the single-partition window exchange
-    assert p.index("HashAggregate") > p.index("Window") or p.count(
-        "HashAggregate"
-    ) >= 2
-    assert "Exchange SinglePartition" in p
+    assert "HashAggregate" in p  # the per-customer reduction survives
+    for line in p.splitlines():
+        if "row_number() windowspecdefinition(" in line:
+            assert "__gr_pid" in line, line
 
 
 def test_stats_moments_two_phase_agg(spark):
