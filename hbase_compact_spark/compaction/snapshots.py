@@ -1810,8 +1810,14 @@ def snapshot_merge(
             srcs = [posixpath.join(table_root, p) for p, _ in files]
             old = spark.read.option("basePath", table_root).parquet(*srcs)
             n_old = old.count()
+            # keys_df is UNhinted: the merge-source key set is batch-
+            # sized (a bulk upsert can carry billions of keys) — AQE
+            # broadcasts small batches and shuffle-joins large ones.
+            # It is NOT pre-filtered to this partition: a key whose
+            # new row lands in another partition must still retire the
+            # old row here (partition-moving update).
             old_minus = old.join(
-                F.broadcast(keys_df), on=key_cols, how="left_anti"
+                keys_df, on=key_cols, how="left_anti"
             ).select(*data_cols)
             n_kept = old_minus.count()
             if n_kept == n_old:

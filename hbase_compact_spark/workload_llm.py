@@ -1664,8 +1664,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # ev is UNhinted: the eval-shingle set is a corpus FRACTION
+    # (1/EVAL_MOD of docs), so its cardinality grows with the data —
+    # AQE broadcasts it at fixture scale and shuffles at corpus scale
+    # (same recipe as tfidf_top_terms / cooccurrence_pmi).
     ov = (
-        tr.join(F.broadcast(ev), "s")
+        tr.join(ev, "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )

@@ -276,6 +276,25 @@ def test_event_analytics_joins_are_aqe_chosen_broadcast(spark, name):
     assert "CartesianProduct" not in p, name
 
 
+def test_contamination_eval_join_is_aqe_chosen_broadcast(spark):
+    """contamination_check joins training shingles against the eval-
+    shingle set with NO broadcast hint — the eval side is a corpus
+    FRACTION (1/EVAL_MOD of docs), so its cardinality grows with the
+    data and a forced broadcast OOMs at 100 TB. AQE must still choose
+    BroadcastHashJoin at fixture scale."""
+    import inspect
+
+    import hbase_compact_spark.workload_llm as llm
+
+    src = inspect.getsource(llm.contamination_check)
+    assert "F.broadcast" not in src
+    df = _Q["contamination_check"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 @pytest.mark.parametrize(
     "name,scalar_hints",
     [
