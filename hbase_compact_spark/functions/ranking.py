@@ -118,6 +118,68 @@ def with_global_row_number(
     return out
 
 
+def with_grouped_row_number(
+    df: DataFrame,
+    group,
+    order,
+    name: str = "rn",
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based row_number under a total within-group
+    ordering, for FEW, HUGE groups (strata). A plain
+    ``Window.partitionBy(group)`` hashes each group onto ONE task — a
+    5-language corpus puts ~44% of 100 TB through a single executor.
+    Here the range partition runs on (group, order) together, so a
+    skewed group SPLITS across many contiguous partitions; offsets are
+    per (partition, group) — at most ``num_partitions + n_groups``
+    rows (ranges are contiguous, so a partition holds at most one
+    group boundary), broadcast back like the global variant.
+
+    Use the plain partitioned window instead when groups are MANY and
+    small (per-doc, per-user): there the hash partition spreads fine
+    and the offsets frame here would grow past broadcast size.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            num_partitions = 200
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group]
+    ocols = _order_cols(order)
+    base = (
+        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)  # same sampling barrier as above
+    )
+    gnames = [c if isinstance(c, str) else df.select(c).columns[0] for c in group]
+    counts = base.groupBy(_PID, *gnames).agg(F.count("*").alias(_CNT))
+    offsets = counts.select(
+        _PID,
+        *gnames,
+        F.coalesce(
+            F.sum(_CNT).over(
+                Window.partitionBy(*gnames)
+                .orderBy(_PID)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias(_OFF),
+    )
+    return (
+        base.withColumn(
+            _LRN,
+            F.row_number().over(
+                Window.partitionBy(_PID, *gnames).orderBy(*ocols)
+            ),
+        )
+        .join(F.broadcast(offsets), [_PID, *gnames])
+        .withColumn(name, (F.col(_LRN) + F.col(_OFF)).cast("long"))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
 def ntile_expr(rn: Column, n: Column, buckets: int) -> Column:
     """SQL NTILE(buckets) from a 1-based global row number ``rn`` and
     total count ``n`` under a total ordering. Standard rule: with

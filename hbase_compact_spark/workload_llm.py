@@ -32,7 +32,10 @@ from hbase_compact_spark.functions.multimodal import (
     with_image_payload,
     with_wav_payload,
 )
-from hbase_compact_spark.functions.ranking import with_global_row_number
+from hbase_compact_spark.functions.ranking import (
+    with_global_row_number,
+    with_grouped_row_number,
+)
 from hbase_compact_spark.functions.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
@@ -1445,6 +1448,98 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         < F.when(F.col("lang") == "en", F.lit(SAMPLE_PERMILLE_EN)).otherwise(
             F.lit(SAMPLE_PERMILLE_OTHER)
         )
+    )
+
+
+# Salt strings for the deterministic shuffle / stratified-sample keys:
+# changing the salt re-deals the entire ordering (a new training
+# epoch / a fresh sample draw) with zero RNG state to coordinate.
+SHUFFLE_SALT = "epoch1"
+STRATA_SALT = "strat1"
+STRATA_QUOTA = 40
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             {TX.hash60_duck("concat(CAST(doc_id AS VARCHAR), ':" + SHUFFLE_SALT + "')")}
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM k
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a salted content-free hash key (md5 of doc_id + epoch salt —
+    reproducible on any engine, any partitioning, any retry; a new
+    salt is a new epoch's ordering) and its 1-based position in the
+    shuffled order. The position comes from the two-phase
+    range-partitioned row_number (functions/ranking.py) — at 100 TB
+    the shuffled corpus is WRITTEN in position order straight out of
+    the range partitioning, and no single task ever sees more than one
+    partition's rows. This is the pretraining data-order shuffle: the
+    alternative people reach for (orderBy(rand())) is neither
+    reproducible across retries nor stable across partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(
+            TX.hash60_sql(f"concat(CAST(doc_id AS STRING), ':{SHUFFLE_SALT}')")
+        ).alias("shuffle_key"),
+    )
+    return with_global_row_number(
+        keyed, ["shuffle_key", "doc_id"], name="position"
+    ).select("doc_id", "shuffle_key", "position")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, lang,
+             {TX.hash60_duck("concat(CAST(doc_id AS VARCHAR), ':" + STRATA_SALT + "')")}
+               AS skey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, skey,
+             row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+               AS rn
+      FROM k
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS draw_rank
+    FROM r WHERE rn <= {STRATA_QUOTA}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling: the first STRATA_QUOTA
+    documents per language under a salted deterministic hash order —
+    the 'give me exactly N per stratum' draw (eval-set carving,
+    per-domain audits) that corpus_sample's per-mille rates can only
+    approximate. A Window.partitionBy(lang) would hash EACH stratum
+    onto one task (~44% of the corpus for 'en'); the grouped two-phase
+    rank (functions/ranking.py) range-partitions on (lang, key) so a
+    skewed stratum splits across many partitions and the per-
+    (partition, stratum) offsets come back as a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            TX.hash60_sql(f"concat(CAST(doc_id AS STRING), ':{STRATA_SALT}')")
+        ).alias("skey"),
+    )
+    ranked = with_grouped_row_number(
+        keyed, ["lang"], ["skey", "doc_id"], name="draw_rank"
+    )
+    return ranked.where(F.col("draw_rank") <= STRATA_QUOTA).select(
+        "doc_id", "lang", "draw_rank"
     )
 
 

@@ -1112,3 +1112,135 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")).agg(
         F.count("*").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the 100 TB shuffle-elimination strategy.
+
+_JOIN_BUCKETS = 8  # local[32] demo size; thousands on a real cluster
+
+
+def _bucketed_pair_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize lineitem/orders as BUCKETED tables (same bucket
+    count, same join-key hash, sorted within buckets, one file per
+    bucket) under a fingerprint-keyed memo. At 100 TB this is the
+    nightly-ETL layout decision — pay one shuffle at WRITE time so
+    every subsequent fact-to-fact join on the key runs with zero
+    exchange — not per-query work; the memo is that layout's
+    stand-in, exactly like the snapshot-logged tables."""
+    import os
+    import posixpath
+
+    from hbase_compact_spark.sources.memo import (
+        memo_root,
+        publish,
+        staging_dir,
+    )
+
+    root, complete = memo_root(sf_dir, "bucketpair", "lineitem", logic_rev="r8a")
+    if complete:
+        return root
+    tmp = staging_dir(root)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for name, df, key in (
+        ("lineitem_b", li, "l_orderkey"),
+        ("orders_b", od, "o_orderkey"),
+    ):
+        stage_tbl = f"hcs_bucket_stage_{name}_{os.getpid()}"
+        (
+            # repartition on the key with the BUCKET hash (Spark's
+            # bucket id = murmur3(key) % n, the same function
+            # hashpartitioning uses) so each task owns whole buckets
+            # -> exactly one file per bucket, which is what lets the
+            # reader trust per-bucket sortedness and elide the Sort
+            df.repartition(_JOIN_BUCKETS, key)
+            .write.mode("overwrite")
+            .bucketBy(_JOIN_BUCKETS, key)
+            .sortBy(key)
+            .option("path", posixpath.join(tmp, name))
+            .saveAsTable(stage_tbl)
+        )
+        # external table (explicit path): DROP removes only the
+        # catalog entry, the bucket-suffixed files stay for publish
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+    publish(tmp, root)
+    return root
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Register the published bucket trees in THIS session's catalog
+    (bucket metadata lives in the catalog, not the files — a fresh
+    driver session must re-declare it; filenames carry the bucket
+    ids the scan trusts). Names embed the memo fingerprint so a
+    fixture regeneration gets fresh entries."""
+    import posixpath
+
+    root = _bucketed_pair_root(spark, sf_dir)
+    fp = posixpath.basename(root).rsplit("_", 1)[-1]
+    out = []
+    for name, key, src, cols in (
+        ("lineitem_b", "l_orderkey", "lineitem",
+         ["l_orderkey", "l_extendedprice", "l_quantity"]),
+        ("orders_b", "o_orderkey", "orders",
+         ["o_orderkey", "o_orderpriority"]),
+    ):
+        tbl = f"hcs_{name}_{fp}"
+        ddl = load_table(spark, sf_dir, src).select(*cols).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_JOIN_BUCKETS} BUCKETS "
+            f"LOCATION '{posixpath.join(root, name)}'"
+        )
+        out.append(tbl)
+    return out[0], out[1]
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on pre-BUCKETED tables: lineitem and orders
+    are stored bucketed+sorted on the join key (same bucket count →
+    co-located), so the join needs NO exchange — the two shuffles
+    that dominate a 100 TB fact join simply do not exist in the plan;
+    the only exchange left is the tiny per-priority rollup. (A
+    per-bucket Sort remains: Spark 3+ scans don't advertise bucket
+    sort order without the legacy outputOrdering flag — it runs over
+    already-sorted single-file buckets, no shuffle involved.)
+    AQE still broadcasts the probe side at toy scale (fine — bucketed
+    scans feed either strategy); the zero-exchange SortMergeJoin is
+    pinned in tests/test_plans.py with broadcast disabled, which is
+    the shape the same plan takes at fact-×-fact scale.
+    Reference anchor: the reference joins region metadata to store
+    files per-table, serially (QHC.java:144-151); bucketing is how
+    that join survives when both sides are petabyte facts."""
+    lt, ot = _ensure_bucketed_tables(spark, sf_dir)
+    j = spark.table(lt).join(
+        spark.table(ot),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )

@@ -93,16 +93,6 @@ def test_embedding_dedup_has_no_broadcast_of_corpus(spark):
     assert "CartesianProduct" not in p
 
 
-def test_contamination_eval_index_broadcasts(spark):
-    """The eval shingle index must broadcast-join against the train
-    side — a shuffle on raw shingle strings would move the whole
-    corpus's shingles at scale."""
-    p = _plan(spark, "contamination_check")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
-    assert "CartesianProduct" not in p
-
-
 def test_unpivot_is_generate_no_shuffle(spark):
     """Native unpivot = one Generate over the scan; a shuffle here
     would move 4x the table for a purely row-local melt."""
@@ -379,3 +369,24 @@ def test_percentile_dist_plan_shape(spark):
     assert "SortMergeJoin" not in p
     assert 2 <= p.count("Window") <= 6
     assert p.count("Exchange") <= 8
+
+
+def test_bucketed_join_has_no_join_key_exchange(spark):
+    """bucketed_join reads lineitem/orders from co-located bucketed
+    tables: with broadcast disabled (the fact-x-fact shape) the plan
+    must be a SortMergeJoin whose inputs are BUCKETED scans with NO
+    exchange on either join key — the layout, not the engine, pays
+    the shuffle, once, at write time."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _Q["bucketed_join"](spark, SF_DIR)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
+    assert "CartesianProduct" not in p

@@ -82,19 +82,46 @@ def test_derived_exprs_match_window_functions(spark, k):
     assert sorted(got.collect()) == sorted(want.collect())
 
 
+@pytest.mark.parametrize("n", [0, 1, 17, 400])
+def test_grouped_row_number_matches_naive_window(spark, n):
+    # heavily skewed groups: g=0 holds ~70% of rows — the case where
+    # Window.partitionBy(g) would single-task the big stratum
+    rows = [(0 if i % 10 < 7 else i % 10, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    from hbase_compact_spark.functions.ranking import (
+        with_grouped_row_number,
+    )
+
+    got = with_grouped_row_number(df, ["g"], [F.desc("i")], name="rn")
+    want = df.select(
+        "g",
+        "i",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy(F.desc("i")))
+        .alias("rn"),
+    )
+    assert sorted(got.select("g", "i", "rn").collect()) == sorted(
+        want.collect()
+    )
+
+
 def _executed(spark, name: str) -> str:
     df = _Q[name](spark, SF_DIR)
     df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["window_ntile", "rank_fusion"])
+@pytest.mark.parametrize(
+    "name",
+    ["window_ntile", "rank_fusion", "corpus_shuffle", "stratified_sample"],
+)
 def test_no_data_scaled_single_partition_window(spark, name):
-    """window_ntile / rank_fusion rank frames whose cardinality grows
-    with the data (customers / documents): every row_number window in
-    the executed plan must be partitioned by the range bucket, and no
-    unpartitioned window may run over anything but the tiny counts
-    frame."""
+    """These queries rank frames whose cardinality grows with the data
+    (customers / documents): every row_number window in the executed
+    plan must be partitioned by the range bucket, and no unpartitioned
+    window may run over anything but the tiny counts frame.
+    stratified_sample additionally must never hash a whole stratum
+    onto one task — its rank window partitions on (bucket, lang)."""
     p = _executed(spark, name)
     for line in p.splitlines():
         if "row_number() windowspecdefinition(" not in line:
