@@ -1045,3 +1045,107 @@ def ingest_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# ivm_aggregate — incremental view maintenance from the change feed:
+# maintain a downstream aggregate using ONLY the CDC deltas, never
+# rescanning the table. The materialized-view-maintenance shape
+# (Delta Live Tables / Materialize): view' = view ⊕ delta.
+@query(
+    "ivm_aggregate",
+    oracle=f"""
+    WITH post AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT BETWEEN {UPD_LO} AND {UPD_HI}
+      UNION ALL
+      SELECT 'U' AS o_orderstatus, o_totalprice + {UPD_BUMP}
+        AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN {UPD_LO} AND {UPD_HI}
+      UNION ALL
+      SELECT 'I' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= {INS_SRC_MAX}
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+             AS total_price
+    FROM post GROUP BY o_orderstatus
+    """,
+)
+def ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the snapshot log's change
+    feed: a per-status (count, exact sum) view is computed at the
+    PRE-merge version, then maintained to the post-merge state by
+    applying only read_changes' delta rows — deletes retract
+    (count -1, sum -price), inserts add — and the maintained result
+    must hash-equal a fresh aggregate over the post-merge table
+    (the oracle recomputes exactly that from the source). This is the
+    reason a CDC feed exists: at 100 TB the downstream aggregate
+    re-reads O(changed files), never O(table).
+
+    Exactness: counts are integers; sums are maintained in
+    DECIMAL(20,6) with sign-flipped retractions, so base + delta is
+    EXACT decimal arithmetic — associativity is what makes the
+    maintained view provably equal the recompute, which is precisely
+    why float sums cannot back an IVM pipeline. Plan shape: base agg
+    over the v_from snapshot scan, delta agg over changed files only,
+    one |status|-cardinality outer join (AQE), no event-scale joins.
+
+    Shares the merge materialization with snapshot_merge_scan /
+    snapshot_cdc_scan; generalizes the reference's incremental
+    rollup-after-compaction re-read (QHBaseCompact.java:219-255)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_changes,
+        read_table_at,
+    )
+
+    root = merge_scan_root(spark, sf_dir)
+    log = SnapshotLog(spark, root)
+    versions = log.versions()
+    merge_v = max(v for v in versions if log.read(v).get("op") == "merge")
+    from_v = max(v for v in versions if v < merge_v)
+
+    price_dec = F.col("o_totalprice").cast("decimal(20,6)")
+    base = (
+        read_table_at(spark, root, version=from_v)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_base"),
+            F.sum(price_dec).alias("s_base"),
+        )
+    )
+    ch = read_changes(spark, root, from_v, merge_v)
+    is_del = F.col("_change_type") == "delete"
+    delta = ch.groupBy("o_orderstatus").agg(
+        F.sum(F.when(is_del, F.lit(-1)).otherwise(F.lit(1))).alias(
+            "n_delta"
+        ),
+        F.sum(F.when(is_del, -price_dec).otherwise(price_dec)).alias(
+            "s_delta"
+        ),
+    )
+    zero_n = F.lit(0).cast("long")
+    maintained = (
+        base.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce("n_base", zero_n)
+                + F.coalesce("n_delta", zero_n)
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("s_base"), F.lit(0).cast("decimal(30,6)"))
+                + F.coalesce(
+                    F.col("s_delta"), F.lit(0).cast("decimal(30,6)")
+                )
+            ).alias("s"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("s").cast("double").alias("total_price"),
+    )

@@ -3150,3 +3150,74 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --------------------------------------------------------------------
+# ngram_novelty — corpus-order novelty scoring: what fraction of each
+# document's distinct 3-gram shingles appears here FIRST (by doc_id
+# order)? The data-curation diversity signal: boilerplate-heavy docs
+# score near 0, fresh content near 1 — the corpus-level complement of
+# repetition_ratio's within-doc signal.
+_NOVELTY_W = 3
+_NOVELTY_SH_D = TX.shingles_duck("text", _NOVELTY_W)
+
+
+@query(
+    "ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_NOVELTY_SH_D})) AS s
+      FROM documents
+    ),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel
+      FROM first GROUP BY 1
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY 1)
+    SELECT sizes.doc_id, n_ngrams,
+           COALESCE(n_novel, 0) AS n_novel,
+           CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_ngrams AS novelty
+    FROM sizes LEFT JOIN novel ON novel.doc_id = sizes.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence (min
+    doc_id) is this doc. Two partial aggregations, zero joins at
+    shingle cardinality:
+
+    - min(doc_id) per shingle — grouped on xxhash64(shingle), so the
+      corpus-scale shuffle moves 8-byte keys instead of raw text
+      (the dedup_lines fingerprint discipline; the oracle groups on
+      the text itself — identical barring 64-bit collisions).
+    - the novel count per doc falls out of the FIRST-occurrence frame
+      itself (groupBy first_doc), never a join back to the corpus.
+
+    The final join is doc-cardinality x doc-cardinality (AQE picks
+    the strategy). novelty is a ratio of identical integers —
+    bit-identical cross-engine unrounded (round() would diverge on
+    exact decimal ties). fan_out spreads the shingle explode off the
+    one-file fixture scan (single-partition trap)."""
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.shingles("text", _NOVELTY_W).alias("sh")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double")
+            / F.col("n_ngrams")
+        ).alias("novelty"),
+    )

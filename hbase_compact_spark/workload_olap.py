@@ -1244,3 +1244,189 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_qty"),
     )
+
+
+# --------------------------------------------------------------------
+# decay_hotness — exponential time-decay weighted aggregation: the
+# recency-weighted popularity score every feed/trending/cache-priority
+# pipeline keeps (half-life counting). LAMBDA = ln(2)/7 per day (7-day
+# half-life), written as an exact double literal so BOTH engines parse
+# the identical IEEE value instead of each computing ln(2)/7 in their
+# own libm.
+_DECAY_LAMBDA = "0.09902102579427789"
+
+
+@query(
+    "decay_hotness",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(
+               value * exp(-{_DECAY_LAMBDA} *
+                   (CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+                    / 86400000000.0)), 6) AS DECIMAL(20,6)))
+             AS DOUBLE) AS hotness
+    FROM events, mx
+    GROUP BY event_type
+    """,
+)
+def decay_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay weighted sum per event_type: each
+    event's value is weighted by exp(-lambda * age_days) against the
+    corpus's newest timestamp (7-day half-life) — the recency-biased
+    hotness score that replaces "count over the last N days" with a
+    smooth decay. Generalizes the reference's time-window gate
+    (QHBaseCompact.java:48-60) from a hard cutoff to a soft one.
+
+    Scale shape: ONE scan; the reference point (global max ts) is a
+    1-row agg broadcast back (scalar, never grows), the weighted sum
+    is an ordinary map-side-partial groupBy on a bounded enum key.
+    Nothing here is event-cardinality after the partial agg.
+
+    Cross-engine exactness: the age is an exact integer microsecond
+    difference; the weight goes through the same IEEE ops on both
+    engines (exp may differ in the last ulp between Java's Math.exp
+    and DuckDB's libm); each TERM is rounded to 6 decimals BEFORE the
+    sum and summed as DECIMAL(20,6), so the aggregate is
+    order-independent and the ulp noise sits ~8 orders below the
+    rounding grain."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    lam = float(_DECAY_LAMBDA)
+    age_days = (
+        F.unix_micros(F.col("tmax")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / F.lit(86400000000.0)
+    term = F.round(
+        F.col("value") * F.exp(F.lit(-lam) * age_days), 6
+    ).cast("decimal(20,6)")
+    # 1-row scalar frame: the broadcast hint is bounded by construction
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).cast("double").alias("hotness"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# pagerank_trade — iterative weighted PageRank over the nation trade
+# graph. The numeric fixed-point sibling of dedup_clusters' label
+# propagation: iterate-join-aggregate until the score converges.
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL: one chained
+    CTE per iteration (aggregation inside a recursive CTE term is not
+    portable; unrolling keeps the oracle purely declarative). Every
+    arithmetic step mirrors the engine's IEEE ops exactly — the only
+    divergence channel is float summation ORDER, ~1e-14 relative
+    after 6 rounds, 8 orders below the final round(pr, 6) grain."""
+    sql = """
+    WITH edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS weight
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    pe AS (
+      SELECT src, dst,
+             CAST(weight AS DOUBLE) /
+             CAST(sum(weight) OVER (PARTITION BY src) AS DOUBLE) AS p
+      FROM edges
+    ),
+    dangling AS (
+      SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)
+    ),
+    pr0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / nn.n_nodes AS pr FROM nodes, nn
+    )"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    pr{i} AS (
+      SELECT nodes.node,
+             (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
+             + CAST(0.85 AS DOUBLE) *
+               (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+                + dg.dm / nn.n_nodes) AS pr
+      FROM nodes
+      LEFT JOIN (SELECT pe.dst AS node, sum(p.pr * pe.p) AS contrib
+                 FROM pr{i - 1} p JOIN pe ON pe.src = p.node
+                 GROUP BY pe.dst) c ON c.node = nodes.node
+      CROSS JOIN (SELECT COALESCE(sum(pr), CAST(0 AS DOUBLE)) AS dm
+                  FROM pr{i - 1}
+                  WHERE node IN (SELECT node FROM dangling)) dg
+      CROSS JOIN nn
+    )"""
+    sql += f"""
+    SELECT node, round(pr, 6) AS pr FROM pr{iters}
+    """
+    return sql
+
+
+@query("pagerank_trade", oracle=_pagerank_oracle(_PR_ITERS))
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph: edges are
+    (supplier nation -> customer nation) weighted by lineitem count,
+    built from the full fact-x-fact join; ranks via
+    operators/graph.pagerank (6 iterations, damping 0.85, dangling
+    mass redistributed uniformly). The iterative-algorithm class
+    (centrality / influence propagation) alongside dedup_clusters'
+    connected components — link analysis a training-data pipeline
+    runs over citation/host graphs for source weighting.
+
+    Scale shape: edge construction is the 100 TB stage — lineitem
+    joins orders on the shuffle key, the three dimension joins are
+    unhinted (AQE broadcasts at any realistic dim size), and the edge
+    aggregation collapses everything to |nations|^2 rows before any
+    iteration starts. Each PageRank round is then one shuffle on the
+    node key over |nodes| rows plus two 1-row scalar aggregates; the
+    rank frame is checkpointed per round so the 6-round lineage never
+    re-inlines (see operators/graph.py). No driver collect anywhere.
+
+    Oracle: the same six iterations unrolled as chained CTEs; pr
+    rounded to 6 on both engines (float-sum order noise ~1e-14)."""
+    from hbase_compact_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    pr = pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return pr.select("node", F.round("pr", 6).alias("pr"))

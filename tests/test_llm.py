@@ -756,3 +756,43 @@ def test_dedup_lines_drops_planted_boilerplate(spark, planted_dir):
         assert out[d]["n_dropped"] == 0
         assert out[d]["clean_text"] == " ".join(out[d]["clean_text"].split())
         assert out[d]["n_kept"] == out[d]["n_lines"]
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """Structural invariants the oracle hash alone can't localize:
+    the earliest doc is 100% novel, ratios stay in (0, 1], and every
+    distinct corpus shingle is novel in exactly one doc (the n_novel
+    column partitions the distinct-shingle universe)."""
+    from hbase_compact_spark.functions import text as TX
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import _NOVELTY_W, ngram_novelty
+
+    rows = ngram_novelty(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    by_id = {r["doc_id"]: r for r in rows}
+    first_doc = min(by_id)
+    assert by_id[first_doc]["novelty"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_ngrams"]
+        assert r["novelty"] == r["n_novel"] / r["n_ngrams"]
+    n_distinct = (
+        docs.select(
+            F.explode(
+                F.array_distinct(TX.shingles("text", _NOVELTY_W))
+            ).alias("s")
+        )
+        .agg(F.countDistinct("s"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+
+
+def test_ngram_novelty_hash_keyed_shuffle(spark, sf_dir):
+    """The corpus-scale groupBy must key on xxhash64(shingle), not
+    the shingle text (the dedup_lines shuffle-bytes discipline)."""
+    from hbase_compact_spark.workload_llm import ngram_novelty
+
+    plan = ngram_novelty(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan

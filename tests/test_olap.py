@@ -3,6 +3,7 @@ sketch accuracy bounds for the approximate aggregates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import hbase_compact_spark.workload_olap as olap
@@ -125,3 +126,41 @@ def test_gapfill_grid_dense_and_locf(spark):
                 assert r.n_events > 0
                 last = r.sum_value
                 assert r.locf_value == r.sum_value
+
+
+def test_decay_hotness_matches_independent_recompute(spark, sf_dir):
+    """Recompute the decayed sum independently in pandas (numpy exp,
+    python Decimal quantization) and require exact agreement with the
+    engine's per-term-rounded DECIMAL sum."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_olap import _DECAY_LAMBDA, decay_hotness
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).toPandas()
+    lam = float(_DECAY_LAMBDA)
+    tmax = ev["ts"].max()
+    age_days = (
+        (tmax - ev["ts"]).dt.total_seconds() * 1e6
+    ).round() / 86400e6
+    term = ev["value"].to_numpy() * np.exp(-lam * age_days.to_numpy())
+    ev["term"] = [
+        Decimal(repr(round(t, 6))).quantize(Decimal("0.000001"))
+        for t in term
+    ]
+    want = {
+        k: (len(g), float(sum(g["term"])))
+        for k, g in ev.groupby("event_type")
+    }
+    got = {
+        r["event_type"]: (r["n_events"], r["hotness"])
+        for r in decay_hotness(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
