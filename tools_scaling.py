@@ -243,6 +243,13 @@ HEAVY3 = [
     # end-to-end ingest->compact->read lifecycle
     "dedup_lines",
     "ingest_compact_lifecycle",
+    # r8 second-half additions: the iterative-shuffle, star-join,
+    # event-window, shingle-agg and map-only corruption shapes
+    "pagerank_trade",
+    "star_join",
+    "scd2_dimension",
+    "ngram_novelty",
+    "mlm_span_corrupt",
 ]
 
 
