@@ -1325,9 +1325,16 @@ def _pagerank_oracle(iters: int) -> str:
     portable; unrolling keeps the oracle purely declarative). Every
     arithmetic step mirrors the engine's IEEE ops exactly — the only
     divergence channel is float summation ORDER, ~1e-14 relative
-    after 6 rounds, 8 orders below the final round(pr, 6) grain."""
+    after 6 rounds, 8 orders below the final round(pr, 6) grain.
+
+    Every CTE is AS MATERIALIZED: pr{i} references pr{i-1} TWICE
+    (contribution join + dangling sum), so DuckDB's default inlining
+    expands pr{N} into 2^N copies of the whole edge-build fact join —
+    unnoticeable at sf0.01, hours at sf1 (observed: 74 GB RSS and
+    345 CPU-min before the kill). Materialization is semantically
+    identical and makes the oracle linear in N."""
     sql = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS weight
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -1337,25 +1344,25 @@ def _pagerank_oracle(iters: int) -> str:
       JOIN nation sn ON s_nationkey = sn.n_nationkey
       GROUP BY 1, 2
     ),
-    nodes AS (
+    nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ),
     nn AS (SELECT count(*) AS n_nodes FROM nodes),
-    pe AS (
+    pe AS MATERIALIZED (
       SELECT src, dst,
              CAST(weight AS DOUBLE) /
              CAST(sum(weight) OVER (PARTITION BY src) AS DOUBLE) AS p
       FROM edges
     ),
-    dangling AS (
+    dangling AS MATERIALIZED (
       SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)
     ),
-    pr0 AS (
+    pr0 AS MATERIALIZED (
       SELECT node, CAST(1 AS DOUBLE) / nn.n_nodes AS pr FROM nodes, nn
     )"""
     for i in range(1, iters + 1):
         sql += f""",
-    pr{i} AS (
+    pr{i} AS MATERIALIZED (
       SELECT nodes.node,
              (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
              + CAST(0.85 AS DOUBLE) *
