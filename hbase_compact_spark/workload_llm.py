@@ -3400,7 +3400,10 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantics pinned by test: greedy left-to-right non-overlapping
     application of each merge in rank order (classic BPE), matching
-    a character-level Python reference bit-for-bit.
+    a character-level Python reference bit-for-bit. fan_out spreads
+    the (expensive, per-row) fold off the one-file fixture scan —
+    without it the whole encode runs on ONE core (the
+    single-partition trap; measured 23.7 s -> ~1-2 s at sf0.1).
 
     The learned merge table is /tmp-memoized keyed by the corpus
     fingerprint (sources/memo.py discipline): in a real pipeline the
@@ -3414,13 +3417,14 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_vocab,
         learn_merges,
     )
+    from hbase_compact_spark.functions.multimodal import fan_out
     from hbase_compact_spark.sources.memo import (
         memo_root,
         publish,
         staging_dir,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     root, complete = memo_root(
         sf_dir, "bpemerges", "documents", logic_rev="r8a"
     )
