@@ -146,14 +146,29 @@ def with_grouped_row_number(
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except ValueError:
             num_partitions = 200
-    gcols = [F.col(c) if isinstance(c, str) else c for c in group]
     ocols = _order_cols(order)
+    # Column-expression group keys are materialized as named columns
+    # FIRST: partitioning on the expression but grouping/joining on a
+    # derived display name would reference a column `base` never had
+    # (UNRESOLVED_COLUMN) — the expression must exist as a real column
+    # through the whole partition/count/join pipeline.
+    gnames: list[str] = []
+    synth: list[str] = []
+    proj = df
+    for idx, g in enumerate(group):
+        if isinstance(g, str):
+            gnames.append(g)
+        else:
+            nm = f"__gr_g{idx}"
+            proj = proj.withColumn(nm, g)
+            gnames.append(nm)
+            synth.append(nm)
+    gcols = [F.col(n) for n in gnames]
     base = (
-        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        proj.repartitionByRange(num_partitions, *gcols, *ocols)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=False)  # same sampling barrier as above
     )
-    gnames = [c if isinstance(c, str) else df.select(c).columns[0] for c in group]
     counts = base.groupBy(_PID, *gnames).agg(F.count("*").alias(_CNT))
     offsets = counts.select(
         _PID,
@@ -176,7 +191,7 @@ def with_grouped_row_number(
         )
         .join(F.broadcast(offsets), [_PID, *gnames])
         .withColumn(name, (F.col(_LRN) + F.col(_OFF)).cast("long"))
-        .drop(_PID, _LRN, _OFF)
+        .drop(_PID, _LRN, _OFF, *synth)
     )
 
 

@@ -166,6 +166,7 @@ def run_bounded(
         "spark.sql.shuffle.partitions",
         n_partitions or spark.sparkContext.defaultParallelism,
     )
+    name = None
     try:
         name = f"stream_out_{uuid.uuid4().hex[:10]}"
         q = (
@@ -205,9 +206,18 @@ def run_bounded(
         # happen, and bench loops still hold one result's blocks at a
         # time (freed when the frame is GC'd).
         out = spark.table(name).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
         return out
     finally:
+        # drop the sink view on EVERY exit (success, timeout raise, or
+        # checkpoint failure) — otherwise an error path leaves the
+        # full result row set registered on the driver for the session
+        # lifetime; the success path's returned frame is already
+        # checkpointed and does not depend on the view
+        if name is not None:
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass  # view never got registered (start() failed)
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:

@@ -3204,9 +3204,15 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", TX.shingles("text", _NOVELTY_W).alias("sh")
     )
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+    # `sh` feeds TWO aggregations (first-occurrence and per-doc
+    # sizes); without a barrier Catalyst re-inlines the corpus-scale
+    # explode+hash pipeline into both consumers — the dominant stage
+    # paid twice (the tfidf/contamination multi-consumer discipline)
+    sh = (
+        docs.select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=False)
+    )
     first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count("*").alias("n_novel")

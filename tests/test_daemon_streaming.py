@@ -578,3 +578,32 @@ def test_run_bounded_result_survives_later_runs(spark):
         if t.name.startswith("stream_out_")
     ]
     assert leaked == []
+
+
+def test_run_bounded_timeout_drops_sink_view(spark):
+    """Regression: the memory-sink temp view (and its driver-held
+    rows) leaked on ERROR paths — dropTempView ran only on success.
+    A timeout raise must still leave no stream_out_* view behind."""
+    import pytest as _pytest
+
+    from hbase_compact_spark.streaming.tumbling import (
+        events_stream,
+        run_bounded,
+        tumbling_counts,
+    )
+
+    with _pytest.raises(RuntimeError, match="did not finish"):
+        run_bounded(
+            tumbling_counts(events_stream(spark, SF_DIR)),
+            n_partitions=4,
+            # smallest timeout awaitTermination accepts (>=1 ms after
+            # the seconds->ms conversion) that a real multi-batch
+            # availableNow run cannot possibly beat
+            timeout=0.05,
+        )
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("stream_out_")
+    ]
+    assert leaked == []

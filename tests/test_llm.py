@@ -794,8 +794,20 @@ def test_ngram_novelty_hash_keyed_shuffle(spark, sf_dir):
     the shingle text (the dedup_lines shuffle-bytes discipline)."""
     from hbase_compact_spark.workload_llm import ngram_novelty
 
+    import inspect
+    import re
+
+    from hbase_compact_spark.workload_llm import ngram_novelty as nn
+
     plan = ngram_novelty(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan
+    if "xxhash64" not in plan:
+        # the shared shingle frame is localCheckpoint'ed (so the
+        # explode+hash pipeline runs ONCE for its two consumers);
+        # the hash then lives inside the checkpointed segment and the
+        # downstream plan shows a Scan ExistingRDD carrying ONLY
+        # (doc_id, h) — which is itself the 8-byte-shuffle-key claim
+        assert re.search(r"Scan ExistingRDD\[doc_id#\d+L,h#\d+L\]", plan), plan
+        assert "xxhash64" in inspect.getsource(nn)
 
 
 def test_mlm_span_corrupt_reconstruction(spark, sf_dir):

@@ -140,3 +140,33 @@ def test_window_ntile_still_two_pass_shape(spark):
     p = _executed(spark, "window_ntile")
     assert "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p
+
+
+def test_grouped_row_number_accepts_column_group_keys(spark):
+    """Regression: a Column-EXPRESSION group key used to range-
+    partition on the expression but groupBy/join on a derived display
+    name ('(g % 3)') that base never carried -> UNRESOLVED_COLUMN.
+    Expressions are now materialized as synthetic columns for the
+    pipeline and dropped from the result."""
+    from hbase_compact_spark.functions.ranking import (
+        with_grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "g long, i long"
+    )
+    got = with_grouped_row_number(
+        df, [F.col("g") % 3], [F.desc("i")], name="rn"
+    )
+    assert set(got.columns) == {"g", "i", "rn"}
+    want = df.select(
+        "g",
+        "i",
+        F.row_number()
+        .over(Window.partitionBy(F.col("g") % 3).orderBy(F.desc("i")))
+        .cast("long")
+        .alias("rn"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
