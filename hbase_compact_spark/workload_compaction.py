@@ -1149,3 +1149,124 @@ def ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("s").cast("double").alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------
+# snapshot_expire_scan — snapshot RETENTION: expire old versions and
+# physically reclaim the data files only they referenced (Iceberg
+# expire_snapshots / Delta VACUUM), then prove the surviving latest
+# version still reads exactly right. Completes the table-format
+# lifecycle: ingest → compact → read (ingest_compact_lifecycle) →
+# EXPIRE.
+EXP_MOD = 4  # staged subset: o_orderkey % EXP_MOD == 1
+
+
+def _expire_base_root(spark: SparkSession, sf_dir: str) -> str:
+    """Immutable memoized 3-version snapshot table: v1 bootstrap (4
+    small files), v2 compaction rewrite (v1's files become dead
+    weight the log still references), v3 append. Each
+    snapshot_expire_scan run hardlink-copies this tree and expires
+    the COPY — expire mutates, so the staged base must never be."""
+    root, log, ok = _memo_root(
+        spark, sf_dir, "expirebase", lambda lg: (lg.latest() or 0) >= 3
+    )
+    if ok:
+        return root
+    from hbase_compact_spark.compaction.snapshots import snapshot_compact
+
+    orders = _orders_slim(spark, sf_dir)
+    (
+        orders.filter(F.col("o_orderkey") % EXP_MOD == 1)
+        .filter(F.col("o_orderkey") % 10 != 3)
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    log.bootstrap()  # v1: four small pre-compaction files
+    snapshot_compact(spark, root)  # v2: rewritten files; v1's dead
+    app_dir = posixpath.join(root, "append3")
+    (
+        orders.filter(F.col("o_orderkey") % EXP_MOD == 1)
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(app_dir)
+    )
+    # EXPLICIT append commit (parent manifest ∪ added), NOT
+    # commit_current: the COW compaction left v1's originals on disk
+    # for time travel, and a directory re-listing would re-reference
+    # them — duplicating rows in v3 and keeping the dead files live
+    # forever (expire would then have nothing to reclaim)
+    added = [
+        (
+            posixpath.join("append3", name),
+            os.path.getsize(os.path.join(app_dir, name)),
+        )
+        for name in sorted(os.listdir(app_dir))
+        if name.endswith(".parquet")
+    ]
+    log.commit_append(added, op="append", parent=2)  # v3
+    return root
+
+
+def _expire_working_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Hardlink-copy of the immutable base (data files shared,
+    metadata JSONs copied so the copy's log is independent)."""
+    import shutil
+    import uuid
+
+    base = _expire_base_root(spark, sf_dir)
+    work = posixpath.join(
+        tempfile.gettempdir(), f"hcs_expire_run_{uuid.uuid4().hex[:8]}"
+    )
+    for dirpath, _dirs, files in os.walk(base):
+        rel = os.path.relpath(dirpath, base)
+        dst_dir = work if rel == "." else posixpath.join(work, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in files:
+            src = os.path.join(dirpath, name)
+            dst = posixpath.join(dst_dir, name)
+            if name.endswith(".json"):
+                shutil.copy2(src, dst)  # log/manifest: independent copy
+            else:
+                os.link(src, dst)  # data: shared, never mutated
+    return work
+
+
+@query(
+    "snapshot_expire_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % {EXP_MOD} = 1
+    """,
+)
+def snapshot_expire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention end-to-end: on a fresh copy of a 3-version
+    table (bootstrap → compaction rewrite → append), expire all but
+    the last two versions — v1's pre-compaction data files are
+    referenced by NO surviving snapshot and are physically deleted;
+    the shared-by-reference and still-live files are untouched — then
+    read the latest version, which must equal the full staged subset
+    (the oracle). Generalizes the reference's fixed retention of
+    exactly one generation per store file after major compaction
+    (QHBaseCompact.java:167 + README dead-size accounting) into
+    policy-driven snapshot retention.
+
+    Scale shape: expire is METADATA work — live-set union over the
+    kept manifests + a file-set difference, never a data scan; the
+    deletes are O(dead files). The verifying read is the same pruned
+    snapshot scan every other snapshot query uses. Books (expired
+    count, deleted-file count, v1 unreadability, orphan-free tree)
+    are pinned in tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import (
+        expire_snapshots,
+        read_table_at,
+    )
+
+    work = _expire_working_copy(spark, sf_dir)
+    stats = expire_snapshots(spark, work, keep_last=2)
+    assert stats["expired"] >= 1 and stats["deleted_files"] >= 1, stats
+    return read_table_at(spark, work).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

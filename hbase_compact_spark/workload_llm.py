@@ -3479,3 +3479,49 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# grouped_topk — top-k rows per group under skew: the "best k docs
+# per source" selection every curation pipeline runs before mixing.
+_TOPK_PER_GROUP = 5
+
+
+@query(
+    "grouped_topk",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, rn
+    FROM ranked WHERE rn <= {_TOPK_PER_GROUP}
+    """,
+)
+def grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents per source by length (doc_id tie-break) via
+    the two-phase GROUPED rank (functions/ranking.py): range
+    partition on (source, sort keys) splits a dominant source across
+    many partitions instead of hashing the whole group onto one task
+    the way Window.partitionBy(source) would — sources are the
+    few-huge-groups case (a 100 TB corpus has dozens of sources, one
+    of which is commonly half the data; compare stratified_sample's
+    strata). The rank filter then keeps k rows per group.
+
+    At scale the shuffle is the range exchange only; the offsets
+    frame is bounded by partitions + |sources| rows (broadcast).
+    Result pinned bit-identical to the naive partitioned window by
+    the shared ranking tests; ordering is total (unique doc_id), so
+    the top-k set is deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = with_grouped_row_number(
+        docs, ["source"], [F.desc("n_chars"), "doc_id"], name="rn"
+    )
+    return ranked.filter(F.col("rn") <= _TOPK_PER_GROUP)
+
+
+grouped_topk.__doc__ = grouped_topk.__doc__.format(k=_TOPK_PER_GROUP)

@@ -933,3 +933,30 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         assert row["n_tokens"] == n_tokens, r["doc_id"]
         assert row["compression"] == n_tokens / n_syms
         assert 0 < row["n_tokens"] <= row["n_syms"]
+
+
+def test_grouped_topk_per_group_books(spark, sf_dir):
+    """Each source yields exactly min(k, group size) rows, ranks are
+    1..k dense, and the selected docs are truly the longest per
+    source (ties by doc_id)."""
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_llm import (
+        _TOPK_PER_GROUP,
+        grouped_topk,
+    )
+
+    rows = grouped_topk(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((-r["n_chars"], r["doc_id"]))
+    got = {}
+    for r in rows:
+        got.setdefault(r["source"], []).append((r["rn"], r["doc_id"]))
+    assert set(got) == set(by_src)
+    for src, pairs in got.items():
+        pairs.sort()
+        k = min(_TOPK_PER_GROUP, len(by_src[src]))
+        assert [rn for rn, _ in pairs] == list(range(1, k + 1))
+        want_ids = [d for _, d in sorted(by_src[src])[:k]]
+        assert [d for _, d in pairs] == want_ids

@@ -343,3 +343,50 @@ def test_ivm_aggregate_equals_full_recompute(spark):
     # the merge makes the view move: updated statuses shrink, 'U'
     # and 'I' appear — a vacuous delta would prove nothing
     assert "U" in maintained and "I" in maintained
+
+
+def test_expire_reclaims_only_dead_files(spark):
+    """Retention books the oracle hash can't see: expire drops v1 and
+    physically deletes exactly the files no surviving snapshot
+    references; v1 becomes unreadable; the kept versions' files all
+    still exist (orphan-free, nothing live lost); the base staging is
+    untouched (runs mutate a copy)."""
+    import os
+    import posixpath
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        expire_snapshots,
+        read_table_at,
+    )
+    from hbase_compact_spark.workload_compaction import (
+        _expire_base_root,
+        _expire_working_copy,
+    )
+
+    base = _expire_base_root(spark, SF_DIR)
+    base_log = SnapshotLog(spark, base)
+    assert base_log.latest() == 3
+    v1_files = {p for p, _ in base_log.files(1)}
+    live = {
+        p for v in (2, 3) for p, _ in base_log.files(v)
+    }
+    dead = v1_files - live
+    assert dead, "staging must leave v1-only files for expire to reclaim"
+
+    work = _expire_working_copy(spark, SF_DIR)
+    n_before = read_table_at(spark, work).count()
+    stats = expire_snapshots(spark, work, keep_last=2)
+    assert stats == {"expired": 1, "deleted_files": len(dead)}
+    for p in dead:
+        assert not os.path.exists(posixpath.join(work, p))
+    for p in live:
+        assert os.path.exists(posixpath.join(work, p))
+    # v1 is gone; latest still reads the same rows
+    log = SnapshotLog(spark, work)
+    assert log.versions() == [2, 3]
+    assert read_table_at(spark, work).count() == n_before
+    # the immutable base still has every file (copies share data via
+    # hardlinks but deletes must not reach through)
+    for p in v1_files | live:
+        assert os.path.exists(posixpath.join(base, p))
