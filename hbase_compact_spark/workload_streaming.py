@@ -863,3 +863,67 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_late_groups_dropped long, n_on_time long, "
         "watermark_applied string",
     )
+
+
+# --------------------------------------------------------------------
+# stream_static_join — the stream-to-DIMENSION join class: enrich the
+# event stream against a static (batch) table, then window-aggregate.
+# The one Structured Streaming join family the surface didn't yet
+# exercise (stream_stream_join covers stream x stream).
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000)
+                                   * 21600000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the
+    static customer dimension on user_id (re-planned per micro-batch
+    — Structured Streaming broadcasts the static side at dim scale,
+    no stream state held for it), then 6-hour tumbling windows count
+    and exact-sum per market segment. This is the canonical "enrich
+    then aggregate" streaming topology; the watermark bounds the
+    aggregation state exactly as in stream_tumbling.
+
+    Scale: the static side is a DIMENSION (unhinted; per-batch AQE
+    decides broadcast vs shuffle); join adds NO streaming state —
+    only the windowed agg is stateful, bounded by watermark horizon
+    x |segments|. Oracle = the identical batch join + GROUP BY."""
+    from hbase_compact_spark.streaming.tumbling import (
+        events_stream,
+        run_bounded,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(cust, "user_id")
+        .groupBy(F.window("ts", "6 hours"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_bounded(agg, n_partitions=8)

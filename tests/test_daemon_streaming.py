@@ -607,3 +607,42 @@ def test_run_bounded_timeout_drops_sink_view(spark):
         if t.name.startswith("stream_out_")
     ]
     assert leaked == []
+
+
+def test_stream_static_join_adds_no_join_state(spark):
+    """The stream-static join must hold NO streaming state for the
+    static side — exactly one stateful operator (the windowed agg)
+    appears in progress, and the result equals the batch dual."""
+    from hbase_compact_spark.streaming.tumbling import (
+        events_stream,
+        run_bounded,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    ev = events_stream(spark, SF_DIR)
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(cust, "user_id")
+        .groupBy(F.window("ts", "6 hours"), "segment")
+        .agg(F.count("*").alias("n_events"))
+        .select("window.start", "segment", "n_events")
+    )
+    progress: list = []
+    got = run_bounded(agg, n_partitions=4, progress=progress)
+    ops = [p for pr in progress for p in pr.get("stateOperators", [])]
+    names = {op.get("operatorName") for op in ops}
+    assert names == {"stateStoreSave"}, names  # agg only, no join state
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .join(cust, "user_id")
+        .groupBy(F.window("ts", "6 hours"), "segment")
+        .agg(F.count("*").alias("n_events"))
+        .select("window.start", "segment", "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
