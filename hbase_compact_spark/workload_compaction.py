@@ -1259,14 +1259,28 @@ def snapshot_expire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot scan every other snapshot query uses. Books (expired
     count, deleted-file count, v1 unreadability, orphan-free tree)
     are pinned in tests/test_snapshot_workloads.py."""
+    import shutil
+
     from hbase_compact_spark.compaction.snapshots import (
         expire_snapshots,
         read_table_at,
     )
 
     work = _expire_working_copy(spark, sf_dir)
-    stats = expire_snapshots(spark, work, keep_last=2)
-    assert stats["expired"] >= 1 and stats["deleted_files"] >= 1, stats
-    return read_table_at(spark, work).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+    try:
+        stats = expire_snapshots(spark, work, keep_last=2)
+        assert stats["expired"] >= 1 and stats["deleted_files"] >= 1, stats
+        # materialize before deleting the working copy (the lazy frame
+        # would otherwise read files rmtree is about to remove) — the
+        # compaction_execute cleanup discipline; without it every run
+        # leaks an hcs_expire_run_* tree into /tmp for the session of
+        # the machine
+        return (
+            read_table_at(spark, work)
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
