@@ -3525,3 +3525,82 @@ def grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 grouped_topk.__doc__ = grouped_topk.__doc__.format(k=_TOPK_PER_GROUP)
+
+
+# --------------------------------------------------------------------
+# cross_corpus_overlap — corpus-pair n-gram containment matrix: how
+# much of source A's distinct shingle vocabulary also appears in
+# source B? The cross-corpus diagnostic behind dataset ablations and
+# leakage checks (contamination_check's train-vs-eval shape,
+# generalized to every source pair).
+_XC_W = 5
+_XC_SH_D = TX.shingles_duck("text", _XC_W)
+
+
+@query(
+    "cross_corpus_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, unnest(list_distinct({_XC_SH_D})) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(n_common AS DOUBLE) / sizes.n_sh AS containment
+    FROM pairs JOIN sizes ON sizes.source = pairs.source_a
+    """,
+)
+def cross_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment between every pair of corpus
+    sources: |shingles(A) ∩ shingles(B)| / |shingles(A)|. n_common is
+    symmetric; containment is not (a small source inside a big one
+    scores high one way only).
+
+    Scale shape: the corpus reduces ONCE to distinct (source,
+    xxhash64(shingle)) rows — 8-byte shuffle keys (the dedup_lines
+    discipline; the oracle joins on shingle text, identical barring
+    64-bit collisions) — and the frame is lazily checkpointed for its
+    two consumers (sizes + self-join). The self-join explodes each
+    shingle to at most |sources|² pairs — bounded by the SQUARE OF THE
+    SOURCE COUNT (dozens at 100 TB), never by corpus size; the output
+    matrix is |sources|² rows. containment is an integer ratio —
+    bit-exact cross-engine unrounded."""
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(TX.shingles("text", _XC_W))
+            ).alias("s"),
+        )
+        .select("source", F.xxhash64("s").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return pairs.join(
+        sizes, pairs["source_a"] == sizes["source"]
+    ).select(
+        "source_a",
+        "source_b",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh")).alias(
+            "containment"
+        ),
+    )
