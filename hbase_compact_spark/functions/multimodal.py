@@ -275,7 +275,22 @@ def fan_out(df: DataFrame) -> DataFrame:
     scale the input already has >= defaultParallelism partitions and
     this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # File-count heuristic instead of df.rdd.getNumPartitions(): the
+    # RDD accessor materializes the full RDD lineage on every call in
+    # an otherwise pure-DataFrame engine. inputFiles() is a cheap
+    # listing off the scan node. Fewer files than cores is the trap
+    # this helper exists for (the one-file fixture scan) -> add the
+    # narrow repartition. The heuristic is conservative the other
+    # way: >= target SMALL files can still pack into fewer tasks
+    # (FileSourceScanExec bin-packs by maxPartitionBytes), in which
+    # case we skip a repartition that would have helped a little —
+    # acceptable for a pre-shuffle spreading hint, and at production
+    # scale per-file splits dominate packing anyway.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -92,14 +92,21 @@ def with_global_row_number(
         .localCheckpoint(eager=False)
     )
     counts = base.groupBy(_PID).agg(F.count("*").alias(_CNT))
-    # Running-sum window over <= num_partitions rows: unpartitioned by
+    # Running-sum window over <= num_partitions rows: global by
     # construction, but bounded by cluster config — not a data-scaled
-    # single-partition window.
+    # single-partition window. Partitioning on a constant keeps the
+    # identical single-group semantics while making the boundedness
+    # explicit to Spark (an EMPTY partitionSpec triggers WindowExec's
+    # "no partition defined ... serious performance degradation"
+    # warning unconditionally, which would mislabel this bounded
+    # frame as a scale hazard on every bench run).
     offsets = counts.select(
         _PID,
         F.coalesce(
             F.sum(_CNT).over(
-                Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+                Window.partitionBy(F.lit(0))
+                .orderBy(_PID)
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias(_OFF),

@@ -35,6 +35,48 @@ from pyspark.sql import functions as F
 # misuse this module-global protocol cannot survive.
 _PENDING_CONF_RESTORES: list[tuple[str, str | None, int]] = []
 
+# The production state-store backend for large state: the default
+# HDFSBackedStateStoreProvider keeps every store's working set ON
+# HEAP (maps of unsafe rows), so a 100 TB stream's sessionization or
+# running-totals state is the component that OOMs first. RocksDB
+# (built into Spark >= 3.2, rocksdbjni ships with the distribution)
+# spills state to local SSD with bounded memtables — state size stops
+# being a heap problem. Result parity with the default provider is
+# pinned in tests/test_daemon_streaming.py; the conf is read at QUERY
+# START, so the context manager below scopes it to one bounded run.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class state_store_provider:
+    """Context manager: run the enclosed bounded stream(s) under an
+    alternate state-store provider class, restoring the session's
+    previous setting on exit (exception-safe). Usage:
+
+        with state_store_provider(spark, ROCKSDB_PROVIDER):
+            out = stream_session(spark, sf_dir)
+    """
+
+    def __init__(self, spark: SparkSession, provider_class: str):
+        self._spark = spark
+        self._provider = provider_class
+        self._prev: str | None = None
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(_PROVIDER_KEY, None)
+        self._spark.conf.set(_PROVIDER_KEY, self._provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self._spark.conf.set(_PROVIDER_KEY, self._prev)
+        return False
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time

@@ -1117,7 +1117,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Bucketed co-located join: the 100 TB shuffle-elimination strategy.
 
-_JOIN_BUCKETS = 8  # local[32] demo size; thousands on a real cluster
+def _join_buckets(spark: SparkSession) -> int:
+    """Bucket count scaled to the session (floor 8): read
+    parallelism of the zero-exchange join equals the bucket count,
+    so a constant-8 layout reads as a serial scan once the data
+    outgrows 8 tasks. Thousands on a real cluster; the memo
+    fingerprint embeds the count so differently-sized sessions get
+    separate layouts instead of trusting each other's bucket DDL."""
+    return max(8, spark.sparkContext.defaultParallelism)
 
 
 def _bucketed_pair_root(spark: SparkSession, sf_dir: str) -> str:
@@ -1137,7 +1144,10 @@ def _bucketed_pair_root(spark: SparkSession, sf_dir: str) -> str:
         staging_dir,
     )
 
-    root, complete = memo_root(sf_dir, "bucketpair", "lineitem", logic_rev="r8a")
+    n_buckets = _join_buckets(spark)
+    root, complete = memo_root(
+        sf_dir, "bucketpair", "lineitem", logic_rev=f"r9a_b{n_buckets}"
+    )
     if complete:
         return root
     tmp = staging_dir(root)
@@ -1158,9 +1168,9 @@ def _bucketed_pair_root(spark: SparkSession, sf_dir: str) -> str:
             # hashpartitioning uses) so each task owns whole buckets
             # -> exactly one file per bucket, which is what lets the
             # reader trust per-bucket sortedness and elide the Sort
-            df.repartition(_JOIN_BUCKETS, key)
+            df.repartition(n_buckets, key)
             .write.mode("overwrite")
-            .bucketBy(_JOIN_BUCKETS, key)
+            .bucketBy(n_buckets, key)
             .sortBy(key)
             .option("path", posixpath.join(tmp, name))
             .saveAsTable(stage_tbl)
@@ -1194,7 +1204,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {_JOIN_BUCKETS} BUCKETS "
+            f"INTO {_join_buckets(spark)} BUCKETS "
             f"LOCATION '{posixpath.join(root, name)}'"
         )
         out.append(tbl)

@@ -970,8 +970,11 @@ def test_compaction_execute_throughput_beats_reference(spark):
     comp: list[float] = []
     for _ in range(3):
         comp.append(attempt())
-        if max(comp) > 25.6:
-            return  # absolute budget demonstrated; done
+        # Early exit only on the MEDIAN of completed attempts (>= 2
+        # of them) clearing the absolute bar — a single warm outlier
+        # must not skip the regression gate.
+        if len(comp) >= 2 and statistics.median(comp) > 25.6:
+            return  # absolute budget demonstrated on the median
     # Absolute budget missed: calibrate against this box, right now.
     root = _compaction_staging(spark, "/root/testdata/sf0.1")
     size_mb = sum(
@@ -988,11 +991,10 @@ def test_compaction_execute_throughput_beats_reference(spark):
         bare.append(size_mb / (time.time() - t0))
         if i == 0:
             comp.append(attempt())
-            if max(comp) > 25.6:
-                return  # the interleaved 4th attempt beat the
-                # absolute budget — same capability claim as the
-                # early return above (a warm run clearing the bar
-                # must pass regardless of the stall-depressed median)
+            if statistics.median(comp) > 25.6:
+                return  # the MEDIAN of all 4 attempts beat the
+                # absolute budget — the capability claim holds on
+                # the median, not on one warm outlier
     med_c = statistics.median(comp)
     med_b = statistics.median(bare)
     assert med_c >= 0.18 * med_b, (

@@ -646,3 +646,41 @@ def test_stream_static_join_adds_no_join_state(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_rocksdb_state_store_result_parity(spark):
+    """The RocksDB state store (the 100 TB answer to the default
+    provider's on-heap state — stream_session and
+    stream_stateful_totals own the engine's worst cost-follows-input
+    decades) must produce BIT-IDENTICAL results to the default
+    HDFS-backed provider for both the sessionization state operator
+    and the custom applyInPandasWithState fold, and the provider
+    conf must not leak out of the scoping context manager."""
+    from hbase_compact_spark.streaming.tumbling import (
+        _PROVIDER_KEY,
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+    )
+    from hbase_compact_spark.workload_streaming import (
+        stream_session,
+        stream_stateful_totals,
+    )
+
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    # collect() before leaving each run: run_bounded's memory-sink
+    # rows are localCheckpointed, so they survive the next run
+    base_sess = sorted(map(tuple, stream_session(spark, SF_DIR).collect()))
+    base_tot = sorted(
+        map(tuple, stream_stateful_totals(spark, SF_DIR).collect())
+    )
+    with state_store_provider(spark, ROCKSDB_PROVIDER):
+        assert spark.conf.get(_PROVIDER_KEY) == ROCKSDB_PROVIDER
+        rock_sess = sorted(
+            map(tuple, stream_session(spark, SF_DIR).collect())
+        )
+        rock_tot = sorted(
+            map(tuple, stream_stateful_totals(spark, SF_DIR).collect())
+        )
+    assert spark.conf.get(_PROVIDER_KEY, None) == prev  # no leak
+    assert rock_sess == base_sess
+    assert rock_tot == base_tot

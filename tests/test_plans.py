@@ -390,3 +390,24 @@ def test_bucketed_join_has_no_join_key_exchange(spark):
     assert "hashpartitioning(l_orderkey" not in p
     assert "hashpartitioning(o_orderkey" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dedup_semantic_has_no_corpus_join(spark):
+    """dedup_semantic's 100 TB contract is that the pairwise compare
+    happens ONLY inside per-cluster grouped-pandas tasks: the plan
+    must contain ZERO join nodes (assignment ships the bounded
+    centroid matrix in the task closure, not via a corpus join) and
+    the only exchange is the corpus keyed by cluster id."""
+    df = _Q["dedup_semantic"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in p, f"unexpected {node} in dedup_semantic plan"
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning(list_id") >= 1

@@ -316,6 +316,76 @@ def bench3(queries: list[str] | None = None, rnd: int | None = None) -> None:
     print("wrote", out_path)
 
 
+def bench3_rocksdb(queries: list[str] | None = None,
+                   rnd: int | None = None) -> None:
+    """Three-point sweep of the state-heaviest streaming queries under
+    the RocksDB state store (the 100 TB answer to the default
+    provider's on-heap state maps — VERDICT r8 task 2), merged into
+    the round's SCALE_r{N}.json under a 'rocksdb_variants' key so the
+    two providers' curves sit side by side. Result parity with the
+    default provider is pinned separately in
+    tests/test_daemon_streaming.py::test_rocksdb_state_store_result_parity."""
+    import __spark_entry__ as entrymod
+    from hbase_compact_spark import registry
+    from hbase_compact_spark.streaming.tumbling import (
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+    )
+
+    if rnd is None:
+        import glob as _g
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _g.glob(str(Path(__file__).parent / "SCALE_r*.json"))
+            if (m := _re.search(r"SCALE_r(\d+)\.json$", p))
+        ]
+        rnd = max(rounds) if rounds else 1
+
+    spark = _spark()
+    qs = entrymod.queries()
+    names = queries or ["stream_session", "stream_stateful_totals"]
+    points = [("sf0.1", SRC_SF, 3), ("sf1", TARGETS["sf1"][1], 3),
+              ("sf10", TARGETS["sf10"][1], 2)]
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    with state_store_provider(spark, ROCKSDB_PROVIDER):
+        for name in names:
+            row: dict[str, float] = {}
+            for label, sf_dir, runs in points:
+                ts = []
+                for _ in range(runs):
+                    registry.clear_session_caches()
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    ts.append(time.perf_counter() - t0)
+                row[label] = round(
+                    sorted(ts)[len(ts) // 2] if runs >= 3 else ts[-1], 3
+                )
+            row["ratio_10x"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
+            row["decade2"] = round(row["sf10"] / max(row["sf1"], 1e-9), 2)
+            out[name] = row
+            print("rocksdb", name, row, flush=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload["rocksdb_variants"] = {
+        "provider": ROCKSDB_PROVIDER,
+        "note": "same bounded-stream queries re-run under RocksDB; "
+        "result parity with the default provider is pinned in "
+        "tests/test_daemon_streaming.py",
+        "queries": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged rocksdb_variants into", out_path)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     if cmd == "generate":
@@ -331,5 +401,13 @@ if __name__ == "__main__":
         )
         rnd = int(sys.argv[3]) if len(sys.argv) > 3 else None
         bench3(qlist, rnd)
+    elif cmd == "bench3_rocksdb":
+        qlist = (
+            sys.argv[2].split(",")
+            if len(sys.argv) > 2 and sys.argv[2] != "-"
+            else None
+        )
+        rnd = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        bench3_rocksdb(qlist, rnd)
     else:
         raise SystemExit(f"unknown command {cmd!r}")
