@@ -62,6 +62,63 @@ MANIFEST_SCHEMA_DDL = (
     "relpath string, size long, stats string, blooms string"
 )
 
+# Hidden-partitioning layout marker (partition-spec evolution): files
+# written under the current spec live in `_hp_<col>=<value>` dirs.
+# The prefix deliberately collides with NO data column, and readers
+# NEVER hive-infer these components — the spec's source columns stay
+# real data columns inside every file (the Iceberg contract), so a
+# table can change its partition spec without rewriting a byte:
+# old files keep their layout, new writes use the new spec, reads
+# union both generations through the manifest, and scan_plan prunes
+# new-generation files from the path value alone.
+PARTITION_DIR_PREFIX = "_hp_"
+
+# Spark/Hive writes NULL partition values under this sentinel dir —
+# unknown for pruning purposes (always keep)
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _path_partition_values(relpath: str) -> dict[str, str]:
+    """{column: raw string value} parsed from a relpath's
+    `_hp_<col>=<value>` directory components (percent-decoded — the
+    writer encodes exactly like hive layouts)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for comp in posixpath.dirname(relpath).split("/"):
+        if comp.startswith(PARTITION_DIR_PREFIX) and "=" in comp:
+            k, v = comp[len(PARTITION_DIR_PREFIX):].split("=", 1)
+            if v != _HIVE_NULL_DIR:
+                out[k] = unquote(v)
+    return out
+
+
+def _path_value_disjoint(raw: str, lo, hi) -> bool:
+    """True only when the path-encoded partition value PROVABLY
+    misses [lo, hi]. The path stores strings; compare in the bound's
+    own domain (numeric bounds -> numeric compare) and keep the file
+    on any conversion failure — pruning must stay conservative."""
+    bound = lo if lo is not None else hi
+    if bound is None:
+        return False
+    if isinstance(bound, bool) or isinstance(bound, str):
+        val: object = raw
+    elif isinstance(bound, (int, float)):
+        try:
+            val = float(raw)
+        except ValueError:
+            return False
+    else:
+        return False  # timestamps/decimals: stats pruning covers them
+    try:
+        if lo is not None and val < lo:
+            return True
+        if hi is not None and val > hi:
+            return True
+    except TypeError:
+        return False
+    return False
+
 
 def _read_manifest_table(local_path: str, columns=None):
     """pyarrow table of a manifest file/dir. A ZERO-ROW manifest
@@ -402,6 +459,7 @@ class SnapshotLog:
         schema: dict | None = None,
         blooms: dict[str, dict] | None = None,
         manifest: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Atomically claim the next version; rename-if-absent is the
         only commit point. With an EXPLICIT `parent` (every caller
@@ -440,6 +498,11 @@ class SnapshotLog:
         }
         if schema:
             payload["schema"] = schema
+        if extra:
+            for k in extra:
+                if k in payload:
+                    raise ValueError(f"extra key {k!r} shadows core metadata")
+            payload.update(extra)
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
 
         def _abort() -> None:
@@ -513,18 +576,56 @@ def read_table_at(
     still holding a dropped column lose it — per-version schema, the
     Iceberg contract."""
     log = SnapshotLog(spark, table_root)
-    paths = [
-        posixpath.join(table_root, p) for p, _ in log.files(version)
-    ]
-    if not paths:
+    relpaths = [p for p, _ in log.files(version)]
+    if not relpaths:
         raise FileNotFoundError(f"snapshot lists no files under {table_root}")
     schema, _pcols = log.schema(version)
-    # basePath keeps hive partition columns (region=...) alive when
-    # reading an explicit file list instead of the directory tree
-    reader = spark.read.option("basePath", table_root)
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(*paths)
+    return _read_relpaths(spark, table_root, relpaths, schema)
+
+
+def _read_relpaths(
+    spark: SparkSession, table_root: str, relpaths: list[str], schema
+) -> DataFrame:
+    """Read an explicit snapshot file list, layout-generation aware.
+    Files are grouped by their LEGACY hive signature (the set of
+    `k=v` directory keys, `_hp_` spec dirs excluded) and each group
+    reads separately:
+
+    - a non-empty hive signature reads with basePath so the path-only
+      partition columns (region=...) stay alive — exactly the
+      pre-evolution behavior;
+    - the empty-signature group (plain files AND `_hp_` spec-evolved
+      files, whose partition values are real data columns) reads
+      WITHOUT basePath, so Spark never hive-infers the `_hp_` layout
+      dirs — mixed-spec generations cannot conflict.
+
+    Groups union by name, which is how a table whose partition spec
+    evolved mid-life reads as ONE table with zero rewrites."""
+    groups: dict[frozenset, list[str]] = {}
+    for p in relpaths:
+        keys = frozenset(
+            comp.split("=", 1)[0]
+            for comp in posixpath.dirname(p).split("/")
+            if "=" in comp and not comp.startswith(PARTITION_DIR_PREFIX)
+        )
+        groups.setdefault(keys, []).append(p)
+    frames = []
+    for keys in sorted(groups, key=sorted):
+        paths = [posixpath.join(table_root, p) for p in groups[keys]]
+        reader = spark.read
+        if keys:
+            # basePath keeps hive partition columns (region=...) alive
+            # when reading an explicit file list instead of the tree
+            reader = reader.option("basePath", table_root)
+        if schema is not None:
+            reader = reader.schema(schema)
+        frames.append(reader.parquet(*paths))
+    out = frames[0]
+    for d in frames[1:]:
+        # without a declared schema a legacy group carries its
+        # path-inferred hive columns that other generations lack
+        out = out.unionByName(d, allowMissingColumns=schema is None)
+    return out
 
 
 REWRITE_OPS = frozenset({"compact", "delete", "merge"})
@@ -670,7 +771,9 @@ def _capture_schema(spark: SparkSession, log: SnapshotLog, version: int) -> dict
     pcols: list[str] = []
     for relpath, _ in log.files(version):
         for comp in posixpath.dirname(relpath).split("/"):
-            if "=" in comp:
+            # _hp_ spec dirs are layout, not hive partition columns:
+            # their values are data columns inside the files
+            if "=" in comp and not comp.startswith(PARTITION_DIR_PREFIX):
                 name = comp.split("=", 1)[0]
                 if name not in pcols:
                     pcols.append(name)
@@ -731,6 +834,159 @@ def evolve_schema(
         blooms=log.blooms(v),
         schema=new_blob,
     )
+
+
+def partition_spec_of(log: SnapshotLog, version: int | None = None) -> dict | None:
+    """The partition spec in effect at `version` (default latest):
+    the spec recorded by the nearest `evolve_partitioning` commit at
+    or before it, found by walking the parent chain — specs are
+    sparse metadata, so ordinary commits never need to carry them.
+    None = the table never evolved (legacy layout)."""
+    v = log.latest() if version is None else version
+    seen = 0
+    while v:
+        blob = log.read(v)
+        spec = blob.get("partition_spec")
+        if spec is not None:
+            return spec
+        v = blob.get("parent")
+        seen += 1
+        if seen > 100_000:  # corrupt parent cycle guard
+            raise RuntimeError(f"parent chain cycle in {log.log_dir}")
+    return None
+
+
+def evolve_partitioning(
+    spark: SparkSession, table_root: str, partition_by: list[str]
+) -> int:
+    """Metadata-only PARTITION-SPEC evolution (Iceberg hidden
+    partitioning): commit a new snapshot with the SAME file set and a
+    new layout spec. Zero data movement — existing files keep their
+    physical layout; writes that go through `append_partitioned`
+    after this commit land under `_hp_<col>=<value>` directories;
+    reads union both generations through the manifest and
+    `scan_plan` prunes new-generation files from the path value
+    alone (old files keep pruning via their recorded stats).
+
+    The spec's source columns must be DATA columns present in every
+    file (that is what makes the evolution metadata-only), so a
+    legacy hive-layout table — whose partition values exist ONLY as
+    path structure — cannot evolve here; rewrite it through
+    snapshot_compact first. Generalizes the reference's fixed
+    region/family directory layout (QHC.java:144-149) into a
+    versioned, evolvable layout contract."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest()
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    if len(set(partition_by)) != len(partition_by):
+        raise ValueError(f"duplicate column in partition spec: {partition_by}")
+    blob = log.read(v).get("schema") or _capture_schema(spark, log, v)
+    legacy_pcols = set(blob["partition_cols"])
+    if legacy_pcols:
+        raise ValueError(
+            f"table has legacy hive path columns {sorted(legacy_pcols)} — "
+            "their values live only in directory names, so a metadata-only "
+            "spec change cannot apply; compact to a data-column layout first"
+        )
+    from pyspark.sql.types import StructType
+
+    names = {f.name for f in StructType.fromJson(blob["fields"]).fields}
+    for col in partition_by:
+        if col not in names:
+            raise ValueError(
+                f"partition column {col!r} is not a data column "
+                f"(have: {sorted(names)})"
+            )
+    prev = partition_spec_of(log, v)
+    spec = {
+        "spec_id": (prev["spec_id"] + 1) if prev else 1,
+        "partition_by": list(partition_by),
+    }
+    manifest = log.copy_manifest(v)
+    if manifest is not None:
+        return log.commit(
+            None,
+            op="evolve-partitioning",
+            parent=v,
+            schema=log.read(v).get("schema"),
+            manifest=manifest,
+            extra={"partition_spec": spec},
+        )
+    return log.commit(
+        log.files(v),
+        op="evolve-partitioning",
+        parent=v,
+        stats=log.stats(v),
+        blooms=log.blooms(v),
+        schema=log.read(v).get("schema"),
+        extra={"partition_spec": spec},
+    )
+
+
+def append_partitioned(
+    spark: SparkSession, table_root: str, df: DataFrame
+) -> int:
+    """Append `df` under the snapshot's CURRENT partition spec and
+    commit: with a spec, rows are written under `_hp_<col>=<value>`
+    directories derived from COPIES of the spec columns — the real
+    columns stay inside the files, so readers never depend on path
+    inference (hidden partitioning); with no spec, a plain append.
+    The commit is an explicit parent-manifest ∪ added-files append
+    (never a directory re-listing — a re-list would resurrect
+    compaction-retired files, the snapshot_expire_scan lesson)."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest()
+    spec = partition_spec_of(log, v)
+    fs, Path = log._fs, log._Path
+    tmp = posixpath.join(
+        table_root, f"_tmp_append-{uuid.uuid4().hex[:10]}"
+    )
+    added: list[tuple[str, int]] = []
+    try:
+        if spec:
+            hp_cols = []
+            aug = df
+            for col in spec["partition_by"]:
+                hp = PARTITION_DIR_PREFIX + col
+                aug = aug.withColumn(hp, F.col(col).cast("string"))
+                hp_cols.append(hp)
+            aug.write.partitionBy(*hp_cols).mode("overwrite").parquet(tmp)
+            # move each dir's parquet files under the root, layout
+            # preserved (recursive walk handles multi-column specs)
+            stack = [("", fs.listStatus(Path(tmp)))]
+            while stack:
+                rel, entries = stack.pop()
+                for st in entries:
+                    name = st.getPath().getName()
+                    if st.isDirectory():
+                        stack.append(
+                            (
+                                posixpath.join(rel, name) if rel else name,
+                                fs.listStatus(st.getPath()),
+                            )
+                        )
+                if any(not s.isDirectory() for s in entries):
+                    added.extend(
+                        _move_tmp_files(
+                            fs,
+                            Path,
+                            posixpath.join(tmp, rel) if rel else tmp,
+                            table_root,
+                            rel,
+                            "append",
+                        )
+                    )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+            added = _move_tmp_files(fs, Path, tmp, table_root, "", "append")
+    finally:
+        fs.delete(Path(tmp), True)
+    if not added:
+        raise ValueError("append_partitioned: the frame wrote no files")
+    return log.commit_append(added, op="append-partitioned", parent=v)
 
 
 def _footer_stats(local_path: str, cols: list[str] | None) -> tuple[int, dict]:
@@ -1066,12 +1322,23 @@ def _row_survives(
     blooms_json: str | None,
     norm: dict[str, tuple],
     eq_preds: dict,
+    relpath: str | None = None,
 ) -> bool:
     """Shared prune predicate for ONE manifest row (JSON-string
     payloads as stored) — used identically by the driver loop and the
-    distributed manifest scan, so the two paths cannot diverge."""
+    distributed manifest scan, so the two paths cannot diverge. When
+    `relpath` is given, `_hp_<col>=<value>` layout components prune
+    exactly like a recorded [v, v] stat range — partition pruning for
+    spec-evolved tables needs no stats annotation at all."""
     import json as _json
 
+    if relpath is not None:
+        pvals = _path_partition_values(relpath)
+        if any(
+            col in pvals and _path_value_disjoint(pvals[col], lo, hi)
+            for col, (lo, hi) in norm.items()
+        ):
+            return False
     file_cols = (
         (_json.loads(stats_json) if stats_json else {}).get("cols") or {}
     )
@@ -1144,6 +1411,7 @@ def scan_plan(
             _json.dumps(blooms[relpath]) if relpath in blooms else None,
             norm,
             eq_preds,
+            relpath,
         )
         if ok:
             kept.append(relpath)
@@ -1170,8 +1438,10 @@ def _scan_plan_distributed(
 
         for pdf in batches:
             mask = [
-                _row_survives(st, bl, norm, eq_preds)
-                for st, bl in zip(pdf["stats"], pdf["blooms"])
+                _row_survives(st, bl, norm, eq_preds, rp)
+                for st, bl, rp in zip(
+                    pdf["stats"], pdf["blooms"], pdf["relpath"]
+                )
             ]
             yield pd.DataFrame({"relpath": pdf["relpath"][mask]})
 
@@ -1210,12 +1480,11 @@ def read_table_where(
         paths = [log.files(plan["version"])[0][0]]
     # apply the snapshot's declared schema exactly like read_table_at:
     # an evolved table must present the same columns through BOTH read
-    # paths (added columns as NULL, dropped columns hidden)
-    reader = spark.read.option("basePath", table_root)
+    # paths (added columns as NULL, dropped columns hidden); the
+    # layout-generation grouping also matches, so spec-evolved tables
+    # read identically pruned or not
     declared, _pcols = log.schema(plan["version"])
-    if declared is not None:
-        reader = reader.schema(declared)
-    df = reader.parquet(*[posixpath.join(table_root, p) for p in paths])
+    df = _read_relpaths(spark, table_root, paths, declared)
     for col, pred in predicates.items():
         if not isinstance(pred, tuple):
             df = df.filter(F.col(col) == F.lit(pred))
@@ -1507,7 +1776,8 @@ def _partition_cols_of(log: SnapshotLog, version: int) -> list[str]:
     pcols: list[str] = []
     for relpath, _ in log.files(version):
         for comp in posixpath.dirname(relpath).split("/"):
-            if "=" in comp:
+            # _hp_ spec dirs are layout, not hive partition columns
+            if "=" in comp and not comp.startswith(PARTITION_DIR_PREFIX):
                 name = comp.split("=", 1)[0]
                 if name not in pcols:
                     pcols.append(name)

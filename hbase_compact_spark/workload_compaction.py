@@ -1284,3 +1284,101 @@ def snapshot_expire_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------
+# Partition-spec evolution (Iceberg hidden partitioning).
+
+_PE_MOD = 3  # event_id % _PE_MOD == 0 rows arrive AFTER the evolution
+
+
+def _partevol_root(spark: SparkSession, sf_dir: str) -> str:
+    """Immutable memoized 3-version table demonstrating metadata-only
+    partition-spec evolution: v1 bootstraps an UNPARTITIONED events
+    subset (two plain files), v2 = `evolve_partitioning` to
+    spec(event_type) — zero data movement, same manifest — and v3
+    appends the remaining rows through `append_partitioned`, which
+    lands them under `_hp_event_type=<value>` directories while
+    keeping event_type a real data column in the files (hidden
+    partitioning). The mixed-layout table reads as one."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        evolve_partitioning,
+    )
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "partevol", lambda lg: (lg.latest() or 0) >= 3,
+        src_table="events",
+    )
+    if ok:
+        return root
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    legacy = ev.filter(F.col("event_id") % _PE_MOD != 0)
+    legacy.repartition(2).write.mode("overwrite").parquet(root)
+    log.bootstrap()  # v1: pre-evolution layout, no partitioning
+    evolve_partitioning(spark, root, ["event_type"])  # v2: metadata only
+    append_partitioned(
+        spark, root, ev.filter(F.col("event_id") % _PE_MOD == 0)
+    )  # v3: new-spec files
+    return root
+
+
+@query(
+    "snapshot_partition_evolution",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN event_id % {_PE_MOD} = 0
+                THEN 'evolved' ELSE 'legacy' END AS generation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end: a table bootstrapped
+    UNPARTITIONED evolves to partition-by-event_type METADATA-ONLY
+    (`evolve_partitioning` — same manifest, zero bytes rewritten),
+    new rows append under the new `_hp_event_type=` layout
+    (`append_partitioned`), and the latest snapshot reads BOTH layout
+    generations as one table. The result keys each row's generation
+    off its physical FILE PATH (`input_file_name` containing the spec
+    dir) while the oracle derives the same label from the staging
+    rule (event_id % mod) — hash equality therefore proves the
+    appended rows physically live under the evolved layout and hold
+    exactly the expected subset, not just that the union adds up.
+
+    Scale shape: evolution cost is one snapshot-JSON write at ANY
+    table size (the Iceberg hidden-partitioning contract — spec
+    columns stay data columns, so no rewrite); reads stay
+    manifest-driven; `scan_plan` prunes new-generation files from the
+    path value alone (pinned in tests/test_snapshot_workloads.py)
+    while pre-evolution files keep stats-based pruning. Generalizes
+    the reference's fixed region/family directory layout
+    (QHBaseCompact.java:144-149) into a versioned layout the table
+    can change mid-life."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        read_table_at,
+    )
+
+    root = _partevol_root(spark, sf_dir)
+    df = read_table_at(spark, root)
+    gen = (
+        F.when(
+            F.input_file_name().contains(
+                f"/{PARTITION_DIR_PREFIX}event_type="
+            ),
+            F.lit("evolved"),
+        )
+        .otherwise(F.lit("legacy"))
+        .alias("generation")
+    )
+    return df.groupBy("event_type", gen).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -390,3 +390,142 @@ def test_expire_reclaims_only_dead_files(spark):
     # hardlinks but deletes must not reach through)
     for p in v1_files | live:
         assert os.path.exists(posixpath.join(base, p))
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (snapshot_partition_evolution)
+
+
+def test_partition_evolution_is_metadata_only_and_reads_mixed(spark):
+    """v2 (the spec change) must reference EXACTLY v1's files (zero
+    rewrite); v3 adds only `_hp_event_type=` files; the latest read
+    unions both layout generations into the full expected frame and
+    time travel still serves the pre-evolution subset."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        partition_spec_of,
+    )
+    from hbase_compact_spark.workload_compaction import (
+        _PE_MOD,
+        _partevol_root,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    root = _partevol_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    assert log.latest() == 3
+    v1_files = set(p for p, _ in log.files(1))
+    v2_files = set(p for p, _ in log.files(2))
+    assert v1_files == v2_files  # metadata-only evolution
+    assert log.read(2)["op"] == "evolve-partitioning"
+    spec = partition_spec_of(log, 3)
+    assert spec == {"spec_id": 1, "partition_by": ["event_type"]}
+    assert partition_spec_of(log, 1) is None  # pre-evolution
+    added = set(p for p, _ in log.files(3)) - v2_files
+    assert added and all(
+        f"{PARTITION_DIR_PREFIX}event_type=" in p for p in added
+    )
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    got_all = read_table_at(spark, root)
+    assert sorted(map(tuple, got_all.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+    got_v1 = read_table_at(spark, root, 1)
+    want_v1 = ev.filter(F.col("event_id") % _PE_MOD != 0)
+    assert sorted(map(tuple, got_v1.collect())) == sorted(
+        map(tuple, want_v1.collect())
+    )
+
+
+def test_partition_evolution_prunes_from_path_alone(spark):
+    """scan_plan must drop every evolved-generation file whose
+    `_hp_event_type=` path value misses an equality predicate WITHOUT
+    any stats annotation, and the pruned read must equal full-scan +
+    filter exactly."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        read_table_where,
+    )
+    from hbase_compact_spark.workload_compaction import _partevol_root
+
+    root = _partevol_root(spark, SF_DIR)
+    log = SnapshotLog(spark, root)
+    evolved = [
+        p for p, _ in log.files(3)
+        if f"{PARTITION_DIR_PREFIX}event_type=" in p
+    ]
+    types = sorted(
+        {p.split("event_type=")[1].split("/")[0] for p in evolved}
+    )
+    assert len(types) >= 2, "fixture must hold several event types"
+    target = types[0]
+    plan = scan_plan(spark, root, {"event_type": target})
+    kept_evolved = [
+        p for p in plan["paths"]
+        if f"{PARTITION_DIR_PREFIX}event_type=" in p
+    ]
+    # every surviving evolved file carries the target's value...
+    assert kept_evolved and all(
+        f"{PARTITION_DIR_PREFIX}event_type={target}/" in p
+        for p in kept_evolved
+    )
+    # ...and every other-valued evolved file was pruned (no stats
+    # were ever annotated on this table — the path alone did it)
+    assert plan["pruned_files"] >= len(evolved) - len(kept_evolved) > 0
+    got = read_table_where(spark, root, {"event_type": target})
+    want = read_table_at(spark, root).filter(
+        F.col("event_type") == target
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_evolve_partitioning_rejects_bad_specs(spark, tmp_path):
+    """Unknown data columns and legacy hive-layout tables (whose
+    partition values exist only as path structure) must be rejected
+    loudly — a metadata-only spec cannot apply to either."""
+    import pytest as _pytest
+
+    from hbase_compact_spark.compaction.snapshots import (
+        evolve_partitioning,
+    )
+
+    plain = str(tmp_path / "plain")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS bucket"
+    ).write.parquet(plain)
+    with _pytest.raises(ValueError, match="not a data column"):
+        evolve_partitioning(spark, plain, ["nope"])
+    with _pytest.raises(ValueError, match="at least one column"):
+        evolve_partitioning(spark, plain, [])
+    hive = str(tmp_path / "hive")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS bucket"
+    ).write.partitionBy("bucket").parquet(hive)
+    with _pytest.raises(ValueError, match="legacy hive path columns"):
+        evolve_partitioning(spark, hive, ["id"])
+
+
+def test_append_partitioned_without_spec_is_plain_append(spark, tmp_path):
+    """On a never-evolved table append_partitioned must behave as a
+    plain explicit-manifest append: root-level files, no `_hp_` dirs,
+    and the parent's file list carried by reference."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        append_partitioned,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(root)
+    v = append_partitioned(
+        spark, root, spark.range(5, 9).selectExpr("id", "id * 2 AS v")
+    )
+    log = SnapshotLog(spark, root)
+    assert v == 2
+    assert all(
+        PARTITION_DIR_PREFIX not in p for p, _ in log.files(2)
+    )
+    assert read_table_at(spark, root).count() == 9
