@@ -48,6 +48,7 @@ from hbase_compact_spark.compaction.executor import (
 
 SNAPSHOT_DIR = "_snapshots"
 MANIFEST_SUBDIR = "manifests"
+REFS_SUBDIR = "refs"
 
 # file counts above this prune via a distributed manifest scan instead
 # of a driver loop (scan_plan)
@@ -243,6 +244,91 @@ class SnapshotLog:
         return _read_json(
             self._fs, self._jvm, self._Path(self.log_dir, f"v{version:012d}.json")
         )
+
+    # ------------------------------------------------------ named refs
+    # Iceberg-style refs: human-stable names for snapshot versions.
+    # TAGS are immutable (a release / audit anchor); BRANCHES move
+    # (e.g. "main" follows the latest verified version). Both PIN
+    # their target against expire_snapshots — a referenced version's
+    # files cannot be reclaimed until the ref is dropped.
+
+    @property
+    def refs_dir(self) -> str:
+        return posixpath.join(self.log_dir, REFS_SUBDIR)
+
+    def refs(self) -> dict[str, dict]:
+        """{name: {"version", "kind", "created_at"}} of every ref."""
+        p = self._Path(self.refs_dir)
+        if not self._fs.exists(p):
+            return {}
+        out = {}
+        for st in self._fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("_tmp-"):
+                out[name[:-5]] = _read_json(
+                    self._fs, self._jvm, st.getPath()
+                )
+        return out
+
+    def set_ref(
+        self, name: str, version: int | None = None, *, kind: str = "tag"
+    ) -> dict:
+        """Create (or, for a branch, move) the named ref. Tags are
+        immutable: re-tagging the SAME version is an idempotent no-op,
+        any other target raises — drop_ref first if you truly mean it.
+        Publication is tmp-write + rename; a branch move deletes the
+        old pointer first (rename-if-absent is the commit point, same
+        discipline as the version JSONs)."""
+        import re as _re
+
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref kind must be tag or branch, got {kind!r}")
+        if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = self.latest() if version is None else int(version)
+        if v not in self.versions():
+            raise ValueError(f"ref target v{v} is not a committed snapshot")
+        existing = self.refs().get(name)
+        if existing is not None:
+            if existing.get("kind", "tag") == "tag" or kind == "tag":
+                if int(existing["version"]) == v and existing.get("kind") == kind:
+                    return existing  # idempotent re-tag
+                raise ValueError(
+                    f"ref {name!r} already points at "
+                    f"v{existing['version']} as a {existing.get('kind')} — "
+                    "tags are immutable; drop_ref first"
+                )
+        fs, Path = self._fs, self._Path
+        fs.mkdirs(Path(self.refs_dir))
+        payload = {
+            "name": name,
+            "version": v,
+            "kind": kind,
+            "created_at": int(time.time()),
+        }
+        tmp = Path(self.refs_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
+        _write_json(fs, Path, tmp, payload)
+        dest = Path(self.refs_dir, f"{name}.json")
+        if existing is not None:
+            fs.delete(dest, False)  # branch move: retire the old pointer
+        if not fs.rename(tmp, dest):
+            fs.delete(tmp, False)
+            raise RuntimeError(f"could not publish ref {name!r} (lost a race?)")
+        return payload
+
+    def drop_ref(self, name: str) -> bool:
+        return self._fs.delete(
+            self._Path(self.refs_dir, f"{name}.json"), False
+        )
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise FileNotFoundError(
+                f"no ref {name!r} under {self.refs_dir} "
+                f"(have: {sorted(self.refs())})"
+            )
+        return int(ref["version"])
 
     # ------------------------------------------------- manifest layer
     @property
@@ -566,16 +652,19 @@ class SnapshotLog:
         )
 
 def read_table_at(
-    spark: SparkSession, table_root: str, version: int | None = None
+    spark: SparkSession, table_root: str, version: int | str | None = None
 ) -> DataFrame:
     """Time travel: read the table exactly as of `version` (default:
-    latest committed snapshot). Mid-compaction states are unobservable
+    latest committed snapshot; a string resolves as a named ref —
+    tag or branch). Mid-compaction states are unobservable
     by construction — uncommitted files are simply not listed. If the
     snapshot carries an evolved schema, it is applied declaratively:
     files written before an added column project it as NULL, files
     still holding a dropped column lose it — per-version schema, the
     Iceberg contract."""
     log = SnapshotLog(spark, table_root)
+    if isinstance(version, str):
+        version = log.resolve_ref(version)
     relpaths = [p for p, _ in log.files(version)]
     if not relpaths:
         raise FileNotFoundError(f"snapshot lists no files under {table_root}")
@@ -1376,6 +1465,8 @@ def scan_plan(
     — at 10⁶ files the driver holds the kept list (what it must hand
     to the reader anyway), never the bloom payloads."""
     log = SnapshotLog(spark, table_root)
+    if isinstance(version, str):
+        version = log.resolve_ref(version)
     v = log.latest() if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {table_root}")
@@ -2187,13 +2278,21 @@ def expire_snapshots(
 ) -> dict:
     """Drop all but the newest `keep_last` snapshots and delete every
     data file referenced ONLY by the dropped ones — Iceberg's
-    expire-snapshots contract. Files outside the log's knowledge
-    (concurrent ingests not yet committed) are never touched."""
+    expire-snapshots contract. Versions pinned by a named ref (tag or
+    branch) are always kept, whatever their age: a ref IS the promise
+    that its snapshot stays readable until the ref is dropped. Files
+    outside the log's knowledge (concurrent ingests not yet
+    committed) are never touched."""
     log = SnapshotLog(spark, table_root)
     vs = log.versions()
     if len(vs) <= keep_last:
         return {"expired": 0, "deleted_files": 0}
-    keep_vs, drop_vs = vs[-keep_last:], vs[:-keep_last]
+    pinned = {int(r["version"]) for r in log.refs().values()}
+    keep_set = set(vs[-keep_last:]) | (pinned & set(vs))
+    keep_vs = sorted(keep_set)
+    drop_vs = [v for v in vs if v not in keep_set]
+    if not drop_vs:
+        return {"expired": 0, "deleted_files": 0}
     live = {p for v in keep_vs for p, _ in log.files(v)}
     dead = {
         p for v in drop_vs for p, _ in log.files(v) if p not in live

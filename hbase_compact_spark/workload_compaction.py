@@ -1382,3 +1382,61 @@ def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "snapshot_ref_read",
+    oracle=f"""
+    SELECT 'audit-preevolution' AS ref, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % {_PE_MOD} != 0
+    GROUP BY 2
+    UNION ALL
+    SELECT 'main' AS ref, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 2
+    """,
+)
+def snapshot_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg tags/branches): an immutable TAG
+    pins the pre-evolution snapshot of the partevol table forever
+    (expire_snapshots keeps a ref'd version's files alive at any
+    retention setting — pinned in tests/test_snapshot_workloads.py)
+    while the movable `main` BRANCH follows the latest version. The
+    query reads the table AT EACH REF BY NAME and aggregates, so the
+    hash compare proves name→version resolution serves exactly the
+    right historical file set. Refs generalize the reference's
+    convention of operating on "the current state of the table"
+    (QHC.java:123-126) into named, durable state handles.
+
+    Scale shape: a ref is one tiny JSON (tmp-write + rename, the
+    version-commit discipline); resolution is one metadata read; the
+    data path after resolution is the ordinary manifest-driven
+    snapshot read."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_table_at,
+    )
+
+    root = _partevol_root(spark, sf_dir)
+    log = SnapshotLog(spark, root)
+    log.set_ref("audit-preevolution", 1, kind="tag")  # idempotent
+    log.set_ref("main", log.latest(), kind="branch")
+
+    def agg(df: DataFrame, ref: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(ref).alias("ref"), F.col("event_type")
+        ).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
+    return agg(
+        read_table_at(spark, root, "audit-preevolution"),
+        "audit-preevolution",
+    ).unionByName(agg(read_table_at(spark, root, "main"), "main"))

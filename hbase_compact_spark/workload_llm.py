@@ -922,26 +922,54 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cent_rows(label_centroids(emb))
     assigned = _assign_lists_pandas(emb, "vec_id", "v", cents, n=1)
 
+    # tile edge for the blocked pairwise pass: 4096² doubles = 128 MB
+    # per live tile, whatever the cluster size
+    BLK = 4096
+
     def within_cluster(pdf):
         list_id = int(pdf["list_id"].iloc[0])
+        # sort by id so tile (bi, bj) with bj > bi is ALL pairs a < b
+        # and the diagonal tile needs only its upper triangle — the
+        # blocked walk does half the FLOPs of a full S = M @ M.T and
+        # never materializes more than one BLK x BLK tile (a cluster
+        # of n rows would otherwise hold an n² matrix: fine at
+        # fixture scale, 3+ GB per task the moment a cluster hits
+        # ~20k members)
+        pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         M /= np.maximum(
             np.linalg.norm(M, axis=1, keepdims=True), 1e-12
         )
-        S = M @ M.T
-        # keep any raw cosine that could ROUND to >= threshold
-        # (half-grain slack, see embedding_dup_pairs)
-        mask = (S >= SEMANTIC_DUP_THRESHOLD - (0.5e-6 + 1e-12)) & (
-            ids[:, None] < ids[None, :]
+        slack = SEMANTIC_DUP_THRESHOLD - (0.5e-6 + 1e-12)
+        out_a, out_b, out_c = [], [], []
+        n = len(M)
+        for i0 in range(0, n, BLK):
+            Mi = M[i0 : i0 + BLK]
+            for j0 in range(i0, n, BLK):
+                S = Mi @ M[j0 : j0 + BLK].T
+                # keep any raw cosine that could ROUND to >= the
+                # threshold (half-grain slack, see embedding_dup_pairs)
+                mask = S >= slack
+                if i0 == j0:  # strict upper triangle: a < b only
+                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                ai, bi = np.nonzero(mask)
+                if len(ai):
+                    out_a.append(ids[i0 + ai])
+                    out_b.append(ids[j0 + bi])
+                    out_c.append(S[ai, bi])
+        cat = (
+            lambda parts, dt: np.concatenate(parts)
+            if parts
+            else np.array([], dtype=dt)
         )
-        ai, bi = np.nonzero(mask)
+        va = cat(out_a, np.int64)
         return pd.DataFrame(
             {
-                "cluster_id": np.full(len(ai), list_id, dtype=np.int32),
-                "vec_a": ids[ai],
-                "vec_b": ids[bi],
-                "cos_raw": S[ai, bi],
+                "cluster_id": np.full(len(va), list_id, dtype=np.int32),
+                "vec_a": va,
+                "vec_b": cat(out_b, np.int64),
+                "cos_raw": cat(out_c, np.float64),
             }
         )
 

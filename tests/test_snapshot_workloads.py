@@ -529,3 +529,108 @@ def test_append_partitioned_without_spec_is_plain_append(spark, tmp_path):
         PARTITION_DIR_PREFIX not in p for p, _ in log.files(2)
     )
     assert read_table_at(spark, root).count() == 9
+
+
+def test_partition_evolution_composes_with_compaction(spark, tmp_path):
+    """snapshot_compact groups rewrites BY DIRECTORY, so compacting a
+    spec-evolved table keeps every `_hp_` layout dir (rewritten files
+    land back inside their partition) — path-value pruning and the
+    full-table read must survive a compaction after the evolution."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        append_partitioned,
+        evolve_partitioning,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.range(200).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS grp", "id * 10 AS v"
+    )
+    base.filter("id < 100").coalesce(1).write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    # two small appends -> >1 file per _hp_ dir, so compaction has
+    # something to merge inside each partition
+    append_partitioned(spark, root, base.filter("id >= 100 AND id < 150"))
+    append_partitioned(spark, root, base.filter("id >= 150"))
+    log = SnapshotLog(spark, root)
+    pre = [p for p, _ in log.files(log.latest())]
+    assert sum(f"{PARTITION_DIR_PREFIX}grp=" in p for p in pre) >= 8
+    res = snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert res["rewritten"] >= 4  # each _hp_ dir merged
+    post = [p for p, _ in log.files(log.latest())]
+    evolved_post = [p for p in post if f"{PARTITION_DIR_PREFIX}grp=" in p]
+    # layout survived: compacted files still live under their spec dir
+    assert evolved_post and len(evolved_post) < sum(
+        f"{PARTITION_DIR_PREFIX}grp=" in p for p in pre
+    )
+    plan = scan_plan(spark, root, {"grp": "1"})
+    assert plan["pruned_files"] >= 3  # other grp dirs pruned by path
+    got = read_table_at(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Named refs (snapshot_ref_read)
+
+
+def test_refs_pin_versions_against_expiry(spark, tmp_path):
+    """A tagged version must survive expire_snapshots at ANY
+    retention setting — its files stay readable through the ref —
+    while unpinned old versions are reclaimed as usual; dropping the
+    ref releases the pin on the next expire."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        expire_snapshots,
+        read_table_at,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(root)
+    append_partitioned(spark, root, spark.range(10, 20).selectExpr("id", "id * 2 AS v"))
+    append_partitioned(spark, root, spark.range(20, 30).selectExpr("id", "id * 2 AS v"))
+    log = SnapshotLog(spark, root)
+    assert log.latest() == 3
+    log.set_ref("audit", 1, kind="tag")
+    stats = expire_snapshots(spark, root, keep_last=1)
+    # v2 expired; v1 pinned by the tag, v3 kept by retention
+    assert stats["expired"] == 1
+    assert log.versions() == [1, 3]
+    assert read_table_at(spark, root, "audit").count() == 10
+    assert read_table_at(spark, root).count() == 30
+    assert log.drop_ref("audit")
+    stats = expire_snapshots(spark, root, keep_last=1)
+    assert stats["expired"] == 1 and log.versions() == [3]
+
+
+def test_ref_semantics(spark, tmp_path):
+    """Tags are immutable (same-target re-tag is an idempotent no-op,
+    retarget raises), branches move, unknown refs raise with the
+    available names, bad names/targets are rejected."""
+    import pytest as _pytest
+
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        read_table_at,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(5).selectExpr("id").write.parquet(root)
+    append_partitioned(spark, root, spark.range(5, 8).selectExpr("id"))
+    log = SnapshotLog(spark, root)
+    log.set_ref("rel", 1, kind="tag")
+    assert log.set_ref("rel", 1, kind="tag")["version"] == 1  # no-op
+    with _pytest.raises(ValueError, match="immutable"):
+        log.set_ref("rel", 2, kind="tag")
+    log.set_ref("main", 1, kind="branch")
+    log.set_ref("main", 2, kind="branch")  # branches move
+    assert log.resolve_ref("main") == 2
+    assert read_table_at(spark, root, "main").count() == 8
+    with _pytest.raises(FileNotFoundError, match="rel"):
+        read_table_at(spark, root, "nope")
+    with _pytest.raises(ValueError, match="not a committed snapshot"):
+        log.set_ref("x", 99)
+    with _pytest.raises(ValueError, match="invalid ref name"):
+        log.set_ref("../escape", 1)
