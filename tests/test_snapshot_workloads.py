@@ -634,3 +634,41 @@ def test_ref_semantics(spark, tmp_path):
         log.set_ref("x", 99)
     with _pytest.raises(ValueError, match="invalid ref name"):
         log.set_ref("../escape", 1)
+
+
+def test_partition_spec_can_evolve_twice(spark, tmp_path):
+    """A second evolve_partitioning (new spec id, different column)
+    must compose: three layout generations (plain, _hp_grp, _hp_tag)
+    read as one table, and pruning uses whichever _hp_ value each
+    file actually carries."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        evolve_partitioning,
+        partition_spec_of,
+        read_table_at,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.range(90).selectExpr(
+        "id",
+        "CAST(id % 3 AS STRING) AS grp",
+        "CAST(id % 2 AS STRING) AS tag",
+    )
+    base.filter("id < 30").coalesce(1).write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    append_partitioned(spark, root, base.filter("id >= 30 AND id < 60"))
+    evolve_partitioning(spark, root, ["tag"])
+    append_partitioned(spark, root, base.filter("id >= 60"))
+    log = SnapshotLog(spark, root)
+    assert partition_spec_of(log) == {"spec_id": 2, "partition_by": ["tag"]}
+    files = [p for p, _ in log.files(log.latest())]
+    assert any("_hp_grp=" in p for p in files)
+    assert any("_hp_tag=" in p for p in files)
+    got = read_table_at(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    # prune on tag: only spec-2 files carry _hp_tag, others kept
+    plan = scan_plan(spark, root, {"tag": "0"})
+    assert plan["pruned_files"] >= 1
+    assert all("_hp_tag=1" not in p for p in plan["paths"])
