@@ -290,9 +290,9 @@ class SnapshotLog:
             raise ValueError(f"ref target v{v} is not a committed snapshot")
         existing = self.refs().get(name)
         if existing is not None:
+            if int(existing["version"]) == v and existing.get("kind") == kind:
+                return existing  # idempotent same-target set: no republish
             if existing.get("kind", "tag") == "tag" or kind == "tag":
-                if int(existing["version"]) == v and existing.get("kind") == kind:
-                    return existing  # idempotent re-tag
                 raise ValueError(
                     f"ref {name!r} already points at "
                     f"v{existing['version']} as a {existing.get('kind')} — "
