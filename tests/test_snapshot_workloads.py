@@ -672,3 +672,47 @@ def test_partition_spec_can_evolve_twice(spark, tmp_path):
     plan = scan_plan(spark, root, {"tag": "0"})
     assert plan["pruned_files"] >= 1
     assert all("_hp_tag=1" not in p for p in plan["paths"])
+
+
+def test_hp_path_pruning_survives_special_characters(spark, tmp_path):
+    """Partition values with spaces, percent signs, '=' and unicode
+    round-trip through Spark's hive-style path escaping and the
+    reader/pruner's percent-decoding: read_table_where must equal
+    full-scan + filter for EVERY value, and equality pruning must
+    still drop the other values' files (the r7 compaction lesson —
+    input paths come back percent-ENCODED — applied to the new
+    `_hp_` layout)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        evolve_partitioning,
+        read_table_at,
+        read_table_where,
+    )
+
+    vals = ["plain", "with space", "pct%25", "eq=sign", "ünïcode"]
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, vals[i % len(vals)], i * 1.5) for i in range(50)],
+        "id long, k string, v double",
+    )
+    df.filter("id < 10").coalesce(1).write.parquet(root)
+    evolve_partitioning(spark, root, ["k"])
+    append_partitioned(spark, root, df.filter("id >= 10"))
+    got_all = read_table_at(spark, root)
+    assert sorted(map(tuple, got_all.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    log = SnapshotLog(spark, root)
+    n_evolved = sum(
+        "_hp_k=" in p for p, _ in log.files(log.latest())
+    )
+    assert n_evolved >= len(vals)
+    for target in vals:
+        plan = scan_plan(spark, root, {"k": target})
+        # every other value's evolved file pruned by path alone
+        assert plan["pruned_files"] >= len(vals) - 1, (target, plan)
+        got = read_table_where(spark, root, {"k": target})
+        want = df.filter(F.col("k") == target)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), target
