@@ -290,7 +290,11 @@ def fan_out(df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
+    # Non-file-scan inputs (in-memory sources, post-shuffle plans)
+    # report zero files — that is "no information", not "one file";
+    # repartitioning there would ADD a shuffle to an already-wide
+    # plan. Only a genuine few-file scan triggers the spread.
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -999,3 +999,22 @@ def test_cross_corpus_overlap_books(spark, sf_dir):
         for y in sh:
             if x != y and (x, y) not in got:
                 assert not (sh[x] & sh[y]), (x, y)
+
+
+def test_fan_out_leaves_non_file_scans_alone(spark, planted_dir):
+    """fan_out keys off inputFiles(); an in-memory or post-shuffle
+    DataFrame reports zero files — that is 'no information', and
+    adding a repartition there would bolt a shuffle onto an
+    already-wide plan (ADVICE r9). Only genuine few-file scans get
+    the spread."""
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    mem = spark.range(1000).toDF("doc_id")  # in-memory: inputFiles()=[]
+    assert mem.inputFiles() == []
+    assert "Exchange" not in fan_out(mem)._jdf.queryExecution().executedPlan().toString()
+
+    scan = spark.read.parquet(f"{planted_dir}/documents.parquet")
+    n_files = len(scan.inputFiles())
+    plan = fan_out(scan)._jdf.queryExecution().executedPlan().toString()
+    if n_files < spark.sparkContext.defaultParallelism:
+        assert "Exchange RoundRobinPartitioning" in plan  # few files: spread
