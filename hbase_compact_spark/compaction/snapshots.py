@@ -49,6 +49,17 @@ from hbase_compact_spark.compaction.executor import (
 SNAPSHOT_DIR = "_snapshots"
 MANIFEST_SUBDIR = "manifests"
 REFS_SUBDIR = "refs"
+DELETES_SUBDIR = "deletes"
+
+# Merge-on-read: positional delete files ((relpath, pos) parquet under
+# _snapshots/deletes/) anti-join the data scan at read time. Below
+# this many total pending entries the anti-join broadcasts the delete
+# set (one hash table per executor, zero extra shuffle on the data
+# side); above it, a plain shuffled anti-join — both exact. Env-
+# overridable so tests can force the shuffle branch.
+MOR_BROADCAST_ROWS = int(
+    os.environ.get("HCS_MOR_BROADCAST_ROWS", 4_000_000)
+)
 
 # file counts above this prune via a distributed manifest scan instead
 # of a driver loop (scan_plan)
@@ -105,10 +116,16 @@ def _path_value_disjoint(raw: str, lo, hi) -> bool:
     if isinstance(bound, bool) or isinstance(bound, str):
         val: object = raw
     elif isinstance(bound, (int, float)):
+        # int bounds compare in int space first: float(raw) rounds
+        # int64 path values above 2^53, which could falsely prune the
+        # file holding an exact large-integer match (ADVICE r9)
         try:
-            val = float(raw)
+            val = int(raw) if isinstance(bound, int) else float(raw)
         except ValueError:
-            return False
+            try:
+                val = float(raw)
+            except ValueError:
+                return False
     else:
         return False  # timestamps/decimals: stats pruning covers them
     try:
@@ -310,16 +327,70 @@ class SnapshotLog:
         _write_json(fs, Path, tmp, payload)
         dest = Path(self.refs_dir, f"{name}.json")
         if existing is not None:
-            fs.delete(dest, False)  # branch move: retire the old pointer
-        if not fs.rename(tmp, dest):
+            # branch move: overwrite the pointer ATOMICALLY via
+            # FileContext rename(OVERWRITE) — a delete-then-rename
+            # would leave a window where the branch does not exist
+            # (crash loses it; concurrent resolve_ref sees
+            # FileNotFoundError). ADVICE r9.
+            if not self._rename_overwrite(tmp, dest):
+                fs.delete(tmp, False)
+                raise RuntimeError(
+                    f"could not move branch {name!r} (lost a race?)"
+                )
+        elif not fs.rename(tmp, dest):
             fs.delete(tmp, False)
             raise RuntimeError(f"could not publish ref {name!r} (lost a race?)")
         return payload
+
+    def _rename_overwrite(self, src, dest) -> bool:
+        """Atomic overwriting rename (FileContext + Options.Rename.
+        OVERWRITE — posix rename(2) semantics on local/HDFS). The
+        target is never absent: readers see old-or-new, nothing else.
+        Varargs cross the py4j bridge as a reflected enum array."""
+        jvm = self._jvm
+        try:
+            overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            arr = jvm.java.lang.reflect.Array.newInstance(
+                overwrite.getDeclaringClass(), 1
+            )
+            jvm.java.lang.reflect.Array.set(arr, 0, overwrite)
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._fs.getConf()
+            )
+            fc.rename(src, dest, arr)
+            return True
+        except Exception:
+            return False
 
     def drop_ref(self, name: str) -> bool:
         return self._fs.delete(
             self._Path(self.refs_dir, f"{name}.json"), False
         )
+
+    # ------------------------------------------ merge-on-read deletes
+    @property
+    def deletes_dir(self) -> str:
+        return posixpath.join(self.log_dir, DELETES_SUBDIR)
+
+    def delete_files(self, version: int | None = None) -> list[tuple[str, int]]:
+        """[(name, n_rows)] of the positional delete files applying to
+        a snapshot (Iceberg v2 merge-on-read): each is a parquet of
+        (relpath string, pos long) rows under `_snapshots/deletes/`
+        naming rows to subtract from the listed data files. Empty for
+        COW-only tables — the read path then skips the anti-join
+        entirely."""
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return [
+            (str(n), int(r)) for n, r in self.read(v).get("delete_files") or []
+        ]
+
+    def delete_paths(self, version: int | None = None) -> list[str]:
+        return [
+            posixpath.join(self.deletes_dir, n)
+            for n, _ in self.delete_files(version)
+        ]
 
     def resolve_ref(self, name: str) -> int:
         ref = self.refs().get(name)
@@ -589,6 +660,17 @@ class SnapshotLog:
                 if k in payload:
                     raise ValueError(f"extra key {k!r} shadows core metadata")
             payload.update(extra)
+        if "delete_files" not in payload:
+            # pending MOR delete files are TABLE state, like schema:
+            # every commit that does not explicitly settle them (a
+            # rewrite retiring consumed entries passes delete_files in
+            # `extra`, possibly []) carries the parent's list forward —
+            # otherwise an ordinary append would silently resurrect
+            # logically-deleted rows.
+            pv = parent if parent is not None else self.latest()
+            carried = self.read(pv).get("delete_files") if pv else None
+            if carried:
+                payload["delete_files"] = carried
         tmp = Path(self.log_dir, f"_tmp-{uuid.uuid4().hex[:10]}.json")
 
         def _abort() -> None:
@@ -665,16 +747,108 @@ def read_table_at(
     log = SnapshotLog(spark, table_root)
     if isinstance(version, str):
         version = log.resolve_ref(version)
-    relpaths = [p for p, _ in log.files(version)]
+    v = log.latest() if version is None else version
+    relpaths = [p for p, _ in log.files(v)]
     if not relpaths:
         raise FileNotFoundError(f"snapshot lists no files under {table_root}")
-    schema, _pcols = log.schema(version)
-    return _read_relpaths(spark, table_root, relpaths, schema)
+    schema, _pcols = log.schema(v)
+    return _read_relpaths(
+        spark, table_root, relpaths, schema, mor=_mor_info(log, v)
+    )
+
+
+def _mor_info(log: SnapshotLog, version: int) -> tuple[list[str], int] | None:
+    """(delete parquet paths, total pending entries) when the snapshot
+    carries merge-on-read delete files, else None — the read path
+    then adds the positional anti-join."""
+    lst = log.delete_files(version)
+    if not lst:
+        return None
+    return (
+        [posixpath.join(log.deletes_dir, n) for n, _ in lst],
+        sum(n_rows for _, n_rows in lst),
+    )
+
+
+def _relpath_expr(spark: SparkSession, table_root: str, path_col):
+    """Column mapping a file-path URI (e.g. `_metadata.file_path`) to
+    the manifest-relative path. Same decode discipline as the
+    compaction executor's batch tagger: the URI is percent-ENCODED
+    ('x y' -> 'x%20y'), so decode (with literal '+' shielded from
+    form-decoding) before anchoring on the qualified root — or
+    encoded-name partitions silently fail to match their manifest
+    relpath (the r7 input_file_name lesson)."""
+    fs, root_path, _ = _hadoop_fs(spark, table_root)
+    root_abs = _uri_path(str(fs.makeQualified(root_path))).rstrip("/")
+    decoded = F.url_decode(F.regexp_replace(path_col, r"\+", "%2B"))
+    scheme_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
+    abs_path = F.regexp_replace(decoded, scheme_re, "")
+    return F.regexp_extract(abs_path, ".*\\Q" + root_abs + "\\E/(.*)$", 1)
+
+
+def _mor_cols(df: DataFrame) -> tuple[str, str]:
+    """Unique (relpath, pos) helper column names that shadow no data
+    column of `df`."""
+    rel, pos = "__mor_rel", "__mor_pos"
+    while rel in df.columns:
+        rel += "_"
+    while pos in df.columns:
+        pos += "_"
+    return rel, pos
+
+
+def _anti_join_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    rel_col: str,
+    pos_col: str,
+    delete_paths: list[str],
+    total_rows: int,
+) -> DataFrame:
+    """Subtract positional delete entries from a data frame that
+    carries (rel_col, pos_col) file-position columns. The delete set
+    broadcasts below MOR_BROADCAST_ROWS (no shuffle on the 100 TB data
+    side — the Iceberg MOR read shape); past that it degrades to a
+    shuffled anti-join, still exact."""
+    dels = spark.read.parquet(*delete_paths).select(
+        F.col("relpath").alias(rel_col), F.col("pos").alias(pos_col)
+    )
+    if total_rows <= MOR_BROADCAST_ROWS:
+        dels = F.broadcast(dels)
+    return df.join(dels, on=[rel_col, pos_col], how="left_anti")
+
+
+def _mor_filter_scan(
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    pending: tuple[list[str], int] | None,
+) -> DataFrame:
+    """Apply pending MOR delete entries to a DIRECT file-scan frame:
+    tag rows with (relpath, position) off the scan's hidden _metadata
+    column, anti-join the entries, drop the tags. The rewrite paths
+    (COW delete / merge / compact) route their source reads through
+    this so a rewrite can never resurrect logically-deleted rows."""
+    if pending is None:
+        return df
+    rel, pos = _mor_cols(df)
+    df = df.select(
+        "*",
+        _relpath_expr(spark, table_root, F.col("_metadata.file_path")).alias(rel),
+        F.col("_metadata.row_index").alias(pos),
+    )
+    df = _anti_join_deletes(spark, df, rel, pos, *pending)
+    return df.drop(rel, pos)
 
 
 def _read_relpaths(
-    spark: SparkSession, table_root: str, relpaths: list[str], schema
-) -> DataFrame:
+    spark: SparkSession,
+    table_root: str,
+    relpaths: list[str],
+    schema,
+    mor: tuple[list[str], int] | None = None,
+    with_positions: bool = False,
+):
     """Read an explicit snapshot file list, layout-generation aware.
     Files are grouped by their LEGACY hive signature (the set of
     `k=v` directory keys, `_hp_` spec dirs excluded) and each group
@@ -709,15 +883,46 @@ def _read_relpaths(
         if schema is not None:
             reader = reader.schema(schema)
         frames.append(reader.parquet(*paths))
+    rel = pos = None
+    if mor is not None or with_positions:
+        # merge-on-read: tag every row with its (file relpath, row
+        # position) straight off the scan's hidden _metadata column —
+        # per group, while each frame is still a direct file scan —
+        # then subtract the pending positional delete entries
+        all_cols = {c for f in frames for c in f.columns}
+        rel, pos = "__mor_rel", "__mor_pos"
+        while rel in all_cols:
+            rel += "_"
+        while pos in all_cols:
+            pos += "_"
+        frames = [
+            f.select(
+                "*",
+                _relpath_expr(spark, table_root, F.col("_metadata.file_path")).alias(rel),
+                F.col("_metadata.row_index").alias(pos),
+            )
+            for f in frames
+        ]
     out = frames[0]
     for d in frames[1:]:
         # without a declared schema a legacy group carries its
         # path-inferred hive columns that other generations lack
         out = out.unionByName(d, allowMissingColumns=schema is None)
+    if mor is not None:
+        paths, total = mor
+        out = _anti_join_deletes(spark, out, rel, pos, paths, total)
+        if not with_positions:
+            out = out.drop(rel, pos)
+    if with_positions:
+        return out, rel, pos
     return out
 
 
 REWRITE_OPS = frozenset({"compact", "delete", "merge"})
+# ops that change the table's ROW SET without a file-level signature
+# an incremental append-scan could see — crossing one invalidates
+# file-diff semantics even though no file was rewritten
+ROW_CHANGING_OPS = REWRITE_OPS | {"mor_delete"}
 
 
 def read_incremental(
@@ -744,11 +949,12 @@ def read_incremental(
         raise ValueError(f"bad incremental range {from_version}..{to_v}")
     for v in range(from_version + 1, to_v + 1):
         op = log.read(v).get("op", "")
-        if op in REWRITE_OPS:
+        if op in ROW_CHANGING_OPS:
             raise ValueError(
                 f"incremental read {from_version}..{to_v} crosses a "
                 f"rewrite commit (v{v}: {op}); file-level diff would "
-                "re-emit rewritten rows"
+                "re-emit rewritten rows (or miss merge-on-read "
+                "deletions)"
             )
     base = {p for p, _ in log.files(from_version)}
     added = [p for p, _ in log.files(to_v) if p not in base]
@@ -810,17 +1016,42 @@ def read_changes(
     added = sorted(files_to - files_from)
     schema, _pcols = log.schema(to_v)
 
-    def _read(paths: list[str]) -> DataFrame | None:
+    # merge-on-read: a MOR delete changes rows WITHOUT changing the
+    # file set, so the diff must also cover files whose applicable
+    # delete entries changed between the versions. Each side reads
+    # its files under ITS version's delete set; the exceptAll below
+    # then cancels surviving rows and emits newly-deleted rows as
+    # 'delete' — and a later compact that merely applies old entries
+    # physically emits nothing (the logical rows never changed).
+    names_from = {n for n, _ in log.delete_files(from_version)}
+    names_to = {n for n, _ in log.delete_files(to_v)}
+    delta_names = sorted(names_from ^ names_to)
+    changed_by_deletes: list[str] = []
+    if delta_names:
+        affected = _mor_affected_relpaths(
+            spark,
+            log,
+            [posixpath.join(log.deletes_dir, n) for n in delta_names],
+        )
+        changed_by_deletes = sorted(affected & files_from & files_to)
+    mor_from = _mor_info(log, from_version)
+    mor_to = _mor_info(log, to_v)
+
+    def _read(paths: list[str], mor) -> DataFrame | None:
         if not paths:
             return None
         reader = spark.read.option("basePath", table_root)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(
-            *[posixpath.join(table_root, p) for p in paths]
+        return _mor_filter_scan(
+            spark,
+            table_root,
+            reader.parquet(*[posixpath.join(table_root, p) for p in paths]),
+            mor,
         )
 
-    df_removed, df_added = _read(removed), _read(added)
+    df_removed = _read(removed + changed_by_deletes, mor_from)
+    df_added = _read(added + changed_by_deletes, mor_to)
     if df_added is None and df_removed is None:
         # no file changed in the range: empty feed with the snapshot's
         # row schema (same fallback ladder as read_incremental)
@@ -1575,7 +1806,10 @@ def read_table_where(
     # layout-generation grouping also matches, so spec-evolved tables
     # read identically pruned or not
     declared, _pcols = log.schema(plan["version"])
-    df = _read_relpaths(spark, table_root, paths, declared)
+    df = _read_relpaths(
+        spark, table_root, paths, declared,
+        mor=_mor_info(log, plan["version"]),
+    )
     for col, pred in predicates.items():
         if not isinstance(pred, tuple):
             df = df.filter(F.col(col) == F.lit(pred))
@@ -1636,6 +1870,16 @@ def snapshot_compact(
         pset = set(schema_blob["partition_cols"])
         data_schema = StructType([f for f in full.fields if f.name not in pset])
 
+    # merge-on-read: compaction is where pending positional deletes
+    # get PHYSICALLY applied and retired — partitions holding a file
+    # with pending entries always qualify for rewrite (Iceberg's
+    # rewrite-data-files delete threshold), the rewrite reads
+    # effective rows, and consumed entries drop from the new snapshot
+    pending = _mor_info(log, base_version)
+    affected = (
+        _mor_affected_relpaths(spark, log, pending[0]) if pending else set()
+    )
+
     by_part: dict[str, list[tuple[str, int]]] = {}
     for relpath, size in base:
         by_part.setdefault(posixpath.dirname(relpath), []).append((relpath, size))
@@ -1647,9 +1891,11 @@ def snapshot_compact(
         files = by_part[part_rel]
         total = sum(s for _, s in files)
         n_bins = max(1, math.ceil(total / target_bytes))
-        if len(files) <= 1 or n_bins >= len(files):
+        has_pending = any(p in affected for p, _ in files)
+        if (len(files) <= 1 or n_bins >= len(files)) and not has_pending:
             keep.extend(files)
             continue
+        n_bins = min(n_bins, len(files))
         srcs = [posixpath.join(table_root, p) for p, _ in files]
         tmp_dir = posixpath.join(
             table_root,
@@ -1660,6 +1906,7 @@ def snapshot_compact(
             if data_schema is not None
             else spark.read.parquet(*srcs)
         )
+        src = _mor_filter_scan(spark, table_root, src, pending)
         if cluster_by:
             from hbase_compact_spark.functions.zorder import cluster_by_zorder
 
@@ -1689,6 +1936,9 @@ def snapshot_compact(
         parent=base_version,
         schema=schema_blob,
         manifest=manifest,
+        extra=_retire_delete_entries(
+            spark, log, base_version, [p for p, _ in keep]
+        ),
     )
     return {"version": version, "rewritten": rewritten, "new_files": len(added)}
 
@@ -1891,12 +2141,155 @@ def _predicate_expr(predicates: dict[str, tuple]):
     return e
 
 
+def _snapshot_delete_mor(
+    spark: SparkSession,
+    log: SnapshotLog,
+    table_root: str,
+    predicates: dict[str, tuple],
+    base_version: int,
+    plan: dict,
+) -> dict:
+    """Merge-on-read DELETE body (see snapshot_delete): record the
+    matching rows' (file, position) pairs in a delete file and commit
+    it with the PARENT'S manifest byte-copied — no data file opened
+    for write, no data byte rewritten. Already-pending entries apply
+    to the candidate read, so a repeated delete records nothing twice
+    (idempotent) and `deleted_rows` counts only newly-removed rows."""
+    cand_rel = plan["paths"]
+    pending = _mor_info(log, base_version)
+    if not cand_rel:
+        return {
+            "version": base_version,
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+            "scanned_files": 0,
+            "delete_files": len(log.delete_files(base_version)),
+        }
+    declared, _pcols = log.schema(base_version)
+    src, rel, pos = _read_relpaths(
+        spark, table_root, cand_rel, declared,
+        mor=pending, with_positions=True,
+    )
+    matches = src.filter(_predicate_expr(predicates)).select(
+        F.col(rel).alias("relpath"), F.col(pos).alias("pos")
+    )
+    name, n = _write_delete_file(spark, log, matches)
+    if n == 0:
+        return {
+            "version": base_version,
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+            "scanned_files": len(cand_rel),
+            "delete_files": len(log.delete_files(base_version)),
+        }
+    new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
+    new_list.append([name, n])
+    manifest = log.copy_manifest(base_version)
+    if manifest is None:  # legacy inline snapshot: re-encode once
+        res = log._resolve(base_version)
+        manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
+    v = log.commit(
+        None,
+        op="mor_delete",
+        parent=base_version,
+        schema=log.read(base_version).get("schema"),
+        manifest=manifest,
+        extra={"delete_files": new_list},
+    )
+    return {
+        "version": v,
+        "deleted_rows": n,
+        "rewritten_files": 0,
+        "scanned_files": len(cand_rel),
+        "delete_files": len(new_list),
+    }
+
+
+def _write_delete_file(
+    spark: SparkSession, log: SnapshotLog, entries: DataFrame
+) -> tuple[str | None, int]:
+    """Land a (relpath, pos) entries DataFrame as ONE immutable
+    delete parquet under `_snapshots/deletes/` (tmp-write + rename,
+    same publication discipline as manifests). Returns (name, n_rows);
+    (None, 0) when the frame is empty — callers then commit an empty
+    delete_files list instead of referencing a vacuous file."""
+    fs, Path = log._fs, log._Path
+    fs.mkdirs(Path(log.deletes_dir))
+    tmp = posixpath.join(log.deletes_dir, f"_tmp-{uuid.uuid4().hex[:10]}")
+    (
+        entries.select(
+            F.col("relpath").cast("string"), F.col("pos").cast("long")
+        )
+        # one file: a delete set is orders of magnitude smaller than
+        # the data it subtracts; sorted by (relpath, pos) so the
+        # parquet footer carries tight per-file relpath ranges
+        .repartition(1)
+        .sortWithinPartitions("relpath", "pos")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    if n == 0:
+        _rm(spark, tmp)
+        return None, 0
+    name = f"d-{uuid.uuid4().hex[:12]}"
+    if not fs.rename(Path(tmp), Path(log.deletes_dir, name)):
+        _rm(spark, tmp)
+        raise RuntimeError(f"could not publish delete file under {log.deletes_dir}")
+    return name, n
+
+
+def _retire_delete_entries(
+    spark: SparkSession,
+    log: SnapshotLog,
+    base_version: int,
+    kept_relpaths,
+) -> dict | None:
+    """After a rewrite (COW delete / merge / compact) consumed the
+    pending MOR entries of every file it rewrote, consolidate the
+    SURVIVING entries — those referencing files carried by reference —
+    into one fresh delete file. Returns the `extra` dict for the
+    commit ({'delete_files': [...]} — possibly empty = all retired),
+    or None when the base had no pending deletes (the commit's
+    auto-carry is then a no-op)."""
+    pend = log.delete_paths(base_version)
+    if not pend:
+        return None
+    kept_df = spark.createDataFrame(
+        [(p,) for p in kept_relpaths], "relpath string"
+    )
+    surviving = spark.read.parquet(*pend).join(
+        F.broadcast(kept_df), "relpath", "left_semi"
+    )
+    name, n = _write_delete_file(spark, log, surviving)
+    return {"delete_files": [[name, n]] if n else []}
+
+
+def _mor_affected_relpaths(
+    spark: SparkSession, log: SnapshotLog, delete_paths: list[str]
+) -> set[str]:
+    """Distinct data-file relpaths named by a set of delete files —
+    the file-level granule rewrite paths plan with (which files have
+    pending entries). Bounded by the candidate file count of the
+    deletes that produced the entries, never by row count."""
+    if not delete_paths:
+        return set()
+    return {
+        r["relpath"]
+        for r in spark.read.parquet(*delete_paths)
+        .select("relpath")
+        .distinct()
+        .collect()
+    }
+
+
 def snapshot_delete(
     spark: SparkSession,
     table_root: str,
     predicates: dict[str, tuple],
     *,
     version: int | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Copy-on-write row-level DELETE with file skipping: only files
     that MAY contain matches (scan_plan over stats + blooms) are even
@@ -1906,11 +2299,26 @@ def snapshot_delete(
     a partial delete, time travel keeps the pre-delete version. NULL
     predicate evaluations keep the row (SQL DELETE WHERE semantics).
     At 100 TB a keyed delete (GDPR erasure) touches the handful of
-    files the bloom cannot rule out, not the table."""
+    files the bloom cannot rule out, not the table.
+
+    `mode="mor"` is the merge-on-read variant (Iceberg v2 positional
+    deletes): the commit writes ONLY a small (relpath, pos) delete
+    file — zero data bytes rewritten, O(matches) not O(touched
+    files) — and every reader anti-joins it until `snapshot_compact`
+    physically applies and retires the entries. The shape a high-
+    churn 100 TB table runs: deletes are cheap at write time, the
+    rewrite cost is deferred to (and amortized by) compaction."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
     base_version = log.latest() if version is None else version
     plan = scan_plan(spark, table_root, predicates, base_version)
+    if mode == "mor":
+        return _snapshot_delete_mor(
+            spark, log, table_root, predicates, base_version, plan
+        )
+    pending = _mor_info(log, base_version)
     candidates = set(plan["paths"])
     all_files = log.files(base_version)
     pcols = _partition_cols_of(log, base_version)
@@ -1931,8 +2339,17 @@ def snapshot_delete(
         files = by_part[part_rel]
         srcs = [posixpath.join(table_root, p) for p, _ in files]
         # basePath read keeps partition columns evaluable in the
-        # predicate; they are dropped again before the physical write
-        src = spark.read.option("basePath", table_root).parquet(*srcs)
+        # predicate; they are dropped again before the physical write.
+        # Pending MOR entries are applied FIRST: the rewrite reads the
+        # file's effective rows, so it can never resurrect a
+        # logically-deleted row (the entries it consumed are retired
+        # from the new snapshot below).
+        src = _mor_filter_scan(
+            spark,
+            table_root,
+            spark.read.option("basePath", table_root).parquet(*srcs),
+            pending,
+        )
         n_src = src.count()
         n_match = src.filter(pred).count()
         if n_match == 0:  # bloom/stats false positive: carry untouched
@@ -1974,6 +2391,9 @@ def snapshot_delete(
         parent=base_version,
         schema=log.read(base_version).get("schema"),
         manifest=manifest,
+        extra=_retire_delete_entries(
+            spark, log, base_version, [p for p, _ in keep]
+        ),
     )
     return {
         "version": v,
@@ -2092,6 +2512,7 @@ def snapshot_merge(
     log.bootstrap()
     base_version = log.latest() if version is None else version
     all_files = log.files(base_version)
+    pending = _mor_info(log, base_version)
     pcols = _partition_cols_of(log, base_version)
     missing = [c for c in key_cols if c not in source_df.columns] + [
         c for c in pcols if c not in source_df.columns
@@ -2169,7 +2590,15 @@ def snapshot_merge(
         n_old = n_kept = 0
         if files:
             srcs = [posixpath.join(table_root, p) for p, _ in files]
-            old = spark.read.option("basePath", table_root).parquet(*srcs)
+            # pending MOR entries apply before the merge logic — the
+            # rewrite must not resurrect logically-deleted rows (the
+            # consumed entries are retired from the new snapshot)
+            old = _mor_filter_scan(
+                spark,
+                table_root,
+                spark.read.option("basePath", table_root).parquet(*srcs),
+                pending,
+            )
             n_old = old.count()
             # keys_df is UNhinted: the merge-source key set is batch-
             # sized (a bulk upsert can carry billions of keys) — AQE
@@ -2217,6 +2646,9 @@ def snapshot_merge(
         parent=base_version,
         schema=snap.get("schema"),
         manifest=manifest,
+        extra=_retire_delete_entries(
+            spark, log, base_version, [p for p, _ in keep]
+        ),
     )
     return {
         "version": v,
@@ -2303,6 +2735,17 @@ def expire_snapshots(
     for p in sorted(dead):
         if fs.delete(Path(posixpath.join(table_root, p)), False):
             deleted += 1
+    # MOR delete files are shared across versions (carried forward by
+    # commits), so reclaim only those referenced by NO kept version —
+    # the same only-dead rule as data files
+    live_dels = {
+        n for v in keep_vs for n, _ in log.delete_files(v)
+    }
+    dead_dels = {
+        n for v in drop_vs for n, _ in log.delete_files(v)
+    } - live_dels
+    for n in sorted(dead_dels):
+        fs.delete(Path(log.deletes_dir, n), True)
     for v in drop_vs:
         # manifests are 1:1 with versions (copy_manifest guarantees it
         # even for metadata-only commits), so a dropped version's

@@ -390,6 +390,110 @@ def snapshot_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# snapshot_mor_delete_scan — MERGE-ON-READ row-level DELETE (Iceberg
+# v2 positional deletes): the delete commit writes only a small
+# (file, position) manifest — zero data bytes rewritten — and readers
+# anti-join it until compaction physically applies the entries.
+MDEL_LO, MDEL_HI = 300, 449   # 150 deleted keys (exist at every sf)
+MDEL_INS_MAX = 19             # keys 0..19 template the appended rows
+MDEL_INS_OFFSET = 20_000_000  # appended keys = template + offset
+
+
+def mor_delete_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, MOR-delete the [MDEL_LO, MDEL_HI] o_orderkey range, then
+    append fresh rows AFTER the delete. The builder asserts the MOR
+    contract on every materialization: the delete commit rewrites
+    ZERO files (the data-file manifest is byte-identical to the
+    parent's) and the append commit carries the pending delete file
+    forward — so the driver's hash check proves both the positional
+    anti-join on the read path and the delete-state carry across
+    unrelated commits. At 100 TB this is the high-churn shape: a
+    GDPR-grade delete costs O(matches) at write time, the rewrite is
+    deferred to compaction."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        append_partitioned,
+        snapshot_delete,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and lg.read(v).get("op") == "append-partitioned"
+            and bool(lg.read(v).get("delete_files"))
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "mor_delete_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    pre = log.files(log.latest())
+    result = snapshot_delete(
+        spark, root, {"o_orderkey": (MDEL_LO, MDEL_HI)}, mode="mor"
+    )
+    if result["deleted_rows"] == 0:
+        raise RuntimeError("mor delete deleted nothing — vacuous fixture")
+    if result["rewritten_files"] != 0 or log.files(result["version"]) != pre:
+        raise RuntimeError(
+            f"mor delete must rewrite zero data files: {result}"
+        )
+    appended = _orders_slim(spark, sf_dir).filter(
+        F.col("o_orderkey") <= MDEL_INS_MAX
+    ).select(
+        (F.col("o_orderkey") + F.lit(MDEL_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("A").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    append_partitioned(spark, root, appended)
+    if not log.read(log.latest()).get("delete_files"):
+        raise RuntimeError("append dropped the pending delete files")
+    return root
+
+
+@query(
+    "snapshot_mor_delete_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {MDEL_LO} AND {MDEL_HI}
+    UNION ALL
+    SELECT o_orderkey + {MDEL_INS_OFFSET} AS o_orderkey, o_custkey,
+           'A' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {MDEL_INS_MAX}
+    """,
+)
+def snapshot_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER a merge-on-read DELETE plus a subsequent
+    append (compaction/snapshots.py:snapshot_delete mode="mor"): the
+    delete commit wrote only a positional (file, pos) delete manifest
+    — zero data rewrite, asserted in the builder — and the read path
+    subtracts it with a broadcast anti-join off the scan's hidden
+    `_metadata` (file, row_index) columns; the later append carried
+    the pending entries forward. Oracle = anti-predicate UNION the
+    appended rows. Compact-retires-deletes, time travel across the
+    delete, CDC across it, and the forced shuffled-anti-join branch
+    are pinned in tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = mor_delete_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_merge_scan — copy-on-write MERGE (upsert) surfaced as a
 # driver-checkable query: updates to a narrow key range + inserts of
 # brand-new keys, then read the committed end state.

@@ -716,3 +716,224 @@ def test_hp_path_pruning_survives_special_characters(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), target
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (snapshot_mor_delete_scan)
+
+
+def _mor_table(spark, tmp_path, n=40, files=4):
+    from hbase_compact_spark.compaction.snapshots import annotate_stats
+
+    root = str(tmp_path / "t")
+    (
+        spark.range(n)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(files, "id")
+        .write.parquet(root)
+    )
+    annotate_stats(spark, root, cols=["id"])
+    return root
+
+
+def test_mor_delete_rewrites_zero_bytes_and_time_travels(spark, tmp_path):
+    """A merge-on-read delete commit must leave the DATA file manifest
+    byte-identical to the parent's (zero rewrite — the whole point),
+    the read must subtract exactly the matching rows, time travel must
+    still serve the pre-delete version, and a repeated identical
+    delete must be an idempotent no-op (already-pending entries apply
+    to the candidate read, so nothing is recorded twice)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        read_table_at,
+        read_table_where,
+        snapshot_delete,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    pre_files = log.files(v1)
+    res = snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    assert res["deleted_rows"] == 5 and res["rewritten_files"] == 0
+    v2 = res["version"]
+    assert log.files(v2) == pre_files  # zero data bytes rewritten
+    assert [n for n, _ in log.delete_files(v2)]
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [i for i in range(40) if not 10 <= i <= 14]
+    assert read_table_at(spark, root, v1).count() == 40  # time travel
+    # pruned read path applies the anti-join too
+    w = sorted(
+        r["id"] for r in read_table_where(spark, root, {"id": (8, 16)}).collect()
+    )
+    assert w == [8, 9, 15, 16]
+    again = snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    assert again["deleted_rows"] == 0 and again["version"] == v2
+
+
+def test_mor_compact_applies_and_retires_deletes(spark, tmp_path):
+    """snapshot_compact is where pending entries get physically
+    applied: partitions holding affected files always qualify for
+    rewrite, the rewrite reads effective rows, the new snapshot
+    carries NO delete files, rows stay gone, and the change feed
+    across the compact is EMPTY (applying old entries physically is
+    not a logical change)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        read_changes,
+        read_table_at,
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    res = snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    v2 = res["version"]
+    out = snapshot_compact(spark, root, target_bytes=1 << 30)
+    v3 = out["version"]
+    assert out["rewritten"] >= 1
+    assert log.delete_files(v3) == []  # retired
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [i for i in range(40) if not 10 <= i <= 14]
+    assert read_changes(spark, root, v2, v3).count() == 0
+
+
+def test_mor_cdc_incremental_and_expiry_semantics(spark, tmp_path):
+    """read_changes across a MOR delete emits exactly the deleted
+    rows as 'delete' (file set unchanged — the delta comes from the
+    delete-entry diff); read_incremental REFUSES to cross the commit;
+    expire_snapshots reclaims delete files once no kept version
+    references them."""
+    import os
+
+    import pytest as _pytest
+
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        expire_snapshots,
+        read_changes,
+        read_incremental,
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    res = snapshot_delete(spark, root, {"id": (3, 5)}, mode="mor")
+    v2 = res["version"]
+    ch = read_changes(spark, root, v1, v2)
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) == [
+        (3, "delete"), (4, "delete"), (5, "delete"),
+    ]
+    with _pytest.raises(ValueError, match="mor_delete"):
+        read_incremental(spark, root, v1, v2)
+    # appends after the delete still carry + read correctly
+    append_partitioned(
+        spark, root, spark.range(100, 103).selectExpr("id", "id * 2 AS v")
+    )
+    assert log.delete_files(log.latest()) == log.delete_files(v2)
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    deletes_dir = os.path.join(root, "_snapshots", "deletes")
+    assert os.listdir(deletes_dir)  # still referenced by old versions
+    expire_snapshots(spark, root, keep_last=1)
+    assert os.listdir(deletes_dir) == []  # reclaimed with the versions
+
+
+def test_mor_cow_rewrites_never_resurrect(spark, tmp_path):
+    """A copy-on-write DELETE or MERGE on a table with pending MOR
+    entries must apply them to every file it rewrites (no
+    resurrection) and retire exactly the consumed entries — carried
+    files keep theirs through the consolidated delete file."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        read_table_at,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    # COW delete hits the FIRST file (ids 0..9); ids 10..14 pend in
+    # the second — their entries must survive the rewrite commit
+    res = snapshot_delete(spark, root, {"id": (0, 1)})
+    assert res["rewritten_files"] >= 1
+    assert sum(n for _, n in log.delete_files(res["version"])) == 5
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [i for i in range(2, 40) if not 10 <= i <= 14]
+    # MERGE keyed on logically-deleted rows sees them as NOT MATCHED
+    # (they are gone) — the rows come back as fresh INSERTS in new
+    # files; the pending entries still subtract the old positions
+    annotate_stats(spark, root, cols=["id"])
+    src = spark.createDataFrame([(12, 999), (11, 888)], "id long, v long")
+    m = snapshot_merge(spark, root, src, key_cols=["id"])
+    assert m["matched"] == 0 and m["inserted"] == 2
+    vals = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals[12] == 999 and vals[11] == 888
+    assert 13 not in vals and 14 not in vals and 10 not in vals
+    # MERGE matching a LIVE row in the pending file rewrites it and
+    # consumes the file's entries — nothing resurrects, all retired
+    src2 = spark.createDataFrame([(15, 555)], "id long, v long")
+    m2 = snapshot_merge(spark, root, src2, key_cols=["id"])
+    assert m2["matched"] == 1
+    vals2 = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals2[15] == 555
+    assert 13 not in vals2 and 14 not in vals2 and 10 not in vals2
+    assert log.delete_files(m2["version"]) == []  # all consumed
+
+
+def test_mor_shuffled_anti_join_branch_matches_broadcast(spark, tmp_path, monkeypatch):
+    """Force the shuffled anti-join branch (broadcast threshold 0) and
+    pin bit-identical results against the default broadcast path —
+    the 100 TB degrade path must be a pure strategy change."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)
+    S_delete = S.snapshot_delete
+    S_delete(spark, root, {"id": (7, 23)}, mode="mor")
+    broadcast_rows = sorted(
+        map(tuple, S.read_table_at(spark, root).collect())
+    )
+    monkeypatch.setattr(S, "MOR_BROADCAST_ROWS", 0)
+    shuffled_rows = sorted(
+        map(tuple, S.read_table_at(spark, root).collect())
+    )
+    assert broadcast_rows == shuffled_rows
+    # no explicit broadcast HINT below the threshold — AQE may still
+    # (correctly) pick a broadcast strategy from runtime sizes, but
+    # the plan must not be pinned to one when the delete set is big
+    plan = (
+        S.read_table_at(spark, root)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in plan
+
+
+def test_mor_composes_with_partition_evolution(spark, tmp_path):
+    """MOR entries anchor on manifest relpaths, so they must subtract
+    correctly from files living under an evolved `_hp_` layout (the
+    no-basePath read group) AND from legacy plain files in the same
+    snapshot — one anti-join across both layout generations."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        evolve_partitioning,
+        read_table_at,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 2 AS LONG) AS grp"
+    ).write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    append_partitioned(
+        spark,
+        root,
+        spark.range(10, 20).selectExpr("id", "CAST(id % 2 AS LONG) AS grp"),
+    )
+    res = snapshot_delete(spark, root, {"id": (8, 12)}, mode="mor")
+    assert res["deleted_rows"] == 5 and res["rewritten_files"] == 0
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [i for i in range(20) if not 8 <= i <= 12]

@@ -689,3 +689,65 @@ def test_commit_with_stale_parent_raises_conflict(spark, part_table):
         log.commit(files, op="stale-loser", parent=base)
     # parent-less (bootstrap-style) commits still retry fine
     assert log.commit(files, op="relisted") == log.latest()
+
+
+def test_path_pruning_exact_on_large_int_partition_values(spark, tmp_path):
+    """An equality predicate on an int64 partition value above 2^53
+    must NOT prune the file that contains the exact match — float
+    conversion of the path string would round it away (ADVICE r9).
+    The compare happens in int space when the bound is an int."""
+    from hbase_compact_spark.compaction.snapshots import (
+        _path_value_disjoint,
+        append_partitioned,
+        evolve_partitioning,
+        read_table_where,
+        scan_plan,
+    )
+
+    big = (1 << 53) + 1  # float(str(big)) == float(big - 1): rounds
+    assert not _path_value_disjoint(str(big), big, big)
+    assert _path_value_disjoint(str(big), big + 1, None)
+    assert _path_value_disjoint(str(big), None, big - 1)
+    # float-typed path values still compare when the bound is int
+    assert not _path_value_disjoint("3.5", 3, 4)
+    assert _path_value_disjoint("4.5", 3, 4)
+
+    root = str(tmp_path / "t")
+    spark.range(3).selectExpr("id", "CAST(0 AS LONG) AS grp").write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    rows = spark.createDataFrame(
+        [(100, big), (101, big - 2)], "id long, grp long"
+    )
+    append_partitioned(spark, root, rows)
+    got = read_table_where(spark, root, {"grp": big}).collect()
+    assert [(r["id"], r["grp"]) for r in got] == [(100, big)]
+    plan = scan_plan(spark, root, {"grp": big})
+    assert plan["pruned_files"] >= 1  # the sibling _hp_ value pruned
+
+
+def test_branch_move_is_atomic_overwrite(spark, tmp_path):
+    """A branch retarget must never pass through a state where the
+    pointer file is absent — set_ref publishes via an overwriting
+    rename, not delete-then-rename (ADVICE r9). Pin the primitive:
+    _rename_overwrite lands new content over an existing target."""
+    from hbase_compact_spark.compaction.snapshots import append_partitioned
+
+    root = str(tmp_path / "t")
+    spark.range(4).selectExpr("id").write.parquet(root)
+    append_partitioned(spark, root, spark.range(4, 6).selectExpr("id"))
+    log = SnapshotLog(spark, root)
+    log.set_ref("main", 1, kind="branch")
+    log.set_ref("probe", 1, kind="branch")
+    dest = log._Path(log.refs_dir, "probe.json")
+    src = log._Path(log.refs_dir, "_probe_src.json")
+    with open(os.path.join(str(tmp_path), "probe"), "w") as f:
+        f.write('{"probe": true}')
+    log._fs.copyFromLocalFile(
+        log._Path(os.path.join(str(tmp_path), "probe")), src
+    )
+    assert log._fs.exists(dest)
+    assert log._rename_overwrite(src, dest)  # dest EXISTS: must win
+    assert log._fs.exists(dest) and not log._fs.exists(src)
+    # and the high-level move still resolves end-to-end
+    log.set_ref("main", 2, kind="branch")
+    assert log.resolve_ref("main") == 2
