@@ -15,6 +15,7 @@ Design rules:
 from __future__ import annotations
 
 import math
+import os
 import posixpath
 
 import pandas as pd
@@ -833,6 +834,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup-style semantic dedup: same fixture-calibrated threshold as
 # dedup_embedding (see the EMBED_DUP_THRESHOLD note above).
 SEMANTIC_DUP_THRESHOLD = 0.35
+# dedup_semantic: clusters above this many members split into salted
+# sub-lists so one hot cluster cannot serialize on a single core.
+# 8192 keeps the oracle fixtures (<= ~5k-member clusters at sf1)
+# on the unsplit path; sf10's ~20k-member clusters split 3 ways.
+# Env-overridable so tests (and forced oracle drives) can exercise
+# the split branch at fixture scale.
+SEMANTIC_SPLIT_CAP = int(os.environ.get("HCS_SEMANTIC_SPLIT_CAP", 8192))
 
 
 @query(
@@ -900,8 +908,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOPs) stays bounded — the SemDeDup contract: pair mass drops
     from O(N²) to O(N²/k) while catching the semantically-identical
     pairs that exact/minhash dedup (dedup_exact/dedup_fuzzy) cannot
-    see. Oversized clusters would split by a salted sub-id, exactly
-    like skew_salted_agg.
+    see. Oversized clusters (> SEMANTIC_SPLIT_CAP members) SPLIT by a
+    salted sub-id, exactly like skew_salted_agg: members hash into
+    s = ceil(n/cap) sub-lists, every (sub_p <= sub_q) pair becomes
+    its own grouped-pandas task (each row replicated s ways), so one
+    hot cluster's O(n²) pair mass spreads over s(s+1)/2 tasks of
+    ~(n/s)² work instead of serializing on a single core — result-
+    identical to the unsplit pass (pinned in tests/test_llm.py). The
+    split decision costs ONE map-side-combined count by the cluster
+    key (k rows to the driver, bounded by the quantizer) and ships
+    as a literal lookup map — still zero join nodes in the plan.
 
     The oracle recomputes the SAME assignment relationally (per-label
     avg centroids → argmax cosine with the identical tie-break →
@@ -922,42 +938,112 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cent_rows(label_centroids(emb))
     assigned = _assign_lists_pandas(emb, "vec_id", "v", cents, n=1)
 
+    # skew pre-count: one map-side-combined count by the low-
+    # cardinality cluster key decides which clusters need salting.
+    # Only the OVERSIZED clusters' sizes travel (as a literal lookup
+    # map in the plan, never a join) — their number is small by
+    # construction, whatever k is.
+    cap = SEMANTIC_SPLIT_CAP
+    oversized = {
+        int(r["list_id"]): -(-int(r["count"]) // cap)
+        for r in assigned.groupBy("list_id")
+        .count()
+        .filter(F.col("count") > cap)
+        .collect()
+    }
+    if oversized:
+        flat: list = []
+        for lid in sorted(oversized):
+            flat += [F.lit(lid), F.lit(oversized[lid])]
+        s_col = F.coalesce(
+            F.create_map(*flat)[F.col("list_id")], F.lit(1)
+        )
+    else:
+        s_col = F.lit(1)
+    salted = assigned.withColumn(
+        "sub", F.pmod(F.xxhash64(F.col("vec_id")), s_col).cast("int")
+    )
+    # a row in sub p joins every task (min(p,q), max(p,q)) — the
+    # upper triangle over sub-list indices; s=1 degenerates to one
+    # (0, 0) task per cluster, the unsplit path
+    salted = salted.withColumn(
+        "pq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (s_col - 1).cast("int")),
+                lambda q: F.struct(
+                    F.least(F.col("sub"), q).alias("sp"),
+                    F.greatest(F.col("sub"), q).alias("sq"),
+                ),
+            )
+        ),
+    ).select(
+        "list_id", "vec_id", "v", "sub",
+        F.col("pq.sp").alias("sp"), F.col("pq.sq").alias("sq"),
+    )
+
     # tile edge for the blocked pairwise pass: 4096² doubles = 128 MB
     # per live tile, whatever the cluster size
     BLK = 4096
 
-    def within_cluster(pdf):
+    def pair_block(pdf):
         list_id = int(pdf["list_id"].iloc[0])
-        # sort by id so tile (bi, bj) with bj > bi is ALL pairs a < b
-        # and the diagonal tile needs only its upper triangle — the
-        # blocked walk does half the FLOPs of a full S = M @ M.T and
-        # never materializes more than one BLK x BLK tile (a cluster
-        # of n rows would otherwise hold an n² matrix: fine at
-        # fixture scale, 3+ GB per task the moment a cluster hits
-        # ~20k members)
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        M /= np.maximum(
-            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
-        )
+        sp, sq = int(pdf["sp"].iloc[0]), int(pdf["sq"].iloc[0])
         slack = SEMANTIC_DUP_THRESHOLD - (0.5e-6 + 1e-12)
+
+        def prep(d):
+            # sort by id so the diagonal tile's upper triangle is ALL
+            # pairs a < b
+            d = d.sort_values("vec_id")
+            ids = d["vec_id"].to_numpy()
+            M = np.stack(d["v"].to_numpy()).astype(np.float64)
+            M /= np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            return ids, M
+
         out_a, out_b, out_c = [], [], []
-        n = len(M)
-        for i0 in range(0, n, BLK):
-            Mi = M[i0 : i0 + BLK]
-            for j0 in range(i0, n, BLK):
-                S = Mi @ M[j0 : j0 + BLK].T
-                # keep any raw cosine that could ROUND to >= the
-                # threshold (half-grain slack, see embedding_dup_pairs)
-                mask = S >= slack
-                if i0 == j0:  # strict upper triangle: a < b only
-                    mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
-                ai, bi = np.nonzero(mask)
-                if len(ai):
-                    out_a.append(ids[i0 + ai])
-                    out_b.append(ids[j0 + bi])
-                    out_c.append(S[ai, bi])
+        if sp == sq:
+            # within one sub-list: blocked upper-triangle walk — half
+            # the FLOPs of a full S = M @ M.T, and never more than one
+            # BLK x BLK tile live (an unsplit 20k-member cluster would
+            # otherwise hold a 3+ GB matrix in one task)
+            ids, M = prep(pdf)
+            n = len(M)
+            for i0 in range(0, n, BLK):
+                Mi = M[i0 : i0 + BLK]
+                for j0 in range(i0, n, BLK):
+                    S = Mi @ M[j0 : j0 + BLK].T
+                    # keep any raw cosine that could ROUND to >= the
+                    # threshold (half-grain slack, see
+                    # embedding_dup_pairs)
+                    mask = S >= slack
+                    if i0 == j0:  # strict upper triangle: a < b only
+                        mask &= np.triu(np.ones(S.shape, dtype=bool), k=1)
+                    ai, bi = np.nonzero(mask)
+                    if len(ai):
+                        out_a.append(ids[i0 + ai])
+                        out_b.append(ids[j0 + bi])
+                        out_c.append(S[ai, bi])
+        else:
+            # cross sub-list pair: every (A row, B row) combination,
+            # emitted in canonical (lower id, higher id) order — the
+            # sub-lists partition the cluster, so no pair repeats
+            A, B = pdf[pdf["sub"] == sp], pdf[pdf["sub"] == sq]
+            if len(A) and len(B):
+                ida, MA = prep(A)
+                idb, MB = prep(B)
+                for i0 in range(0, len(MA), BLK):
+                    Mi = MA[i0 : i0 + BLK]
+                    for j0 in range(0, len(MB), BLK):
+                        S = Mi @ MB[j0 : j0 + BLK].T
+                        ai, bi = np.nonzero(S >= slack)
+                        if len(ai):
+                            a = ida[i0 + ai]
+                            b = idb[j0 + bi]
+                            out_a.append(np.minimum(a, b))
+                            out_b.append(np.maximum(a, b))
+                            out_c.append(S[ai, bi])
         cat = (
             lambda parts, dt: np.concatenate(parts)
             if parts
@@ -974,8 +1060,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ensure_package_on_executors(spark)
-    pairs = assigned.groupBy("list_id").applyInPandas(
-        within_cluster,
+    pairs = salted.groupBy("list_id", "sp", "sq").applyInPandas(
+        pair_block,
         schema="cluster_id int, vec_a long, vec_b long, cos_raw double",
     )
     return pairs.select(

@@ -1018,3 +1018,94 @@ def test_fan_out_leaves_non_file_scans_alone(spark, planted_dir):
     plan = fan_out(scan)._jdf.queryExecution().executedPlan().toString()
     if n_files < spark.sparkContext.defaultParallelism:
         assert "Exchange RoundRobinPartitioning" in plan  # few files: spread
+
+
+def _synth_embeddings_dir(spark, tmp_path, n=5000, dims=64, protos=20, seed=7):
+    """Synthetic embeddings fixture: n vectors around `protos`
+    prototype directions (one shared label → ONE assignment cluster),
+    written in the real fixture schema so dedup_semantic can read it
+    as an sf_dir. Prototype structure guarantees a dense band of
+    true near-duplicate pairs that spans tile boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    P = rng.normal(size=(protos, dims))
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    M = P[np.arange(n) % protos] + rng.normal(scale=0.05, size=(n, dims))
+    rows = [
+        (int(i), [float(x) for x in M[i].astype(np.float32)], 0)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _naive_semantic_pairs(tmp_path, thr):
+    """Driver-side full-matrix reference for the blocked walk: one
+    n x n matmul, strict upper triangle, the query's exact slack +
+    round-to-6 convention."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    M = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    slack = 0.35 - (0.5e-6 + 1e-12)
+    mask = np.triu(S >= slack, k=1)
+    ai, bi = np.nonzero(mask)
+    cos = np.round(S[ai, bi], 6)
+    keep = cos >= 0.35
+    return {
+        (int(ids[a]), int(ids[b]), float(c))
+        for a, b, c in zip(ai[keep], bi[keep], cos[keep])
+    }
+
+
+def test_dedup_semantic_blocked_tiles_match_naive(spark, tmp_path):
+    """A >4096-member cluster forces the multi-tile paths (diagonal
+    upper-triangle tiles AND off-diagonal full tiles); the blocked
+    walk's pair set must equal a driver-side full-matrix reference
+    bit-for-bit at the 6-decimal grain."""
+    sf_dir = _synth_embeddings_dir(spark, tmp_path, n=5000)
+    got = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cos_sim"]))
+        for r in llm.dedup_semantic(spark, sf_dir).collect()
+    }
+    want = _naive_semantic_pairs(tmp_path, llm.SEMANTIC_DUP_THRESHOLD)
+    assert len(want) > 1000  # non-vacuous: pairs span tiles
+    assert got == want
+
+
+def test_dedup_semantic_salted_split_is_result_identical(spark, tmp_path, monkeypatch):
+    """Force the oversized-cluster salted split (cap far below the
+    synthetic cluster's 5000 members → s = ceil(5000/600) = 9
+    sub-lists, 45 tasks) and pin the pair set EQUAL to the unsplit
+    pass — the split is a pure parallelism change. Also pins that the
+    plan still contains zero join nodes (the split map ships as a
+    literal, not a join)."""
+    sf_dir = _synth_embeddings_dir(spark, tmp_path, n=5000)
+    unsplit = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cos_sim"]))
+        for r in llm.dedup_semantic(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm, "SEMANTIC_SPLIT_CAP", 600)
+    df = llm.dedup_semantic(spark, sf_dir)
+    split = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cos_sim"]))
+        for r in df.collect()
+    }
+    assert split == unsplit
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for node in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ):
+        assert node not in p, f"unexpected {node} in split plan"
