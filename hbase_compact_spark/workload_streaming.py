@@ -99,6 +99,173 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# stream_stream_join_outer — the semantically hard streaming join:
+# LEFT OUTER emits a null-extended row for an unmatched error ONLY
+# when the watermark proves no matching click can still arrive —
+# state EVICTION produces rows, the case inner joins never exercise.
+# Needs real watermark progression, so the events arrive as staged
+# time-ordered micro-batches with trailing sentinel pairs (one error
+# + one click each, so BOTH sides' watermarks — the global minimum —
+# drain past every real event).
+_JOIN_SENTINEL_USER = -1
+
+
+def join_stream_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `events` (event_id, user_id, event_type, ts) once
+    per (fixture generation, sf) as ts-quartile-bucketed batch files
+    with strictly increasing mtimes (the file source delivers
+    oldest-first, so arrival order matches event time), plus two
+    trailing sentinel files each holding one far-future error AND one
+    far-future click for user -1: the error advances the left
+    watermark, the click the right one — the global watermark is
+    their MINIMUM, and only a stream that advances BOTH flushes the
+    outer join's unmatched-row state. Same staging discipline as
+    session_stream_staging (atomic publish, exists <=> complete)."""
+    import glob as globmod
+    import shutil
+    import time
+
+    from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
+    from hbase_compact_spark.tables import load_table
+
+    root, complete = memo_root(sf_dir, "joinstage", "events", logic_rev="r10a")
+    if complete:
+        return root
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    evl = ev.withColumn("_t", F.unix_timestamp("ts"))
+    qs = evl.approxQuantile("_t", [0.25, 0.5, 0.75], 0.001)
+    bounds = sorted(set(int(q) for q in qs))
+    max_ts = evl.agg(F.max("_t")).collect()[0][0]
+    lows = [None] + [b for b in bounds]
+    highs = [b for b in bounds] + [None]
+
+    tmp = staging_dir(root)
+    stamp = time.time() - 600
+    n_file = 0
+
+    def _emit(df, idx: int) -> int:
+        scratch = posixpath.join(tmp, f"_scratch_{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = globmod.glob(posixpath.join(scratch, "part-*.parquet"))
+        dest = posixpath.join(tmp, f"batch_{idx:02d}.parquet")
+        os.replace(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        os.utime(dest, (stamp + idx, stamp + idx))
+        return idx + 1
+
+    for lo, hi in zip(lows, highs):
+        bucket = evl
+        if lo is not None:
+            bucket = bucket.filter(F.col("_t") >= lo)
+        if hi is not None:
+            bucket = bucket.filter(F.col("_t") < hi)
+        bucket = bucket.drop("_t")
+        if bucket.limit(1).count() == 0:
+            continue
+        n_file = _emit(bucket, n_file)
+    # sentinel ts must clear every error's eviction point (e_ts plus
+    # the 1 h watermark delay); +3 h / +4 h leave margin, and the
+    # second file is the batch that RUNS under the first's advanced
+    # watermark. Negative event_ids keep them outside the real domain.
+    for k in (3, 4):
+        sent = spark.createDataFrame(
+            [
+                (-(2 * k - 1), _JOIN_SENTINEL_USER, "error", max_ts + k * 3600),
+                (-(2 * k), _JOIN_SENTINEL_USER, "click", max_ts + k * 3600),
+            ],
+            "event_id long, user_id long, event_type string, _t long",
+        ).select(
+            F.col("event_id").cast(ev.schema["event_id"].dataType),
+            F.col("user_id").cast(ev.schema["user_id"].dataType),
+            F.col("event_type").cast(ev.schema["event_type"].dataType),
+            F.timestamp_seconds("_t").alias("ts"),
+        ).select("event_id", "user_id", "event_type", "ts")
+        n_file = _emit(sent, n_file)
+    publish(tmp, root)
+    return root
+
+
+@query(
+    "stream_stream_join_outer",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           e.user_id AS user_id
+    FROM events e LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts
+    WHERE e.event_type = 'error'
+    """,
+)
+def stream_stream_join_outer(
+    spark: SparkSession, sf_dir: str, progress: list | None = None
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error pairs with
+    the same user's clicks in the preceding 30 minutes, and an error
+    with NO such click emits exactly one null-extended row — but only
+    once the watermark passes the point where a matching click could
+    still arrive, because in a streaming outer join the null row is
+    produced by STATE EVICTION (the completion-watch's "no change
+    seen" branch, QHC.java:71-72, is precisely this shape: absence
+    becomes a result only after the observation window provably
+    closes). Events arrive as time-ordered micro-batches; trailing
+    sentinel pairs advance BOTH sides' watermarks past every real
+    event so append mode flushes every unmatched error — the bounded
+    stream's result then equals the batch LEFT JOIN oracle exactly.
+    State stays watermark-bounded on both sides (pinned via progress
+    metrics in tests/test_daemon_streaming.py, alongside the
+    emit-exactly-once-and-only-after-eviction pin)."""
+    staging = join_stream_staging(spark, sf_dir)
+    schema = spark.read.parquet(
+        posixpath.join(staging, "batch_00.parquet")
+    ).schema
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+
+    errors = (
+        src()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND "
+            "c_ts BETWEEN e_ts - INTERVAL 30 MINUTES AND e_ts"
+        ),
+        "left_outer",
+    ).select("error_id", "click_id", "user_id")
+    out = run_bounded(
+        joined, mode="append", n_partitions=8, progress=progress
+    )
+    # the sentinels' own rows (and their mutual match) leave with one
+    # post-hoc batch filter; their state is the price of draining
+    return out.where(F.col("user_id") != _JOIN_SENTINEL_USER)
+
+
+# --------------------------------------------------------------------
 # stream_session — multi-batch staging. The single-file fixture would
 # arrive as ONE availableNow micro-batch, and one batch never advances
 # the watermark, so append-mode session windows would emit nothing

@@ -684,3 +684,121 @@ def test_rocksdb_state_store_result_parity(spark):
     assert spark.conf.get(_PROVIDER_KEY, None) == prev  # no leak
     assert rock_sess == base_sess
     assert rock_tot == base_tot
+
+
+def test_stream_stream_outer_join_null_emission_semantics(spark):
+    """The LEFT OUTER stream-stream join's contract, pinned three
+    ways: (1) the bounded run equals the batch LEFT JOIN dual as a
+    multiset — unmatched errors emit their null row EXACTLY once;
+    (2) the nulls come from watermark-driven state EVICTION, not from
+    the operator emitting eagerly — the same join over the raw
+    single-batch stream (no watermark progression) produces ZERO null
+    rows while the staged multi-batch run produces them all; (3) join
+    state is watermark-bounded — eviction shrinks it below its peak
+    by the final batch."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.streaming.tumbling import (
+        events_stream,
+        run_bounded,
+    )
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_streaming import (
+        stream_stream_join_outer,
+    )
+
+    progress: list = []
+    got = stream_stream_join_outer(spark, SF_DIR, progress=progress)
+    got_rows = sorted(
+        ((r["error_id"], r["click_id"], r["user_id"]) for r in got.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    dual = e.join(
+        c,
+        F.expr(
+            "c_user = user_id AND "
+            "c_ts BETWEEN e_ts - INTERVAL 30 MINUTES AND e_ts"
+        ),
+        "left_outer",
+    ).select("error_id", "click_id", "user_id")
+    dual_rows = sorted(
+        ((r["error_id"], r["click_id"], r["user_id"]) for r in dual.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or 0),
+    )
+    assert got_rows == dual_rows  # exactly once, nothing missing
+    n_nulls = sum(1 for _, cid, _ in got_rows if cid is None)
+    assert n_nulls > 0  # non-vacuous outer semantics
+
+    # (2) nulls are produced by watermark passage, not eagerly: over
+    # the raw single-batch stream the trailing no-data batch advances
+    # the watermark only to max_ts - 1h, so errors inside that final
+    # horizon are NEVER provably unmatched and their null rows go
+    # missing — strictly fewer nulls than the batch dual. The staged
+    # run's sentinels push the watermark past every real event, which
+    # is exactly what recovers them (assertion (1) above).
+    errors1 = (
+        events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks1 = (
+        events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    single = run_bounded(
+        errors1.join(
+            clicks1,
+            F.expr(
+                "c_user = user_id AND "
+                "c_ts BETWEEN e_ts - INTERVAL 30 MINUTES AND e_ts"
+            ),
+            "left_outer",
+        ).select("error_id", "click_id", "user_id"),
+        mode="append",
+        n_partitions=4,
+    )
+    single_nulls = single.where(F.col("click_id").isNull()).count()
+    assert 0 < single_nulls < n_nulls
+    # the missing nulls are precisely tail-horizon errors: every
+    # null the single-batch run DID emit is in the staged result too
+    single_null_ids = {
+        r["error_id"]
+        for r in single.where(F.col("click_id").isNull()).collect()
+    }
+    staged_null_ids = {eid for eid, cid, _ in got_rows if cid is None}
+    assert single_null_ids < staged_null_ids
+
+    # (3) state bounded + eviction visible: the peak state row count
+    # exceeds the final batch's (rows left the store), and even the
+    # peak stays at stream size, not pair-mass size
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+    ]
+    assert state_rows and max(state_rows) > state_rows[-1]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert max(state_rows) <= n_events + 8  # + sentinel pairs
