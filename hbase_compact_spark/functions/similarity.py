@@ -164,6 +164,7 @@ def _assign_lists_pandas(
     vec_alias: str,
     cents: list[tuple[int, list[float]]],
     n: int,
+    with_score: bool = False,
 ) -> DataFrame:
     """Top-n nearest-centroid assignment via Arrow-batched numpy: one
     (batch x dims) @ (dims x k) BLAS matmul per batch, stable argsort
@@ -201,23 +202,27 @@ def _assign_lists_pandas(
             Cn = C / np.maximum(
                 np.linalg.norm(C, axis=1, keepdims=True), 1e-12
             )
-            order = np.argsort(-(Vn @ Cn.T), axis=1, kind="stable")[:, :n]
-            b = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_alias: pdf[id_alias].to_numpy().repeat(n),
-                    vec_alias: [v for v in pdf[vec_alias] for _ in range(n)],
-                    "list_id": ids[order].ravel(),
-                }
-            )
+            S = Vn @ Cn.T
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            out = {
+                id_alias: pdf[id_alias].to_numpy().repeat(n),
+                vec_alias: [v for v in pdf[vec_alias] for _ in range(n)],
+                "list_id": ids[order].ravel(),
+            }
+            if with_score:
+                # the assignment cosine itself — the index-maintenance
+                # drift signal (how well a vector fits its list)
+                out["score"] = np.take_along_axis(S, order, axis=1).ravel()
+            yield pd.DataFrame(out)
 
     vec = df.select(
         F.col("vec_id").alias(id_alias),
         as_double_array("embedding").alias(vec_alias),
     )
-    return vec.mapInPandas(
-        run, schema=f"{id_alias} long, {vec_alias} array<double>, list_id int"
-    )
+    schema = f"{id_alias} long, {vec_alias} array<double>, list_id int"
+    if with_score:
+        schema += ", score double"
+    return vec.mapInPandas(run, schema=schema)
 
 
 def kmeans_refine(
@@ -804,3 +809,115 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index + incremental maintenance. At 100 TB the index
+# BUILD (centroid training + full-corpus assignment) is the expensive
+# artifact; a production ANN pipeline maintains it incrementally: on
+# corpus append, only the NEW vectors assign against the FROZEN
+# centroids (one scan of the delta), and a drift signal decides when
+# the partition no longer fits the data and a re-train pays off.
+# Both halves of the index live as snapshot-logged tables, so the
+# maintenance commits are atomic, time-travelable, and expire-safe —
+# the same lifecycle discipline as every other table in the engine.
+
+# retrain when the appended batch's mean assignment cosine falls this
+# far below the base corpus's (the lists no longer describe the data)
+IVF_DRIFT_MARGIN = 0.15
+
+
+def build_ivf_index(spark, corpus: DataFrame, index_root: str) -> dict:
+    """Full index build: per-label mean centroids (label_centroids —
+    one distributed agg), full-corpus frozen-centroid assignment with
+    scores, both persisted as snapshot-logged tables under
+    `index_root`/cents and `index_root`/assign. Returns
+    {"n_lists", "n_vectors", "mean_score"}."""
+    import posixpath
+
+    cent_df = label_centroids(corpus)
+    cents = _cent_rows(cent_df)
+    assigned = _assign_lists_pandas(
+        corpus, "vec_id", "v", cents, 1, with_score=True
+    ).select("vec_id", "list_id", "score", F.lit("base").alias("src"))
+    cents_root = posixpath.join(index_root, "cents")
+    assign_root = posixpath.join(index_root, "assign")
+    cent_df.write.mode("overwrite").parquet(cents_root)
+    assigned.write.mode("overwrite").parquet(assign_root)
+    # snapshot-log both tables (bootstrap = v1) so maintenance commits
+    # are atomic + time-travelable
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+
+    SnapshotLog(spark, cents_root).bootstrap()
+    log = SnapshotLog(spark, assign_root)
+    log.bootstrap()
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    stats = read_table_at(spark, assign_root).agg(
+        F.count("*").alias("n"), F.avg("score").alias("m")
+    ).collect()[0]
+    return {
+        "n_lists": len(cents),
+        "n_vectors": int(stats["n"]),
+        "mean_score": float(stats["m"]),
+    }
+
+
+def extend_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    index_root: str,
+    *,
+    drift_margin: float = IVF_DRIFT_MARGIN,
+) -> dict:
+    """Incremental index maintenance: assign ONLY `new_vectors`
+    against the PERSISTED centroids (loaded from the index's own
+    snapshot log — a cold session never re-trains just to serve), and
+    append the new assignment rows (src='incr') as one atomic
+    snapshot commit. Cost is O(|delta|), the dedup_incremental
+    discipline — never a re-cluster of the corpus.
+
+    Drift gate: if the delta's mean assignment cosine falls more than
+    `drift_margin` below the index's base mean, the lists no longer
+    describe the incoming data — the function makes NO commit and
+    returns mode='retrain' so the caller rebuilds (build_ivf_index);
+    otherwise mode='incremental' with the appended count."""
+    import posixpath
+
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        read_table_at,
+    )
+
+    cents_root = posixpath.join(index_root, "cents")
+    assign_root = posixpath.join(index_root, "assign")
+    cents = _cent_rows(read_table_at(spark, cents_root))
+    assigned = _assign_lists_pandas(
+        new_vectors, "vec_id", "v", cents, 1, with_score=True
+    ).select("vec_id", "list_id", "score", F.lit("incr").alias("src"))
+    # one pass over the delta: cache while we take its mean + append.
+    # The base mean comes from the PERSISTED scores (an agg over the
+    # index table, never a corpus rescan).
+    assigned = assigned.localCheckpoint(eager=True)
+    base_mean = (
+        read_table_at(spark, assign_root)
+        .where(F.col("src") == "base")
+        .agg(F.avg("score"))
+        .collect()[0][0]
+    )
+    new_stats = assigned.agg(
+        F.avg("score").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    if new_stats["n"] and new_stats["m"] < base_mean - drift_margin:
+        return {
+            "mode": "retrain",
+            "base_mean": float(base_mean),
+            "new_mean": float(new_stats["m"]),
+        }
+    append_partitioned(spark, assign_root, assigned)
+    return {
+        "mode": "incremental",
+        "appended": int(new_stats["n"]),
+        "base_mean": float(base_mean),
+        "new_mean": float(new_stats["m"]),
+    }

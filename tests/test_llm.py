@@ -1109,3 +1109,81 @@ def test_dedup_semantic_salted_split_is_result_identical(spark, tmp_path, monkey
         "BroadcastNestedLoopJoin", "CartesianProduct",
     ):
         assert node not in p, f"unexpected {node} in split plan"
+
+
+def test_ivf_index_incremental_maintenance_and_drift_gate(spark, tmp_path):
+    """The persistent IVF index's maintenance contract: a corpus
+    append costs one O(|delta|) frozen-centroid assignment committed
+    as an APPEND to the index's snapshot log (base rows untouched);
+    the appended assignments equal a direct assignment against the
+    stored centroids; and a genuinely drifted delta (vectors
+    orthogonal to every centroid) trips the drift gate — retrain
+    decision, NO commit."""
+    import numpy as np
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        read_table_at,
+    )
+    from hbase_compact_spark.functions.similarity import (
+        _assign_lists_pandas,
+        _cent_rows,
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    root = str(tmp_path / "idx")
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    info = build_ivf_index(spark, base, root)
+    assert info["n_vectors"] == base.count()
+    alog = SnapshotLog(spark, f"{root}/assign")
+    v1 = alog.latest()
+    base_files = alog.files(v1)
+
+    delta = base.limit(100).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+        "label",
+    )
+    res = extend_ivf_index(spark, delta, root)
+    assert res["mode"] == "incremental" and res["appended"] == 100
+    v2 = alog.latest()
+    assert v2 == v1 + 1 and alog.read(v2).get("op") == "append-partitioned"
+    # append-only: every base file carried untouched
+    assert set(base_files) <= set(alog.files(v2))
+
+    # persisted-centroid equality: the committed incr rows == a direct
+    # assignment against the stored centroid table
+    cents = _cent_rows(read_table_at(spark, f"{root}/cents"))
+    want = {
+        (int(r["vec_id"]), int(r["list_id"]))
+        for r in _assign_lists_pandas(
+            delta, "vec_id", "v", cents, 1
+        ).collect()
+    }
+    got = {
+        (int(r["vec_id"]), int(r["list_id"]))
+        for r in read_table_at(spark, f"{root}/assign")
+        .where(F.col("src") == "incr")
+        .collect()
+    }
+    assert got == want
+
+    # drift gate: vectors orthogonal to EVERY centroid score ~0
+    # cosine — far below the base mean — so the gate must refuse to
+    # extend and must leave the log untouched
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    _, _, Vt = np.linalg.svd(C, full_matrices=True)
+    null_basis = Vt[len(C):]  # rows orthogonal to all centroids
+    drifted_rows = [
+        (int(50_000 + i), [float(x) for x in null_basis[i % len(null_basis)]], 0)
+        for i in range(50)
+    ]
+    drifted = spark.createDataFrame(
+        drifted_rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = extend_ivf_index(spark, drifted, root)
+    assert out["mode"] == "retrain", out
+    assert out["new_mean"] < out["base_mean"]
+    assert alog.latest() == v2  # no commit on retrain decision
