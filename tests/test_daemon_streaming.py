@@ -802,3 +802,75 @@ def test_stream_stream_outer_join_null_emission_semantics(spark):
     assert state_rows and max(state_rows) > state_rows[-1]
     n_events = load_table(spark, SF_DIR, "events").count()
     assert max(state_rows) <= n_events + 8  # + sentinel pairs
+
+
+def test_restart_recovery_under_rocksdb_changelog_checkpointing(spark):
+    """Recovery is where RocksDB's checkpoint format actually differs
+    from the default provider (changelog upload vs full-snapshot
+    upload) — r9 proved parity only on uninterrupted runs. Re-run the
+    kill/restart flow under RocksDB with changelog checkpointing
+    enabled: the union of the two runs' emissions must equal the
+    default provider's bit-for-bit (no duplicates, no losses across
+    the restart), run 2 must RESTORE RocksDB state written by run 1
+    (its progress carries rocksdb custom metrics and continues run
+    1's batch ids), and neither conf may leak out."""
+    from hbase_compact_spark.streaming.tumbling import (
+        _PROVIDER_KEY,
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+    )
+    from hbase_compact_spark.workload_streaming import (
+        stream_restart_recovery,
+    )
+
+    base = sorted(
+        map(tuple, stream_restart_recovery(spark, SF_DIR).collect())
+    )
+    ck_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev_ck = spark.conf.get(ck_key, None)
+    spark.conf.set(ck_key, "true")
+    phases: list = []
+    try:
+        with state_store_provider(spark, ROCKSDB_PROVIDER):
+            rocks = sorted(
+                map(
+                    tuple,
+                    stream_restart_recovery(
+                        spark, SF_DIR, phases=phases
+                    ).collect(),
+                )
+            )
+    finally:
+        if prev_ck is None:
+            spark.conf.unset(ck_key)
+        else:
+            spark.conf.set(ck_key, prev_ck)
+    assert spark.conf.get(ck_key, None) == prev_ck  # no leak
+    assert spark.conf.get(_PROVIDER_KEY, None) is None or spark.conf.get(
+        _PROVIDER_KEY
+    ) != ROCKSDB_PROVIDER
+    assert rocks == base
+    # the RocksDB provider genuinely ran both phases: its custom
+    # metrics appear in the progress of run 1 AND run 2 (run 2's
+    # stores were REBUILT from run 1's checkpoint under changelog
+    # mode), and run 2's batch ids continue run 1's
+    by_phase = {
+        p["phase"]: p["progress"] for p in phases if "progress" in p
+    }
+    assert set(by_phase) == {"before_kill", "restarted"}
+    for tag in ("before_kill", "restarted"):
+        ops = [
+            op
+            for pr in by_phase[tag]
+            for op in pr.get("stateOperators", [])
+        ]
+        assert any(
+            any(k.startswith("rocksdb") for k in op.get("customMetrics", {}))
+            for op in ops
+        ), f"RocksDB metrics absent in {tag}"
+    ids1 = [pr["batchId"] for pr in by_phase["before_kill"]]
+    ids2 = [pr["batchId"] for pr in by_phase["restarted"]]
+    assert ids1 and ids2 and min(ids2) > max(ids1)
