@@ -1829,6 +1829,7 @@ def snapshot_compact(
     target_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    migrate_spec: bool = False,
 ) -> dict:
     """Append-only compaction under the snapshot log: qualifying
     partitions (>1 file and a strictly lower planned bin count — the
@@ -1880,6 +1881,24 @@ def snapshot_compact(
         _mor_affected_relpaths(spark, log, pending[0]) if pending else set()
     )
 
+    # spec migration (Iceberg rewrite-data-files with spec migration):
+    # with migrate_spec=True, files NOT living under the CURRENT
+    # partition spec's `_hp_` layout (pre-evolution plain files, older
+    # spec generations) are rewritten INTO it, so an evolved table
+    # converges to one path-prunable layout over time instead of
+    # carrying mixed generations forever
+    migrate: list[tuple[str, int]] = []
+    spec = partition_spec_of(log, base_version) if migrate_spec else None
+    if spec:
+        want = set(spec["partition_by"])
+        migrate = [
+            (p, s)
+            for p, s in base
+            if not want <= set(_path_partition_values(p))
+        ]
+        migrate_set = {p for p, _ in migrate}
+        base = [(p, s) for p, s in base if p not in migrate_set]
+
     by_part: dict[str, list[tuple[str, int]]] = {}
     for relpath, size in base:
         by_part.setdefault(posixpath.dirname(relpath), []).append((relpath, size))
@@ -1927,8 +1946,70 @@ def snapshot_compact(
         )
         _rm(spark, tmp_dir)
         rewritten += 1
+    migrated = 0
+    if migrate:
+        relpaths = [p for p, _ in migrate]
+        src = _read_relpaths(
+            spark, table_root, relpaths, data_schema, mor=pending
+        )
+        total = sum(s for _, s in migrate)
+        n_bins = max(1, math.ceil(total / target_bytes))
+        hp_cols = []
+        aug = src
+        for col in spec["partition_by"]:
+            hp = PARTITION_DIR_PREFIX + col
+            aug = aug.withColumn(hp, F.col(col).cast("string"))
+            hp_cols.append(hp)
+        tmp_dir = posixpath.join(
+            table_root, f"_snapmigrate_tmp_{uuid.uuid4().hex[:10]}"
+        )
+        (
+            aug.repartition(n_bins, *hp_cols)
+            .write.partitionBy(*hp_cols)
+            .mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        out = spark.read.parquet(tmp_dir).select(*src.columns)
+        if _fingerprint(src) != _fingerprint(out):
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"spec-migration verification failed under {table_root}"
+            )
+        # move each `_hp_` value dir under the root, layout preserved
+        # (same recursive walk as append_partitioned's spec write)
+        stack = [("", fs.listStatus(Path(tmp_dir)))]
+        while stack:
+            rel, entries = stack.pop()
+            for st in entries:
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    stack.append(
+                        (
+                            posixpath.join(rel, name) if rel else name,
+                            fs.listStatus(st.getPath()),
+                        )
+                    )
+            if any(not s.isDirectory() for s in entries):
+                added.extend(
+                    _move_tmp_files(
+                        fs,
+                        Path,
+                        posixpath.join(tmp_dir, rel) if rel else tmp_dir,
+                        table_root,
+                        rel,
+                        "compacted",
+                    )
+                )
+        _rm(spark, tmp_dir)
+        migrated = len(migrate)
+        rewritten += 1
     if not rewritten:
-        return {"version": base_version, "rewritten": 0, "new_files": 0}
+        return {
+            "version": base_version,
+            "rewritten": 0,
+            "new_files": 0,
+            "migrated": 0,
+        }
     manifest = _carried_manifest(spark, log, base_version, keep, added)
     version = log.commit(
         None,
@@ -1940,7 +2021,12 @@ def snapshot_compact(
             spark, log, base_version, [p for p, _ in keep]
         ),
     )
-    return {"version": version, "rewritten": rewritten, "new_files": len(added)}
+    return {
+        "version": version,
+        "rewritten": rewritten,
+        "new_files": len(added),
+        "migrated": migrated,
+    }
 
 
 def _move_tmp_files(

@@ -937,3 +937,65 @@ def test_mor_composes_with_partition_evolution(spark, tmp_path):
     assert res["deleted_rows"] == 5 and res["rewritten_files"] == 0
     got = sorted(r["id"] for r in read_table_at(spark, root).collect())
     assert got == [i for i in range(20) if not 8 <= i <= 12]
+
+
+def test_compact_migrates_legacy_files_into_current_spec(spark, tmp_path):
+    """snapshot_compact(migrate_spec=True) rewrites every file that
+    does not live under the CURRENT partition spec's `_hp_` layout
+    into it — post-compact the table has ONE layout generation, reads
+    are equal, path pruning now covers the migrated files, and a
+    pending MOR delete composes: its rows stay gone through the
+    migration and its consumed entries retire."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        append_partitioned,
+        evolve_partitioning,
+        read_table_at,
+        scan_plan,
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(12).selectExpr(
+        "id", "CAST(id % 3 AS LONG) AS grp"
+    ).write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    append_partitioned(
+        spark,
+        root,
+        spark.range(12, 24).selectExpr("id", "CAST(id % 3 AS LONG) AS grp"),
+    )
+    snapshot_delete(spark, root, {"id": (4, 6)}, mode="mor")
+    log = SnapshotLog(spark, root)
+    pre_rows = sorted(
+        map(tuple, read_table_at(spark, root).collect())
+    )
+    pre_plain = [
+        p
+        for p, _ in log.files(log.latest())
+        if f"{PARTITION_DIR_PREFIX}grp=" not in p
+    ]
+    assert pre_plain  # the pre-evolution generation exists
+
+    out = snapshot_compact(
+        spark, root, target_bytes=1 << 30, migrate_spec=True
+    )
+    assert out["migrated"] == len(pre_plain)
+    post = [p for p, _ in log.files(out["version"])]
+    assert post and all(f"{PARTITION_DIR_PREFIX}grp=" in p for p in post)
+    assert log.delete_files(out["version"]) == []  # MOR entries retired
+    got = sorted(map(tuple, read_table_at(spark, root).collect()))
+    assert got == pre_rows  # including the still-deleted 4..6
+    assert all(4 <= i <= 6 or True for i, _ in got)
+    assert not any(4 <= i <= 6 for i, _ in got)
+    # the whole table now prunes by PATH: grp=1 keeps only its files
+    plan = scan_plan(spark, root, {"grp": 1})
+    n_files = len(post)
+    per_val = sum(1 for p in post if f"{PARTITION_DIR_PREFIX}grp=1" in p)
+    assert plan["pruned_files"] == n_files - per_val >= 2
+    # idempotent: a second migrate-compact finds nothing to migrate
+    again = snapshot_compact(
+        spark, root, target_bytes=1 << 30, migrate_spec=True
+    )
+    assert again["migrated"] == 0
