@@ -411,3 +411,16 @@ def test_dedup_semantic_has_no_corpus_join(spark):
         assert node not in p, f"unexpected {node} in dedup_semantic plan"
     assert "FlatMapGroupsInPandas" in p
     assert p.count("Exchange hashpartitioning(list_id") >= 1
+
+
+def test_mor_delete_scan_read_is_broadcast_anti_join(spark):
+    """The MOR read's 100 TB contract: the pending delete set joins
+    as a BROADCAST LEFT ANTI against the data scan (no shuffle of the
+    100 TB side for a small delete set), keyed on the positional
+    (file, row_index) pair off the scan's hidden _metadata column."""
+    df = _Q["snapshot_mor_delete_scan"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "row_index" in p  # positional key comes from _metadata
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

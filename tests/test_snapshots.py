@@ -75,7 +75,9 @@ def test_snapshot_compact_time_travel_and_isolation(spark, part_table):
     assert plain.count() == 2 * len(before)
     # nothing qualified -> no new version
     rep2 = snapshot_compact(spark, part_table, target_bytes=1 << 40)
-    assert rep2 == {"version": 2, "rewritten": 0, "new_files": 0}
+    assert rep2 == {
+        "version": 2, "rewritten": 0, "new_files": 0, "migrated": 0,
+    }
 
 
 def test_expire_reclaims_only_dead_files(spark, part_table):

@@ -95,8 +95,13 @@ def main() -> None:
 
         os.environ["HCS_CC_DRIVER_MAX_PAIRS"] = "0"
         os.environ["HCS_MERGE_KEY_PROBE_CAP"] = "0"
+        # r10 forced branches: oversized-cluster salted split (cap 40
+        # splits every fixture cluster) and the shuffled MOR anti-join
+        # (broadcast threshold 0)
+        os.environ["HCS_SEMANTIC_SPLIT_CAP"] = "40"
+        os.environ["HCS_MOR_BROADCAST_ROWS"] = "0"
         sf_name = os.path.basename(args.sf_dir.rstrip("/"))
-        for tag in ("clusterlabels", "merge_scan"):
+        for tag in ("clusterlabels", "merge_scan", "mor_delete_scan"):
             for d in glob.glob(
                 os.path.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
             ):
@@ -200,7 +205,8 @@ def main() -> None:
         )
         fqueries = (
             "dedup_clusters,dedup_canonical,"
-            "snapshot_merge_scan,snapshot_cdc_scan"
+            "snapshot_merge_scan,snapshot_cdc_scan,"
+            "dedup_semantic,snapshot_mor_delete_scan"
         )
         rc = subprocess.run(
             [
@@ -224,8 +230,10 @@ def main() -> None:
             "caps": {
                 "HCS_CC_DRIVER_MAX_PAIRS": "0",
                 "HCS_MERGE_KEY_PROBE_CAP": "0",
+                "HCS_SEMANTIC_SPLIT_CAP": "40",
+                "HCS_MOR_BROADCAST_ROWS": "0",
             },
-            "memos_wiped": ["clusterlabels", "merge_scan"],
+            "memos_wiped": ["clusterlabels", "merge_scan", "mor_delete_scan"],
             "subprocess_rc": rc,
             **{k: v for k, v in fdata.items() if k != "_meta"},
         }

@@ -250,6 +250,13 @@ HEAVY3 = [
     "scd2_dimension",
     "ngram_novelty",
     "mlm_span_corrupt",
+    # r9 addition whose sf10 shape changed in r10 (salted split of
+    # oversized clusters) + r10 additions: the MOR read anti-join,
+    # the outer-join eviction path, and the maintained index read
+    "dedup_semantic",
+    "snapshot_mor_delete_scan",
+    "stream_stream_join_outer",
+    "ann_index_incremental",
 ]
 
 
@@ -386,6 +393,153 @@ def bench3_rocksdb(queries: list[str] | None = None,
     print("merged rocksdb_variants into", out_path)
 
 
+def bench_index_maintenance(rnd: int | None = None) -> None:
+    """Rebuild-vs-increment cost of the persistent IVF index (VERDICT
+    r9 task 5's 'Done' clause): at each scale point, time (a) a FULL
+    build over base+delta embeddings and (b) an INCREMENTAL extend of
+    a 10% delta against the persisted base index. Merged into
+    SCALE_r{N}.json under 'index_maintenance'. The increment should
+    cost O(|delta|) — flat-ish across the decades relative to the
+    rebuild's corpus-linear growth."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.functions.similarity import (
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    if rnd is None:
+        raise SystemExit("pass the round number")
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    points = [("sf0.1", SRC_SF), ("sf1", TARGETS["sf1"][1]),
+              ("sf10", TARGETS["sf10"][1])]
+    out: dict[str, dict] = {}
+    for label, sf_dir in points:
+        if not os.path.isdir(sf_dir):
+            continue
+        base = load_table(spark, sf_dir, "embeddings")
+        n = base.count()
+        delta = (
+            base.where(F.pmod(F.col("vec_id"), 10) == 0)
+            .select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+                "label",
+            )
+        )
+        work = tempfile.mkdtemp(prefix="hcs_idx_")
+        try:
+            t0 = time.perf_counter()
+            build_ivf_index(spark, base, os.path.join(work, "base"))
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = extend_ivf_index(spark, delta, os.path.join(work, "base"))
+            t_incr = time.perf_counter() - t0
+            assert res["mode"] == "incremental", res
+            full = base.unionByName(delta)
+            t0 = time.perf_counter()
+            build_ivf_index(spark, full, os.path.join(work, "full"))
+            t_rebuild = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        out[label] = {
+            "n_base": int(n),
+            "base_build_s": round(t_base, 3),
+            "increment_s": round(t_incr, 3),
+            "full_rebuild_s": round(t_rebuild, 3),
+            "increment_vs_rebuild": round(t_incr / max(t_rebuild, 1e-9), 3),
+        }
+        print(label, out[label], flush=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    payload["index_maintenance"] = {
+        "what": ("persistent IVF index: full build vs O(delta) extend "
+                 "(10% delta, frozen persisted centroids) vs full "
+                 "rebuild over base+delta"),
+        "points": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged index_maintenance into", out_path)
+
+
+def bench_recovery_rocksdb(rnd: int | None = None) -> None:
+    """stream_restart_recovery wall time: default provider vs RocksDB
+    with changelog checkpointing, per scale point (VERDICT r9 task 6's
+    'Done' clause). Result parity across the kill/restart is pinned in
+    tests/test_daemon_streaming.py; this records the cost curves side
+    by side under 'recovery_variants'."""
+    import __spark_entry__ as entrymod
+    from hbase_compact_spark import registry
+    from hbase_compact_spark.streaming.tumbling import (
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+    )
+
+    if rnd is None:
+        raise SystemExit("pass the round number")
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs = entrymod.queries()
+    name = "stream_restart_recovery"
+    ck_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    points = [("sf0.1", SRC_SF, 3), ("sf1", TARGETS["sf1"][1], 3),
+              ("sf10", TARGETS["sf10"][1], 2)]
+    out: dict[str, dict] = {}
+    for label, sf_dir, runs in points:
+        if not os.path.isdir(sf_dir):
+            continue
+        row: dict[str, float] = {}
+        for variant in ("default", "rocksdb_changelog"):
+            ts = []
+            for _ in range(runs):
+                registry.clear_session_caches()
+                t0 = time.perf_counter()
+                if variant == "default":
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                else:
+                    prev = spark.conf.get(ck_key, None)
+                    spark.conf.set(ck_key, "true")
+                    try:
+                        with state_store_provider(spark, ROCKSDB_PROVIDER):
+                            qs[name](spark, sf_dir).write.format(
+                                "noop"
+                            ).mode("overwrite").save()
+                    finally:
+                        if prev is None:
+                            spark.conf.unset(ck_key)
+                        else:
+                            spark.conf.set(ck_key, prev)
+                ts.append(time.perf_counter() - t0)
+            row[variant] = round(
+                sorted(ts)[len(ts) // 2] if runs >= 3 else ts[-1], 3
+            )
+        out[label] = row
+        print(label, row, flush=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    payload["recovery_variants"] = {
+        "what": ("stream_restart_recovery (two checkpointed runs + "
+                 "kill/restart) under the default provider vs RocksDB "
+                 "with changelog checkpointing; parity pinned in "
+                 "test_daemon_streaming.py"),
+        "points": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged recovery_variants into", out_path)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     if cmd == "generate":
@@ -409,5 +563,9 @@ if __name__ == "__main__":
         )
         rnd = int(sys.argv[3]) if len(sys.argv) > 3 else None
         bench3_rocksdb(qlist, rnd)
+    elif cmd == "bench_index":
+        bench_index_maintenance(int(sys.argv[2]))
+    elif cmd == "bench_recovery":
+        bench_recovery_rocksdb(int(sys.argv[2]))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
