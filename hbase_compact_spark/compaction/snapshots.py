@@ -33,6 +33,7 @@ import os
 import posixpath
 import time
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,9 @@ SNAPSHOT_DIR = "_snapshots"
 MANIFEST_SUBDIR = "manifests"
 REFS_SUBDIR = "refs"
 DELETES_SUBDIR = "deletes"
+# delete-entry kind is the name prefix: `d-` positional parquet
+# files, `e-` equality-delete dirs (keys/ + scope/ parquet subdirs)
+EQ_DELETE_PREFIX = "e-"
 
 # Merge-on-read: positional delete files ((relpath, pos) parquet under
 # _snapshots/deletes/) anti-join the data scan at read time. Below
@@ -373,23 +377,19 @@ class SnapshotLog:
         return posixpath.join(self.log_dir, DELETES_SUBDIR)
 
     def delete_files(self, version: int | None = None) -> list[tuple[str, int]]:
-        """[(name, n_rows)] of the positional delete files applying to
-        a snapshot (Iceberg v2 merge-on-read): each is a parquet of
-        (relpath string, pos long) rows under `_snapshots/deletes/`
-        naming rows to subtract from the listed data files. Empty for
-        COW-only tables — the read path then skips the anti-join
-        entirely."""
+        """[(name, n)] of the merge-on-read delete entries applying to
+        a snapshot (Iceberg v2), kind-tagged by name prefix: a `d-`
+        entry is a POSITIONAL delete parquet of (relpath string, pos
+        long) rows (n = entry rows); an `e-` entry is an EQUALITY
+        delete dir of keys/ + scope/ parquet (n = key rows). Both live
+        under `_snapshots/deletes/` and subtract rows from the listed
+        data files at read time. Empty for COW-only tables — the read
+        path then skips the subtraction entirely."""
         v = self.latest() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.log_dir}")
         return [
             (str(n), int(r)) for n, r in self.read(v).get("delete_files") or []
-        ]
-
-    def delete_paths(self, version: int | None = None) -> list[str]:
-        return [
-            posixpath.join(self.deletes_dir, n)
-            for n, _ in self.delete_files(version)
         ]
 
     def resolve_ref(self, name: str) -> int:
@@ -757,16 +757,52 @@ def read_table_at(
     )
 
 
-def _mor_info(log: SnapshotLog, version: int) -> tuple[list[str], int] | None:
-    """(delete parquet paths, total pending entries) when the snapshot
-    carries merge-on-read delete files, else None — the read path
-    then adds the positional anti-join."""
+class _MorPending(NamedTuple):
+    """The snapshot's pending merge-on-read delete state, split by
+    kind (the name prefix is the kind tag, Iceberg v2's two delete
+    shapes):
+
+    - `pos`: (parquet paths, total entries) of the POSITIONAL delete
+      files (`d-*`, rows of (relpath, pos)) — subtracted with an
+      anti-join on the scan's (file, row_index);
+    - `eq`: [(name, keys_path, scope_path, n_keys)] of the EQUALITY
+      delete dirs (`e-*`) — a row dies when its key columns match a
+      key row AND its file is in the entry's SCOPE (the data files
+      live when the delete committed). The scope materializes
+      Iceberg's sequence-number semantics as a file list: rows of the
+      same key appended AFTER the delete are outside every scope and
+      survive."""
+
+    pos: tuple[list[str], int] | None
+    eq: list[tuple[str, str, str, int]]
+
+
+def _mor_info(log: SnapshotLog, version: int) -> _MorPending | None:
+    """The pending `_MorPending` when the snapshot carries
+    merge-on-read delete files, else None — the read path then skips
+    the subtraction entirely."""
     lst = log.delete_files(version)
     if not lst:
         return None
-    return (
-        [posixpath.join(log.deletes_dir, n) for n, _ in lst],
-        sum(n_rows for _, n_rows in lst),
+    pos = [(n, r) for n, r in lst if not n.startswith(EQ_DELETE_PREFIX)]
+    eq = [
+        (
+            n,
+            posixpath.join(log.deletes_dir, n, "keys"),
+            posixpath.join(log.deletes_dir, n, "scope"),
+            r,
+        )
+        for n, r in lst
+        if n.startswith(EQ_DELETE_PREFIX)
+    ]
+    return _MorPending(
+        pos=(
+            [posixpath.join(log.deletes_dir, n) for n, _ in pos],
+            sum(r for _, r in pos),
+        )
+        if pos
+        else None,
+        eq=eq,
     )
 
 
@@ -818,11 +854,72 @@ def _anti_join_deletes(
     return df.join(dels, on=[rel_col, pos_col], how="left_anti")
 
 
+def _apply_eq_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    rel_col: str,
+    eq: list[tuple[str, str, str, int]],
+) -> DataFrame:
+    """Subtract pending EQUALITY delete entries from a data frame that
+    carries a `rel_col` file-relpath column. Per entry, a row dies iff
+    its key columns match a key row AND its file is inside the entry's
+    scope — expressed as two marker LEFT joins (keys on the key
+    columns, scope on the relpath) and one NOT(both-matched) filter,
+    a single pass over the data with no split-union double scan. Keys
+    broadcast below MOR_BROADCAST_ROWS; the scope (a file list) always
+    broadcasts. NULL key values never match — SQL equality, so a row
+    with a NULL key survives every equality delete."""
+
+    def _uniq(base: str, taken: set[str]) -> str:
+        name = base
+        while name in taken:
+            name += "_"
+        return name
+
+    for _name, keys_path, scope_path, n_keys in eq:
+        taken = set(df.columns)
+        km = _uniq("__eq_k", taken)
+        sm = _uniq("__eq_s", taken)
+        keys = spark.read.parquet(keys_path)
+        key_cols = list(keys.columns)
+        keys = keys.withColumn(km, F.lit(True))
+        if n_keys <= MOR_BROADCAST_ROWS:
+            keys = F.broadcast(keys)
+        scope = F.broadcast(
+            spark.read.parquet(scope_path)
+            .select(F.col("relpath").alias(rel_col))
+            .withColumn(sm, F.lit(True))
+        )
+        df = (
+            df.join(keys, on=key_cols, how="left")
+            .join(scope, on=rel_col, how="left")
+            .filter(~(F.col(km).isNotNull() & F.col(sm).isNotNull()))
+            .drop(km, sm)
+        )
+    return df
+
+
+def _apply_mor(
+    spark: SparkSession,
+    df: DataFrame,
+    rel_col: str,
+    pos_col: str,
+    pending: _MorPending,
+) -> DataFrame:
+    """Apply BOTH pending delete kinds to a (relpath, pos)-tagged
+    frame: positional anti-join first, then the equality entries."""
+    if pending.pos is not None:
+        df = _anti_join_deletes(spark, df, rel_col, pos_col, *pending.pos)
+    if pending.eq:
+        df = _apply_eq_deletes(spark, df, rel_col, pending.eq)
+    return df
+
+
 def _mor_filter_scan(
     spark: SparkSession,
     table_root: str,
     df: DataFrame,
-    pending: tuple[list[str], int] | None,
+    pending: _MorPending | None,
 ) -> DataFrame:
     """Apply pending MOR delete entries to a DIRECT file-scan frame:
     tag rows with (relpath, position) off the scan's hidden _metadata
@@ -837,7 +934,7 @@ def _mor_filter_scan(
         _relpath_expr(spark, table_root, F.col("_metadata.file_path")).alias(rel),
         F.col("_metadata.row_index").alias(pos),
     )
-    df = _anti_join_deletes(spark, df, rel, pos, *pending)
+    df = _apply_mor(spark, df, rel, pos, pending)
     return df.drop(rel, pos)
 
 
@@ -846,7 +943,7 @@ def _read_relpaths(
     table_root: str,
     relpaths: list[str],
     schema,
-    mor: tuple[list[str], int] | None = None,
+    mor: _MorPending | None = None,
     with_positions: bool = False,
 ):
     """Read an explicit snapshot file list, layout-generation aware.
@@ -909,8 +1006,7 @@ def _read_relpaths(
         # path-inferred hive columns that other generations lack
         out = out.unionByName(d, allowMissingColumns=schema is None)
     if mor is not None:
-        paths, total = mor
-        out = _anti_join_deletes(spark, out, rel, pos, paths, total)
+        out = _apply_mor(spark, out, rel, pos, mor)
         if not with_positions:
             out = out.drop(rel, pos)
     if with_positions:
@@ -922,7 +1018,7 @@ REWRITE_OPS = frozenset({"compact", "delete", "merge"})
 # ops that change the table's ROW SET without a file-level signature
 # an incremental append-scan could see — crossing one invalidates
 # file-diff semantics even though no file was rewritten
-ROW_CHANGING_OPS = REWRITE_OPS | {"mor_delete"}
+ROW_CHANGING_OPS = REWRITE_OPS | {"mor_delete", "mor_delete_eq", "mor_upsert"}
 
 
 def read_incremental(
@@ -1028,11 +1124,7 @@ def read_changes(
     delta_names = sorted(names_from ^ names_to)
     changed_by_deletes: list[str] = []
     if delta_names:
-        affected = _mor_affected_relpaths(
-            spark,
-            log,
-            [posixpath.join(log.deletes_dir, n) for n in delta_names],
-        )
+        affected = _mor_affected_relpaths(spark, log, delta_names)
         changed_by_deletes = sorted(affected & files_from & files_to)
     mor_from = _mor_info(log, from_version)
     mor_to = _mor_info(log, to_v)
@@ -1040,15 +1132,10 @@ def read_changes(
     def _read(paths: list[str], mor) -> DataFrame | None:
         if not paths:
             return None
-        reader = spark.read.option("basePath", table_root)
-        if schema is not None:
-            reader = reader.schema(schema)
-        return _mor_filter_scan(
-            spark,
-            table_root,
-            reader.parquet(*[posixpath.join(table_root, p) for p in paths]),
-            mor,
-        )
+        # layout-generation-aware read (same path as read_table_at):
+        # `_hp_` spec files must NOT hive-infer their layout dirs, or
+        # the two sides of the exceptAll disagree on arity
+        return _read_relpaths(spark, table_root, paths, schema, mor=mor)
 
     df_removed = _read(removed + changed_by_deletes, mor_from)
     df_added = _read(added + changed_by_deletes, mor_to)
@@ -1259,7 +1346,27 @@ def append_partitioned(
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
     v = log.latest()
-    spec = partition_spec_of(log, v)
+    added = _land_spec_files(spark, log, table_root, df, v)
+    if not added:
+        raise ValueError("append_partitioned: the frame wrote no files")
+    return log.commit_append(added, op="append-partitioned", parent=v)
+
+
+def _land_spec_files(
+    spark: SparkSession,
+    log: SnapshotLog,
+    table_root: str,
+    df: DataFrame,
+    base_version: int | None,
+) -> list[tuple[str, int]]:
+    """Write `df`'s rows as fresh uuid-named data files under the
+    CURRENT partition spec's layout (the file-landing half of
+    `append_partitioned`, sans commit): with a spec, rows land under
+    `_hp_<col>=<value>` dirs derived from COPIES of the spec columns;
+    with no spec, a plain write. Returns the added (relpath, size)
+    list — the caller commits (or abandons them as orphans for
+    sweep_orphans on crash)."""
+    spec = partition_spec_of(log, base_version)
     fs, Path = log._fs, log._Path
     tmp = posixpath.join(
         table_root, f"_tmp_append-{uuid.uuid4().hex[:10]}"
@@ -1304,9 +1411,7 @@ def append_partitioned(
             added = _move_tmp_files(fs, Path, tmp, table_root, "", "append")
     finally:
         fs.delete(Path(tmp), True)
-    if not added:
-        raise ValueError("append_partitioned: the frame wrote no files")
-    return log.commit_append(added, op="append-partitioned", parent=v)
+    return added
 
 
 def _footer_stats(local_path: str, cols: list[str] | None) -> tuple[int, dict]:
@@ -1878,7 +1983,11 @@ def snapshot_compact(
     # effective rows, and consumed entries drop from the new snapshot
     pending = _mor_info(log, base_version)
     affected = (
-        _mor_affected_relpaths(spark, log, pending[0]) if pending else set()
+        _mor_affected_relpaths(
+            spark, log, [n for n, _ in log.delete_files(base_version)]
+        )
+        if pending
+        else set()
     )
 
     # spec migration (Iceberg rewrite-data-files with spec migration):
@@ -2337,36 +2446,120 @@ def _retire_delete_entries(
     into one fresh delete file. Returns the `extra` dict for the
     commit ({'delete_files': [...]} — possibly empty = all retired),
     or None when the base had no pending deletes (the commit's
-    auto-carry is then a no-op)."""
-    pend = log.delete_paths(base_version)
-    if not pend:
+    auto-carry is then a no-op). Positional survivors consolidate into
+    ONE fresh delete file; an equality entry survives with its scope
+    intersected against the kept set — carried by name when the
+    rewrite touched none of its scope, rewritten into a fresh `e-` dir
+    (same keys, shrunk scope) when it touched some, dropped when it
+    consumed all of it."""
+    entries = log.delete_files(base_version)
+    if not entries:
         return None
     kept_df = spark.createDataFrame(
         [(p,) for p in kept_relpaths], "relpath string"
     )
-    surviving = spark.read.parquet(*pend).join(
-        F.broadcast(kept_df), "relpath", "left_semi"
+    new_list: list[list] = []
+    pos_paths = [
+        posixpath.join(log.deletes_dir, n)
+        for n, _ in entries
+        if not n.startswith(EQ_DELETE_PREFIX)
+    ]
+    if pos_paths:
+        surviving = spark.read.parquet(*pos_paths).join(
+            F.broadcast(kept_df), "relpath", "left_semi"
+        )
+        name, n = _write_delete_file(spark, log, surviving)
+        if n:
+            new_list.append([name, n])
+    for name, n_keys in entries:
+        if not name.startswith(EQ_DELETE_PREFIX):
+            continue
+        old_scope = spark.read.parquet(
+            posixpath.join(log.deletes_dir, name, "scope")
+        )
+        new_scope = old_scope.join(
+            F.broadcast(kept_df), "relpath", "left_semi"
+        )
+        n_new = new_scope.count()
+        if n_new == 0:
+            continue  # every scoped file rewritten: entry fully applied
+        if n_new == old_scope.count():
+            new_list.append([name, n_keys])  # scope untouched: carry
+            continue
+        keys_df = spark.read.parquet(
+            posixpath.join(log.deletes_dir, name, "keys")
+        )
+        nm, nk = _write_eq_delete_dir(spark, log, keys_df, new_scope)
+        new_list.append([nm, nk])
+    return {"delete_files": new_list}
+
+
+def _write_eq_delete_dir(
+    spark: SparkSession,
+    log: SnapshotLog,
+    keys_df: DataFrame,
+    scope_df: DataFrame,
+) -> tuple[str, int]:
+    """Land an equality-delete entry as ONE immutable `e-<uuid>/` dir
+    (keys/ parquet = the key rows, scope/ parquet = the in-scope data
+    relpaths) under `_snapshots/deletes/` — tmp-write + rename, the
+    manifests' publication discipline. Returns (name, n_keys)."""
+    fs, Path = log._fs, log._Path
+    fs.mkdirs(Path(log.deletes_dir))
+    tmp = posixpath.join(log.deletes_dir, f"_tmp-{uuid.uuid4().hex[:10]}")
+    keys_df.dropDuplicates().repartition(1).write.mode("overwrite").parquet(
+        posixpath.join(tmp, "keys")
     )
-    name, n = _write_delete_file(spark, log, surviving)
-    return {"delete_files": [[name, n]] if n else []}
+    (
+        scope_df.select(F.col("relpath").cast("string"))
+        .dropDuplicates()
+        .repartition(1)
+        .sortWithinPartitions("relpath")
+        .write.mode("overwrite")
+        .parquet(posixpath.join(tmp, "scope"))
+    )
+    n = spark.read.parquet(posixpath.join(tmp, "keys")).count()
+    name = f"{EQ_DELETE_PREFIX}{uuid.uuid4().hex[:12]}"
+    if not fs.rename(Path(tmp), Path(log.deletes_dir, name)):
+        _rm(spark, tmp)
+        raise RuntimeError(
+            f"could not publish equality-delete dir under {log.deletes_dir}"
+        )
+    return name, n
 
 
 def _mor_affected_relpaths(
-    spark: SparkSession, log: SnapshotLog, delete_paths: list[str]
+    spark: SparkSession, log: SnapshotLog, names: list[str]
 ) -> set[str]:
-    """Distinct data-file relpaths named by a set of delete files —
+    """Distinct data-file relpaths named by a set of delete entries —
     the file-level granule rewrite paths plan with (which files have
-    pending entries). Bounded by the candidate file count of the
-    deletes that produced the entries, never by row count."""
-    if not delete_paths:
+    pending entries). Positional files name their relpaths directly;
+    an equality entry affects every file in its SCOPE (any of them may
+    hold a key match — the keys are values, not positions). Bounded by
+    the file count of the snapshots involved, never by row count."""
+    if not names:
         return set()
-    return {
-        r["relpath"]
-        for r in spark.read.parquet(*delete_paths)
-        .select("relpath")
-        .distinct()
-        .collect()
-    }
+    pos_paths = [
+        posixpath.join(log.deletes_dir, n)
+        for n in names
+        if not n.startswith(EQ_DELETE_PREFIX)
+    ]
+    scope_paths = [
+        posixpath.join(log.deletes_dir, n, "scope")
+        for n in names
+        if n.startswith(EQ_DELETE_PREFIX)
+    ]
+    out: set[str] = set()
+    for paths in (pos_paths, scope_paths):
+        if paths:
+            out |= {
+                r["relpath"]
+                for r in spark.read.parquet(*paths)
+                .select("relpath")
+                .distinct()
+                .collect()
+            }
+    return out
 
 
 def snapshot_delete(
@@ -2486,6 +2679,187 @@ def snapshot_delete(
         "deleted_rows": deleted_rows,
         "rewritten_files": rewritten,
         "scanned_files": len(cand),
+    }
+
+
+def snapshot_delete_by_key(
+    spark: SparkSession,
+    table_root: str,
+    keys: DataFrame,
+    *,
+    version: int | None = None,
+) -> dict:
+    """Merge-on-read EQUALITY delete (Iceberg v2 equality delete
+    files): delete every row whose values on `keys.columns` match a
+    key row — without reading a single data file. The commit writes
+    only the key rows plus a SCOPE (the base snapshot's data-file
+    list) under `_snapshots/deletes/e-<uuid>/` and byte-copies the
+    parent's manifest: zero data bytes scanned or rewritten,
+    O(|keys|) whatever the table holds. Readers subtract matches with
+    two broadcast marker joins (keys on the key columns, scope on the
+    file relpath); `snapshot_compact` physically applies and retires
+    the entry, exactly like positional entries.
+
+    The scope materializes Iceberg's sequence-number rule as a file
+    list: rows of the SAME key appended after this commit live in
+    files outside the scope, so they survive — a delete-then-reinsert
+    round trip behaves like SQL, not like a tombstone that eats the
+    future. Against the positional variant (`snapshot_delete
+    mode="mor"`), this trades a pure-metadata write (no scan even to
+    FIND the rows — the streaming-upsert / GDPR-by-key shape) for a
+    slightly heavier read (value join vs position anti-join).
+
+    Generalizes the reference's delete-shaped admin actions the same
+    way snapshot_delete does (QHBaseCompact.java flow 3's
+    rewrite-commit-poll contract), on the key-predicate axis."""
+    key_cols = list(keys.columns)
+    if not key_cols:
+        raise ValueError("keys frame must carry at least one key column")
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    base_version = log.latest() if version is None else version
+    schema, _pcols = log.schema(base_version)
+    relpaths = [p for p, _ in log.files(base_version)]
+    if schema is not None:
+        have = {f.name for f in schema.fields}
+    elif relpaths:
+        # no declared schema: validate against one file's parquet
+        # footer (metadata only, still zero data scan) plus the
+        # path-only hive partition columns of the whole manifest
+        have = set(
+            spark.read.parquet(
+                posixpath.join(table_root, relpaths[0])
+            ).columns
+        )
+        for p in relpaths:
+            for comp in posixpath.dirname(p).split("/"):
+                if "=" in comp and not comp.startswith(PARTITION_DIR_PREFIX):
+                    have.add(comp.split("=", 1)[0])
+    else:
+        have = None
+    if have is not None:
+        missing = [c for c in key_cols if c not in have]
+        if missing:
+            raise ValueError(
+                f"key columns {missing} not in the table schema "
+                f"(have: {sorted(have)})"
+            )
+    if not relpaths:
+        return {
+            "version": base_version,
+            "deleted_keys": 0,
+            "rewritten_files": 0,
+            "scanned_files": 0,
+            "delete_files": len(log.delete_files(base_version)),
+        }
+    scope_df = spark.createDataFrame(
+        [(p,) for p in relpaths], "relpath string"
+    )
+    name, n_keys = _write_eq_delete_dir(spark, log, keys, scope_df)
+    if n_keys == 0:
+        _rm(spark, posixpath.join(log.deletes_dir, name))
+        return {
+            "version": base_version,
+            "deleted_keys": 0,
+            "rewritten_files": 0,
+            "scanned_files": 0,
+            "delete_files": len(log.delete_files(base_version)),
+        }
+    new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
+    new_list.append([name, n_keys])
+    manifest = log.copy_manifest(base_version)
+    if manifest is None:  # legacy inline snapshot: re-encode once
+        res = log._resolve(base_version)
+        manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
+    v = log.commit(
+        None,
+        op="mor_delete_eq",
+        parent=base_version,
+        schema=log.read(base_version).get("schema"),
+        manifest=manifest,
+        extra={"delete_files": new_list},
+    )
+    return {
+        "version": v,
+        "deleted_keys": n_keys,
+        "rewritten_files": 0,
+        "scanned_files": 0,
+        "delete_files": len(new_list),
+    }
+
+
+def snapshot_upsert_mor(
+    spark: SparkSession,
+    table_root: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    *,
+    version: int | None = None,
+) -> dict:
+    """Merge-on-read UPSERT — `snapshot_merge`'s write-cheap sibling
+    and the Flink→Iceberg streaming-upsert shape: ONE atomic commit
+    that (a) lands the source rows as fresh data files under the
+    current partition spec and (b) records an EQUALITY delete of the
+    source keys SCOPED to the parent's file list. Old versions of
+    matched keys die logically (the scope excludes the new files, so
+    the just-written rows survive); unmatched keys are plain inserts
+    whose delete keys match nothing. Zero existing files are read or
+    rewritten — write cost is O(|source|) however big the table is,
+    and `snapshot_compact` amortizes the physical rewrite later.
+
+    Readers between the upsert and the compaction pay the equality
+    join; that is the explicit MOR trade. Source keys must be unique
+    (the same contract as snapshot_merge — an upsert batch with
+    duplicate keys has no deterministic winner). A crash between the
+    file landing and the commit leaves unreferenced files for
+    sweep_orphans; readers never observe a partial upsert."""
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    missing = [c for c in key_cols if c not in source_df.columns]
+    if missing:
+        raise ValueError(f"source_df lacks key columns: {missing}")
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    base_version = log.latest() if version is None else version
+    n_source = source_df.count()
+    if n_source == 0:
+        return {
+            "version": base_version,
+            "upserted_keys": 0,
+            "new_files": 0,
+            "rewritten_files": 0,
+            "scanned_files": 0,
+        }
+    keys_df = source_df.select(*key_cols)
+    if keys_df.distinct().count() != n_source:
+        raise ValueError("source keys must be unique for UPSERT")
+    base_files = log.files(base_version)
+    added = _land_spec_files(spark, log, table_root, source_df, base_version)
+    if not added:
+        raise ValueError("snapshot_upsert_mor: the frame wrote no files")
+    new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
+    if base_files:
+        scope_df = spark.createDataFrame(
+            [(p,) for p, _ in base_files], "relpath string"
+        )
+        name, n_keys = _write_eq_delete_dir(spark, log, keys_df, scope_df)
+        new_list.append([name, n_keys])
+    manifest = _carried_manifest(spark, log, base_version, base_files, added)
+    v = log.commit(
+        None,
+        op="mor_upsert",
+        parent=base_version,
+        schema=log.read(base_version).get("schema"),
+        manifest=manifest,
+        extra={"delete_files": new_list},
+    )
+    return {
+        "version": v,
+        "upserted_keys": n_source,
+        "new_files": len(added),
+        "rewritten_files": 0,
+        "scanned_files": 0,
     }
 
 

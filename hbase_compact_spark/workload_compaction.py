@@ -494,6 +494,255 @@ def snapshot_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# snapshot_eqdelete_scan — MERGE-ON-READ EQUALITY DELETE (Iceberg v2
+# equality delete files): the delete commit writes only the KEY ROWS
+# plus a file-list scope — zero data bytes scanned OR rewritten — and
+# readers subtract key matches inside the scope; same-key rows
+# appended later fall outside the scope and survive.
+EQDEL_LO, EQDEL_HI = 700, 779   # 80 deleted keys
+EQDEL_RE_MAX = 709              # keys 700..709 are RE-ADDED after
+EQDEL_RE_BUMP = 500_000.0       # ... with status 'R' and bumped price
+EQDEL_INS_MAX = 9               # keys 0..9 template brand-new rows
+EQDEL_INS_OFFSET = 30_000_000   # appended keys = template + offset
+
+
+def eqdelete_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, EQUALITY-delete keys [EQDEL_LO, EQDEL_HI] by key frame,
+    then append rows that RE-USE keys EQDEL_LO..EQDEL_RE_MAX plus
+    brand-new offset keys. The builder asserts the equality-delete
+    contract on every materialization: the commit scans zero files
+    and rewrites zero files (the data manifest is byte-identical to
+    the parent's), and the re-added keys survive the pending delete —
+    the scope (files live at delete time) is what keeps a
+    delete-then-reinsert round trip SQL-shaped instead of
+    tombstone-shaped. At 100 TB this is the streaming-upsert / GDPR
+    erasure shape: the writer never touches the table to delete, and
+    compaction amortizes the physical rewrite."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        append_partitioned,
+        snapshot_delete_by_key,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and lg.read(v).get("op") == "append-partitioned"
+            and bool(lg.read(v).get("delete_files"))
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "eqdelete_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    pre = log.files(log.latest())
+    keys = spark.range(EQDEL_LO, EQDEL_HI + 1).select(
+        F.col("id").cast("long").alias("o_orderkey")
+    )
+    result = snapshot_delete_by_key(spark, root, keys)
+    if result["deleted_keys"] != EQDEL_HI - EQDEL_LO + 1:
+        raise RuntimeError(f"eq delete recorded wrong key count: {result}")
+    if result["rewritten_files"] != 0 or result["scanned_files"] != 0:
+        raise RuntimeError(
+            f"eq delete must neither scan nor rewrite data: {result}"
+        )
+    if log.files(result["version"]) != pre:
+        raise RuntimeError("eq delete changed the data-file manifest")
+    orders = _orders_slim(spark, sf_dir)
+    readded = orders.filter(
+        F.col("o_orderkey").between(EQDEL_LO, EQDEL_RE_MAX)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(EQDEL_RE_BUMP)).alias("o_totalprice"),
+    )
+    brand_new = orders.filter(F.col("o_orderkey") <= EQDEL_INS_MAX).select(
+        (F.col("o_orderkey") + F.lit(EQDEL_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    append_partitioned(spark, root, readded.unionByName(brand_new))
+    if not log.read(log.latest()).get("delete_files"):
+        raise RuntimeError("append dropped the pending equality delete")
+    return root
+
+
+@query(
+    "snapshot_eqdelete_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {EQDEL_LO} AND {EQDEL_HI}
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           o_totalprice + {EQDEL_RE_BUMP} AS o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN {EQDEL_LO} AND {EQDEL_RE_MAX}
+    UNION ALL
+    SELECT o_orderkey + {EQDEL_INS_OFFSET} AS o_orderkey, o_custkey,
+           'R' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {EQDEL_INS_MAX}
+    """,
+)
+def snapshot_eqdelete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER a merge-on-read EQUALITY delete plus a
+    subsequent append that re-uses deleted keys
+    (compaction/snapshots.py:snapshot_delete_by_key): the delete
+    commit wrote only an `e-` keys+scope entry — zero data scan, zero
+    rewrite, both asserted in the builder — the read path subtracts
+    key matches scoped to the files that were live at delete time
+    (two broadcast marker joins + one filter), and the re-added rows
+    survive because their files postdate the scope. Oracle =
+    anti-key-range UNION the re-added and brand-new rows.
+    Compact-applies-and-retires, COW-after-eq no-resurrection, CDC
+    across the eq delete, and scope-shrink retirement are pinned in
+    tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = eqdelete_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
+# snapshot_mor_upsert_scan — MERGE-ON-READ UPSERT (the Flink→Iceberg
+# streaming-upsert shape): ONE commit lands the source rows as new
+# files AND equality-deletes their keys scoped to the old files —
+# zero existing bytes read or rewritten.
+UPS_LO, UPS_HI = 800, 859      # 60 updated keys
+UPS_BUMP = 200_000.0           # updated o_totalprice delta
+UPS_INS_MAX = 14               # keys 0..14 template the inserts
+UPS_INS_OFFSET = 40_000_000    # inserted keys = template + offset
+
+
+def mor_upsert_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsert batch derived from `orders` itself:
+    UPDATE rows for keys in [UPS_LO, UPS_HI] (status 'U', price
+    bumped) plus INSERT rows templated from keys 0..UPS_INS_MAX and
+    shifted past the key domain."""
+    orders = _orders_slim(spark, sf_dir)
+    updates = orders.filter(
+        F.col("o_orderkey").between(UPS_LO, UPS_HI)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(UPS_BUMP)).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") <= UPS_INS_MAX).select(
+        (F.col("o_orderkey") + F.lit(UPS_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return updates.unionByName(inserts)
+
+
+def mor_upsert_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, then `snapshot_upsert_mor` the deterministic batch keyed on
+    o_orderkey. The builder asserts the MOR-upsert contract on every
+    materialization: ONE commit, zero files scanned or rewritten,
+    every parent data file carried by reference, the source landed in
+    fresh files, and a pending equality entry scoped to the PARENT
+    files only (the new rows must survive their own delete keys). At
+    100 TB this is how a CDC stream applies a batch of updates in
+    O(|batch|) write cost, deferring the rewrite to compaction."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_upsert_mor,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and lg.read(v).get("op") == "mor_upsert"
+            and bool(lg.read(v).get("delete_files"))
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "mor_upsert_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    pre = log.files(log.latest())
+    result = snapshot_upsert_mor(
+        spark, root, mor_upsert_source(spark, sf_dir), ["o_orderkey"]
+    )
+    if result["upserted_keys"] == 0 or result["new_files"] == 0:
+        raise RuntimeError(f"vacuous MOR upsert fixture: {result}")
+    if result["rewritten_files"] != 0 or result["scanned_files"] != 0:
+        raise RuntimeError(
+            f"MOR upsert must neither scan nor rewrite data: {result}"
+        )
+    post = log.files(result["version"])
+    if not set(pre) <= set(post) or len(post) <= len(pre):
+        raise RuntimeError("MOR upsert must carry parents + add files")
+    if not log.read(result["version"]).get("delete_files"):
+        raise RuntimeError("MOR upsert committed no equality entry")
+    return root
+
+
+@query(
+    "snapshot_mor_upsert_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT BETWEEN {UPS_LO} AND {UPS_HI}
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+           o_totalprice + {UPS_BUMP} AS o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN {UPS_LO} AND {UPS_HI}
+    UNION ALL
+    SELECT o_orderkey + {UPS_INS_OFFSET} AS o_orderkey, o_custkey,
+           'U' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {UPS_INS_MAX}
+    """,
+)
+def snapshot_mor_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER a merge-on-read UPSERT
+    (compaction/snapshots.py:snapshot_upsert_mor): one commit landed
+    the batch as fresh files and equality-deleted its keys scoped to
+    the parent's files — zero existing bytes read or rewritten, both
+    asserted in the builder. Matched keys serve the NEW row (the old
+    version dies in the scoped join, the new file postdates the
+    scope); unmatched keys are plain inserts. Oracle = the 3-branch
+    merge dual. Compact-applies-and-retires and the
+    upsert-then-upsert-same-key chain are pinned in
+    tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = mor_upsert_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_merge_scan — copy-on-write MERGE (upsert) surfaced as a
 # driver-checkable query: updates to a narrow key range + inserts of
 # brand-new keys, then read the committed end state.

@@ -999,3 +999,308 @@ def test_compact_migrates_legacy_files_into_current_spec(spark, tmp_path):
         spark, root, target_bytes=1 << 30, migrate_spec=True
     )
     assert again["migrated"] == 0
+
+
+def test_eqdelete_zero_scan_scope_and_null_keys(spark, tmp_path):
+    """An equality delete commit must scan and rewrite ZERO data files
+    (the data manifest is byte-identical to the parent's), the read
+    must subtract exactly the key matches, time travel must serve the
+    pre-delete version, same-key rows appended AFTER the delete must
+    survive (the scope pins Iceberg's sequence-number rule), NULL key
+    values must never match (SQL equality), and key columns absent
+    from the schema must be rejected."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        read_table_at,
+        snapshot_delete_by_key,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, i * 2) for i in range(20)] + [(None, 999)]
+    spark.createDataFrame(rows, "id long, v long").repartition(
+        2
+    ).write.parquet(root)
+    log = SnapshotLog(spark, root)
+    log.bootstrap()
+    v1 = log.latest()
+    pre_files = log.files(v1)
+    keys = spark.createDataFrame([(3,), (15,), (None,)], "id long")
+    res = snapshot_delete_by_key(spark, root, keys)
+    assert res["deleted_keys"] == 3
+    assert res["scanned_files"] == 0 and res["rewritten_files"] == 0
+    assert log.files(res["version"]) == pre_files
+    got = sorted(
+        (r["id"] if r["id"] is not None else -1)
+        for r in read_table_at(spark, root).collect()
+    )
+    # NULL-keyed row survives; ids 3 and 15 are gone
+    assert got == [-1] + [i for i in range(20) if i not in (3, 15)]
+    assert read_table_at(spark, root, v1).count() == 21  # time travel
+    # re-insert key 3 AFTER the delete: outside every scope -> lives
+    append_partitioned(
+        spark, root, spark.createDataFrame([(3, 333)], "id long, v long")
+    )
+    vals = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals[3] == 333 and 15 not in vals
+    # empty key frame is a committed no-op
+    empty = snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([], "id long")
+    )
+    assert empty["deleted_keys"] == 0
+    assert empty["version"] == log.latest()
+    # unknown key column rejected before anything lands
+    with pytest.raises(ValueError, match="not in the table schema"):
+        snapshot_delete_by_key(
+            spark, root, spark.createDataFrame([(1,)], "nope long")
+        )
+
+
+def test_eqdelete_compact_applies_and_retires(spark, tmp_path):
+    """snapshot_compact physically applies pending equality entries
+    (every scoped file qualifies for rewrite), the new snapshot
+    carries no delete files, rows stay gone, and the change feed
+    across the compact is EMPTY — applying old entries physically is
+    not a logical change."""
+    from hbase_compact_spark.compaction.snapshots import (
+        read_changes,
+        read_table_at,
+        snapshot_compact,
+        snapshot_delete_by_key,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    keys = spark.createDataFrame([(i,) for i in range(10, 15)], "id long")
+    res = snapshot_delete_by_key(spark, root, keys)
+    v2 = res["version"]
+    out = snapshot_compact(spark, root, target_bytes=1 << 30)
+    v3 = out["version"]
+    assert out["rewritten"] >= 1
+    assert log.delete_files(v3) == []  # retired
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [i for i in range(40) if not 10 <= i <= 14]
+    assert read_changes(spark, root, v2, v3).count() == 0
+
+
+def test_eqdelete_cow_retirement_carries_and_shrinks_scope(spark, tmp_path):
+    """A COW rewrite on a table with a pending equality entry must
+    apply it to every file it rewrites (no resurrection) and retire
+    it PRECISELY: a rewrite touching none of the entry's scope carries
+    the entry by NAME (no new file), one touching part of the scope
+    rewrites it into a fresh `e-` entry whose scope shrank to the
+    carried files, and one consuming the whole scope drops it."""
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        read_table_at,
+        snapshot_delete,
+        snapshot_delete_by_key,
+        append_partitioned,
+    )
+
+    root = _mor_table(spark, tmp_path)  # ids 0..39 in 4 range files
+    log = SnapshotLog(spark, root)
+    keys = spark.createDataFrame([(3,), (15,)], "id long")
+    snapshot_delete_by_key(spark, root, keys)
+    eq_name = log.delete_files(log.latest())[0][0]
+    assert eq_name.startswith("e-")
+    # append a file OUTSIDE the scope, then COW-delete only ITS rows:
+    # the eq entry's scope is untouched -> carried by the same name
+    append_partitioned(
+        spark, root, spark.range(100, 110).selectExpr("id", "id * 2 AS v")
+    )
+    annotate_stats(spark, root, cols=["id"])
+    res = snapshot_delete(spark, root, {"id": (100, 101)})
+    assert res["rewritten_files"] >= 1
+    assert [n for n, _ in log.delete_files(res["version"])] == [eq_name]
+    # COW-delete ids 0..1: rewrites the first scope file (ids 0..9,
+    # consuming key 3's physical rows) -> fresh e- name, scope shrunk,
+    # key 15 still subtracts, nothing resurrects
+    res2 = snapshot_delete(spark, root, {"id": (0, 1)})
+    after = log.delete_files(res2["version"])
+    assert len(after) == 1
+    new_name, n_keys = after[0]
+    assert new_name.startswith("e-") and new_name != eq_name
+    assert n_keys == 2  # keys travel whole; the SCOPE is what shrank
+    import os
+
+    old_scope = spark.read.parquet(
+        os.path.join(root, "_snapshots", "deletes", eq_name, "scope")
+    ).count()
+    new_scope = spark.read.parquet(
+        os.path.join(root, "_snapshots", "deletes", new_name, "scope")
+    ).count()
+    assert new_scope < old_scope
+    got = sorted(r["id"] for r in read_table_at(spark, root).collect())
+    assert got == [
+        i for i in range(2, 40) if i not in (3, 15)
+    ] + [i for i in range(102, 110)]
+
+
+def test_eqdelete_cdc_incremental_and_expiry(spark, tmp_path):
+    """read_changes across an equality delete emits exactly the
+    in-scope key-matching rows as 'delete'; read_incremental REFUSES
+    to cross the commit; expire_snapshots reclaims `e-` dirs once no
+    kept version references them."""
+    import os
+
+    from hbase_compact_spark.compaction.snapshots import (
+        expire_snapshots,
+        read_changes,
+        read_incremental,
+        snapshot_compact,
+        snapshot_delete_by_key,
+    )
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    keys = spark.createDataFrame([(3,), (4,), (5,), (77,)], "id long")
+    res = snapshot_delete_by_key(spark, root, keys)
+    v2 = res["version"]
+    ch = read_changes(spark, root, v1, v2)
+    assert sorted((r["id"], r["_change_type"]) for r in ch.collect()) == [
+        (3, "delete"), (4, "delete"), (5, "delete"),
+    ]  # key 77 matches no row: no phantom change
+    with pytest.raises(ValueError, match="mor_delete_eq"):
+        read_incremental(spark, root, v1, v2)
+    snapshot_compact(spark, root, target_bytes=1 << 30)
+    deletes_dir = os.path.join(root, "_snapshots", "deletes")
+    assert os.listdir(deletes_dir)  # still referenced by old versions
+    expire_snapshots(spark, root, keep_last=1)
+    assert os.listdir(deletes_dir) == []  # e- dirs reclaimed
+
+
+def test_eqdelete_mixed_with_positional(spark, tmp_path):
+    """Positional and equality entries pending SIMULTANEOUSLY: the
+    read subtracts both kinds in one pass, a repeated read under the
+    forced shuffled branch is bit-identical, and compaction retires
+    both."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    S.snapshot_delete(spark, root, {"id": (20, 24)}, mode="mor")
+    keys = spark.createDataFrame([(3,), (22,), (35,)], "id long")
+    S.snapshot_delete_by_key(spark, root, keys)
+    kinds = sorted(n[0] for n, _ in log.delete_files(log.latest()))
+    assert kinds == ["d", "e"]
+    expect = [
+        i for i in range(40) if not 20 <= i <= 24 and i not in (3, 35)
+    ]
+    got = sorted(r["id"] for r in S.read_table_at(spark, root).collect())
+    assert got == expect
+    out = S.snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert log.delete_files(out["version"]) == []
+    got2 = sorted(r["id"] for r in S.read_table_at(spark, root).collect())
+    assert got2 == expect
+
+
+def test_eqdelete_shuffled_branch_matches_broadcast(spark, tmp_path, monkeypatch):
+    """Force the non-broadcast key-join branch (threshold 0) and pin
+    bit-identical results — the 100 TB degrade path for a huge key
+    set must be a pure strategy change."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)
+    keys = spark.createDataFrame([(i,) for i in range(5, 25)], "id long")
+    S.snapshot_delete_by_key(spark, root, keys)
+    broadcast_rows = sorted(
+        map(tuple, S.read_table_at(spark, root).collect())
+    )
+    monkeypatch.setattr(S, "MOR_BROADCAST_ROWS", 0)
+    shuffled_rows = sorted(
+        map(tuple, S.read_table_at(spark, root).collect())
+    )
+    assert broadcast_rows == shuffled_rows
+    assert [t[0] for t in broadcast_rows] == [
+        i for i in range(40) if not 5 <= i <= 24
+    ]
+
+
+def test_mor_upsert_one_commit_zero_rewrite(spark, tmp_path):
+    """snapshot_upsert_mor lands the batch + the scoped equality
+    delete in ONE commit: parents carried by reference, new files
+    added, matched keys serve the NEW row, the new rows survive their
+    own delete keys (scope excludes them), inserts just appear, and a
+    second upsert of the SAME key wins over the first (each scope
+    covers every earlier file). Compaction settles the chain."""
+    from hbase_compact_spark.compaction.snapshots import (
+        read_table_at,
+        snapshot_compact,
+        snapshot_upsert_mor,
+    )
+
+    root = _mor_table(spark, tmp_path)  # ids 0..39, v = id*2
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    pre = set(log.files(v1))
+    src = spark.createDataFrame(
+        [(5, 500), (15, 1500), (100, 1000)], "id long, v long"
+    )
+    res = snapshot_upsert_mor(spark, root, src, ["id"])
+    assert res["upserted_keys"] == 3
+    assert res["rewritten_files"] == 0 and res["scanned_files"] == 0
+    assert log.read(res["version"])["op"] == "mor_upsert"
+    post = set(log.files(res["version"]))
+    assert pre <= post and len(post) > len(pre)
+    vals = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals[5] == 500 and vals[15] == 1500 and vals[100] == 1000
+    assert len(vals) == 41  # 40 base + 1 insert, no duplicates
+    assert read_table_at(spark, root, v1).count() == 40  # time travel
+    # upsert the same key AGAIN: latest wins, still exactly one row
+    res2 = snapshot_upsert_mor(
+        spark, root, spark.createDataFrame([(5, 555)], "id long, v long"),
+        ["id"],
+    )
+    vals2 = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals2[5] == 555 and len(vals2) == 41
+    # duplicate source keys rejected
+    with pytest.raises(ValueError, match="unique"):
+        snapshot_upsert_mor(
+            spark, root,
+            spark.createDataFrame([(1, 1), (1, 2)], "id long, v long"),
+            ["id"],
+        )
+    # compaction settles everything: entries retired, rows identical
+    out = snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert log.delete_files(out["version"]) == []
+    vals3 = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert vals3 == vals2
+
+
+def test_mor_upsert_cdc_and_spec_layout(spark, tmp_path):
+    """read_changes across a MOR upsert emits the update's pre-image
+    as 'delete' and post-image + inserts as 'insert'; under an evolved
+    partition spec the upsert's new files land in the CURRENT `_hp_`
+    layout."""
+    from hbase_compact_spark.compaction.snapshots import (
+        PARTITION_DIR_PREFIX,
+        append_partitioned,
+        evolve_partitioning,
+        read_changes,
+        read_table_at,
+        snapshot_upsert_mor,
+    )
+
+    root = str(tmp_path / "t")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 2 AS LONG) AS grp", "id * 2 AS v"
+    ).write.parquet(root)
+    evolve_partitioning(spark, root, ["grp"])
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    src = spark.createDataFrame(
+        [(3, 1, 333), (50, 0, 5000)], "id long, grp long, v long"
+    )
+    res = snapshot_upsert_mor(spark, root, src, ["id"])
+    new_files = set(log.files(res["version"])) - set(log.files(v1))
+    assert new_files and all(
+        f"{PARTITION_DIR_PREFIX}grp=" in p for p, _ in new_files
+    )
+    ch = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in read_changes(spark, root, v1, res["version"]).collect()
+    )
+    assert ch == [(3, 6, "delete"), (3, 333, "insert"), (50, 5000, "insert")]
+    got = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
+    assert got[3] == 333 and got[50] == 5000 and len(got) == 11
