@@ -2752,8 +2752,18 @@ def snapshot_delete_by_key(
             "scanned_files": 0,
             "delete_files": len(log.delete_files(base_version)),
         }
+    scope_rels = _eq_scope(spark, log, base_version, key_cols, keys, relpaths)
+    if not scope_rels:
+        # stats/blooms PROVE no live file can hold any key: no-op
+        return {
+            "version": base_version,
+            "deleted_keys": 0,
+            "rewritten_files": 0,
+            "scanned_files": 0,
+            "delete_files": len(log.delete_files(base_version)),
+        }
     scope_df = spark.createDataFrame(
-        [(p,) for p in relpaths], "relpath string"
+        [(p,) for p in scope_rels], "relpath string"
     )
     name, n_keys = _write_eq_delete_dir(spark, log, keys, scope_df)
     if n_keys == 0:
@@ -2786,6 +2796,41 @@ def snapshot_delete_by_key(
         "scanned_files": 0,
         "delete_files": len(new_list),
     }
+
+
+def _eq_scope(
+    spark: SparkSession,
+    log: SnapshotLog,
+    base_version: int,
+    key_cols: list[str],
+    keys_df: DataFrame,
+    relpaths: list[str],
+) -> list[str]:
+    """Scope of a new equality-delete entry: the base snapshot's files
+    that MAY hold a key match, shrunk via the manifest's per-file
+    stats/blooms when the key set is small enough to probe — the same
+    metadata-only discipline as snapshot_merge's candidate detection,
+    still zero data bytes read. Why it matters at 100 TB: the scope is
+    compaction's blast radius (every scoped file must rewrite to
+    retire the entry), so a keyed GDPR delete on a stats-annotated
+    sort column scopes O(matching files), not O(table). Falls back to
+    the full file list whenever the probe cannot PROVE exclusion
+    (no metadata, key set past MERGE_KEY_PROBE_CAP)."""
+    stat_cols, bloom_cols = _parent_meta_cols(log, base_version)
+    if not (stat_cols or bloom_cols):
+        return relpaths
+    klist = keys_df.dropDuplicates().limit(MERGE_KEY_PROBE_CAP + 1).collect()
+    if len(klist) > MERGE_KEY_PROBE_CAP:
+        return relpaths
+    # a key with a NULL component matches no row (SQL equality), so it
+    # contributes no files — and must not reach the stats comparators
+    probe_keys = [
+        tuple(r) for r in klist if all(v is not None for v in r)
+    ]
+    if not probe_keys:
+        return []
+    may = _probe_candidates(log, base_version, key_cols, probe_keys)
+    return [p for p in relpaths if p in may]
 
 
 def snapshot_upsert_mor(
@@ -2839,9 +2884,13 @@ def snapshot_upsert_mor(
     if not added:
         raise ValueError("snapshot_upsert_mor: the frame wrote no files")
     new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
-    if base_files:
+    scope_rels = _eq_scope(
+        spark, log, base_version, key_cols, keys_df,
+        [p for p, _ in base_files],
+    ) if base_files else []
+    if scope_rels:
         scope_df = spark.createDataFrame(
-            [(p,) for p, _ in base_files], "relpath string"
+            [(p,) for p in scope_rels], "relpath string"
         )
         name, n_keys = _write_eq_delete_dir(spark, log, keys_df, scope_df)
         new_list.append([name, n_keys])
@@ -3162,7 +3211,25 @@ def sweep_orphans(
             continue  # possibly an in-flight commit
         if fs.delete(p, False):
             deleted += 1
-    return {"deleted_files": deleted}
+    # MOR delete entries (d- files / e- dirs) and their _tmp- staging
+    # referenced by NO version at all — the leftovers of a delete or
+    # upsert commit that crashed after landing its entry; the same
+    # grace period protects in-flight commits
+    orphan_entries = 0
+    ddir = Path(log.deletes_dir)
+    if fs.exists(ddir):
+        referenced_entries = {
+            n for v in log.versions() for n, _ in log.delete_files(v)
+        }
+        for st in fs.listStatus(ddir):
+            name = st.getPath().getName()
+            if name in referenced_entries:
+                continue
+            if (now_ms - st.getModificationTime()) / 1000.0 < grace_seconds:
+                continue
+            if fs.delete(st.getPath(), True):
+                orphan_entries += 1
+    return {"deleted_files": deleted, "deleted_delete_entries": orphan_entries}
 
 
 def expire_snapshots(

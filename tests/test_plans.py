@@ -424,3 +424,27 @@ def test_mor_delete_scan_read_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "row_index" in p  # positional key comes from _metadata
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_eqdelete_scan_read_is_broadcast_marker_joins(spark):
+    """The equality-delete read's 100 TB contract: keys and scope
+    each join as a BROADCAST left join against the single data scan
+    (no shuffle of the 100 TB side, no split-union double scan), and
+    nothing degenerates to a sort-merge or cartesian."""
+    df = _Q["snapshot_eqdelete_scan"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2  # keys + scope markers
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mor_upsert_scan_read_shape(spark):
+    """The MOR-upsert read is the same scoped equality join — one
+    data scan, broadcast key/scope markers, no shuffle of the data
+    side — over parents + the freshly landed files."""
+    df = _Q["snapshot_mor_upsert_scan"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -1304,3 +1304,85 @@ def test_mor_upsert_cdc_and_spec_layout(spark, tmp_path):
     assert ch == [(3, 6, "delete"), (3, 333, "insert"), (50, 5000, "insert")]
     got = {r["id"]: r["v"] for r in read_table_at(spark, root).collect()}
     assert got[3] == 333 and got[50] == 5000 and len(got) == 11
+
+
+def test_eqdelete_scope_probed_from_stats(spark, tmp_path, monkeypatch):
+    """The equality entry's scope — compaction's blast radius — must
+    shrink to the files the manifest stats cannot rule out (the
+    metadata-only probe, zero data scan): a one-key delete on a
+    range-partitioned stats-annotated column scopes ONE file of four,
+    keys that provably exist nowhere commit NOTHING, and forcing the
+    probe off (cap 0) yields the full-scope entry with identical read
+    results."""
+    import os
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)  # 4 range files, stats on id
+    log = SnapshotLog(spark, root)
+    res = S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(13,)], "id long")
+    )
+    name = log.delete_files(res["version"])[0][0]
+    scope = spark.read.parquet(
+        os.path.join(root, "_snapshots", "deletes", name, "scope")
+    ).count()
+    assert scope == 1  # three of four files ruled out by stats
+    expect = [i for i in range(40) if i != 13]
+    assert sorted(
+        r["id"] for r in S.read_table_at(spark, root).collect()
+    ) == expect
+    # provably-absent keys: no commit at all
+    ghost = S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(500,)], "id long")
+    )
+    assert ghost["deleted_keys"] == 0
+    assert ghost["version"] == res["version"]
+    # probe forced off -> full-scope entry, same read results
+    monkeypatch.setattr(S, "MERGE_KEY_PROBE_CAP", 0)
+    res2 = S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(14,)], "id long")
+    )
+    name2 = [
+        n for n, _ in log.delete_files(res2["version"]) if n != name
+    ][0]
+    scope2 = spark.read.parquet(
+        os.path.join(root, "_snapshots", "deletes", name2, "scope")
+    ).count()
+    assert scope2 == 4  # unprobed: every base file in scope
+    assert sorted(
+        r["id"] for r in S.read_table_at(spark, root).collect()
+    ) == [i for i in range(40) if i not in (13, 14)]
+
+
+def test_sweep_orphans_reclaims_uncommitted_delete_entries(spark, tmp_path):
+    """A delete/upsert commit that crashed after landing its entry
+    leaves an unreferenced `e-`/`d-` under `_snapshots/deletes/`;
+    sweep_orphans reclaims it past the grace period — and never
+    touches entries a version references."""
+    import os
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)
+    log = SnapshotLog(spark, root)
+    # committed entry: must survive the sweep
+    S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(7,)], "id long")
+    )
+    live = log.delete_files(log.latest())[0][0]
+    # orphan entry: landed but never committed (simulated crash)
+    scope = spark.createDataFrame([("x",)], "relpath string")
+    keys = spark.createDataFrame([(1,)], "id long")
+    orphan, _ = S._write_eq_delete_dir(spark, log, keys, scope)
+    res = S.sweep_orphans(spark, root, grace_seconds=0.0)
+    assert res["deleted_delete_entries"] == 1
+    left = set(os.listdir(os.path.join(root, "_snapshots", "deletes")))
+    assert live in left and orphan not in left
+    # grace period protects an in-flight commit's fresh entry
+    orphan2, _ = S._write_eq_delete_dir(spark, log, keys, scope)
+    res2 = S.sweep_orphans(spark, root, grace_seconds=3600.0)
+    assert res2["deleted_delete_entries"] == 0
+    assert orphan2 in set(
+        os.listdir(os.path.join(root, "_snapshots", "deletes"))
+    )

@@ -101,7 +101,13 @@ def main() -> None:
         os.environ["HCS_SEMANTIC_SPLIT_CAP"] = "40"
         os.environ["HCS_MOR_BROADCAST_ROWS"] = "0"
         sf_name = os.path.basename(args.sf_dir.rstrip("/"))
-        for tag in ("clusterlabels", "merge_scan", "mor_delete_scan"):
+        for tag in (
+            "clusterlabels",
+            "merge_scan",
+            "mor_delete_scan",
+            "eqdelete_scan",
+            "mor_upsert_scan",
+        ):
             for d in glob.glob(
                 os.path.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
             ):
@@ -206,7 +212,8 @@ def main() -> None:
         fqueries = (
             "dedup_clusters,dedup_canonical,"
             "snapshot_merge_scan,snapshot_cdc_scan,"
-            "dedup_semantic,snapshot_mor_delete_scan"
+            "dedup_semantic,snapshot_mor_delete_scan,"
+            "snapshot_eqdelete_scan,snapshot_mor_upsert_scan"
         )
         rc = subprocess.run(
             [

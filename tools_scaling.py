@@ -257,6 +257,10 @@ HEAVY3 = [
     "snapshot_mor_delete_scan",
     "stream_stream_join_outer",
     "ann_index_incremental",
+    # r10 second-half additions: the equality-delete scoped-join read
+    # and the one-commit MOR upsert read
+    "snapshot_eqdelete_scan",
+    "snapshot_mor_upsert_scan",
 ]
 
 
