@@ -619,6 +619,71 @@ def snapshot_eqdelete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# snapshot_history — the Iceberg `table$history`/`table$snapshots`
+# METADATA TABLE surface: the commit lineage of a live table as a
+# queryable DataFrame, pinned row-for-row against the literal
+# sequence of operations the eqdelete fixture performs.
+@query(
+    "snapshot_history",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version,
+           op,
+           CAST(parent AS BIGINT) AS parent,
+           CAST(n_delete_entries AS BIGINT) AS n_delete_entries,
+           files_changed
+    FROM (VALUES
+            (1, 'bootstrap', 0, 0, TRUE),
+            (2, 'stats', 1, 0, FALSE),
+            (3, 'mor_delete_eq', 2, 1, FALSE),
+            (4, 'append-partitioned', 3, 1, TRUE)
+         ) AS t(version, op, parent, n_delete_entries, files_changed)
+    """,
+)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot log's commit lineage as a DataFrame — Iceberg's
+    `table$history` / `table$snapshots` metadata tables: one row per
+    version with its operation, parent, pending delete-entry count,
+    and whether the commit changed the data-file set (a stats
+    annotation and a MOR delete provably do NOT — the zero-rewrite
+    contract, surfaced as a queryable column). Runs over the eqdelete
+    fixture, whose four-commit lineage (bootstrap → stats →
+    mor_delete_eq → append) is deterministic at every scale factor,
+    so the oracle is the literal expected table. Metadata only: the
+    row count is the version count (thousands on a year-old 100 TB
+    table — driver-trivial), and no data file is ever opened."""
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+
+    root = eqdelete_scan_root(spark, sf_dir)
+    log = SnapshotLog(spark, root)
+    rows = []
+    prev_files: dict[int, set] = {}
+    for v in log.versions():
+        d = log.read(v)
+        files = {p for p, _ in log.files(v)}
+        prev_files[v] = files
+        parent = d.get("parent")
+        changed = (
+            files != prev_files.get(parent, set())
+            if parent is not None
+            else True
+        )
+        rows.append(
+            (
+                v,
+                str(d.get("op", "")),
+                int(parent or 0),
+                len(d.get("delete_files") or []),
+                bool(changed),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, parent long, "
+        "n_delete_entries long, files_changed boolean",
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_mor_upsert_scan — MERGE-ON-READ UPSERT (the Flink→Iceberg
 # streaming-upsert shape): ONE commit lands the source rows as new
 # files AND equality-deletes their keys scoped to the old files —
