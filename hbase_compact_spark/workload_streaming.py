@@ -1094,3 +1094,155 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_bounded(agg, n_partitions=8)
+
+
+# --------------------------------------------------------------------
+# stream_upsert_mor — the CDC-stream-to-table pipeline end to end:
+# foreachBatch applies each micro-batch with snapshot_upsert_mor (one
+# atomic commit per batch: fresh files + an equality delete of the
+# batch keys scoped to the parent files — zero existing bytes read),
+# with deliberately OVERLAPPING keys across batches so the oracle
+# proves last-write-wins ordering through the whole chain.
+_UPS_MODS = (3, 6, 12)  # batch k upserts event_id % mod == 0; each
+#                         later batch's keys ⊂ the earlier batch's
+
+
+def upsert_stream_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the streaming-upsert end state once per (fixture
+    generation, sf): seed the table with all events (stats-annotated
+    on event_id so each batch's equality scope probes down to the
+    matching files), stage three CDC batches with strictly increasing
+    mtimes (batch k rewrites event_id % _UPS_MODS[k] == 0 with
+    event_type 'Uk' and value + (k+1)*1000 — each later key set is a
+    SUBSET of the earlier, so ordering is observable), stream them in
+    with maxFilesPerTrigger=1 so every file is one micro-batch = one
+    snapshot_upsert_mor commit, and assert the last batch actually
+    won. No compaction afterwards: the read path must serve the
+    3-entry pending chain through the scoped equality joins."""
+    import glob as globmod
+    import shutil
+    import time
+
+    from hbase_compact_spark.compaction.executor import _rm
+    from hbase_compact_spark.compaction.snapshots import (
+        annotate_stats,
+        read_table_at,
+        snapshot_upsert_mor,
+    )
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_compaction import _memo_root
+
+    def _ready(lg) -> bool:
+        v = lg.latest()
+        if v is None:
+            return False
+        ops = [lg.read(x).get("op", "") for x in lg.versions()]
+        return sum(op == "mor_upsert" for op in ops) >= len(_UPS_MODS)
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "stream_upsert", _ready, src_table="events"
+    )
+    if ok:
+        return root
+    base = posixpath.dirname(root)
+    # same discipline as ingest_root: a rebuild wipes the table, so a
+    # crashed earlier attempt's checkpoint must go too, or its offsets
+    # would skip re-delivering batches the wiped log never received
+    _rm(spark, posixpath.join(base, "ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        ev.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["event_id"])
+    staging = posixpath.join(base, "staging")
+    _rm(spark, staging)
+    os.makedirs(staging, exist_ok=True)
+    stamp = time.time()
+    for idx, mod in enumerate(_UPS_MODS):
+        batch = ev.filter(F.col("event_id") % mod == 0).select(
+            "event_id",
+            "user_id",
+            F.lit(f"U{idx}").alias("event_type"),
+            (F.col("value") + F.lit(float((idx + 1) * 1000))).alias("value"),
+        )
+        scratch = posixpath.join(staging, f"_scratch_{idx}")
+        batch.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = globmod.glob(posixpath.join(scratch, "part-*.parquet"))
+        dest = posixpath.join(staging, f"batch_{idx:02d}.parquet")
+        os.replace(part, dest)
+        shutil.rmtree(scratch, ignore_errors=True)
+        # strictly increasing mtimes: the file source delivers batches
+        # in this order (the late_stream_staging discipline)
+        os.utime(dest, (stamp + idx, stamp + idx))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+
+    def _sink(bdf: DataFrame, _bid: int) -> None:
+        snapshot_upsert_mor(bdf.sparkSession, root, bdf, ["event_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", posixpath.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_upsert_mor ingest did not finish in 300 s")
+    # the memo must never cache an order-violated build: every key the
+    # LAST batch touched must serve its row
+    got = [
+        r[0]
+        for r in read_table_at(spark, root)
+        .filter(F.col("event_id") % _UPS_MODS[-1] == 0)
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    if got != [f"U{len(_UPS_MODS) - 1}"]:
+        raise RuntimeError(f"batch order violated: tail keys serve {got}")
+    return root
+
+
+@query(
+    "stream_upsert_mor",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 12 = 0 THEN 'U2'
+                WHEN event_id % 6 = 0 THEN 'U1'
+                WHEN event_id % 3 = 0 THEN 'U0'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 12 = 0 THEN value + 3000
+                WHEN event_id % 6 = 0 THEN value + 2000
+                WHEN event_id % 3 = 0 THEN value + 1000
+                ELSE value END AS value
+    FROM events
+    """,
+)
+def stream_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table a CDC stream maintained through merge-on-read
+    upserts (upsert_stream_root): three overlapping-key micro-batches
+    each applied as ONE snapshot_upsert_mor commit — fresh files plus
+    an equality delete of the batch keys scoped to the files live at
+    commit time — and NO compaction, so this read serves the full
+    3-entry pending chain through the scoped broadcast key joins.
+    Oracle = last-write-wins CASE over the batch definitions: any torn
+    batch, resurrection, or order violation shifts a value and fails
+    the hash. The reference's poll-until-settled ingest loop
+    (QHBaseCompact.java:62-73,171-184) is the 1-table ancestor of
+    this exactly-once CDC apply."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = upsert_stream_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "event_id", "user_id", "event_type", "value"
+    )
