@@ -227,7 +227,8 @@ def test_sweep_orphans_respects_grace_and_references(spark, part_table):
     ).coalesce(1).write.mode("append").parquet(orphan_dir)
     # fresh orphan inside the grace period: kept
     assert sweep_orphans(spark, part_table, grace_seconds=3600) == {
-        "deleted_files": 0
+        "deleted_files": 0,
+        "deleted_delete_entries": 0,
     }
     # age it past the (shortened) grace period: swept
     _t.sleep(1.1)
