@@ -146,14 +146,29 @@ def main() -> None:
     n_hash_green = n_rows_only = n_fail = 0
     from hbase_compact_spark import registry as _registry
 
+    def _session_stopped() -> bool:
+        try:
+            return spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    def _rebuild_session():
+        # a hypervisor stall (or a fatal error in a daemon thread) can
+        # shut the local SparkContext down MID-SWEEP; without recovery
+        # every later query fails on the dead context and one bad
+        # minute of machine weather poisons the whole artifact
+        nonlocal spark
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        b = SparkSession.builder.master("local[8]")
+        if mem:
+            b = b.config("spark.driver.memory", mem)
+        spark = b.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+
     for name in sorted(queries):
-        # drop session-scoped shared-intermediate caches between
-        # queries (same discipline as bench.py): at sf1+ the
-        # accumulated persisted frames of earlier queries fill the
-        # default session's storage pool and a later query's broadcast
-        # build dies with UNABLE_TO_ACQUIRE_MEMORY — a harness
-        # artifact, not an engine one
-        _registry.clear_session_caches()
         row = {
             "rows_match": None,
             "schema_match": None,
@@ -163,35 +178,54 @@ def main() -> None:
             "err": None,
             "seconds": None,
         }
-        t0 = time.perf_counter()
-        try:
-            sdf = queries[name](spark, args.sf_dir)
-            if name not in oracles:
-                # rows-only: the compare needs only the row COUNT —
-                # collecting a data-proportional result (e.g.
-                # bin_packing_plan's per-file plan, millions of rows
-                # at sf1+) to pandas would fail the HARNESS, not the
-                # query
-                row["spark_rows"] = sdf.count()
-                row["err"] = "no_oracle"
-                n_rows_only += 1
-            else:
-                pdf = sdf.toPandas()
-                row["spark_rows"] = len(pdf)
-                hs, ns, ds = _hash_pdf(pdf)
-                opdf = con.execute(oracles[name]).fetchdf()
-                ho, no, do = _hash_pdf(opdf)
-                row["oracle_rows"] = no
-                row["rows_match"] = ns == no
-                row["schema_match"] = ds == do
-                row["hash_match"] = hs == ho
-                if row["hash_match"]:
-                    n_hash_green += 1
+        for attempt in (1, 2):
+            # drop session-scoped shared-intermediate caches between
+            # queries (same discipline as bench.py): at sf1+ the
+            # accumulated persisted frames of earlier queries fill the
+            # default session's storage pool and a later query's
+            # broadcast build dies with UNABLE_TO_ACQUIRE_MEMORY — a
+            # harness artifact, not an engine one
+            _registry.clear_session_caches()
+            row["err"] = None
+            t0 = time.perf_counter()
+            try:
+                sdf = queries[name](spark, args.sf_dir)
+                if name not in oracles:
+                    # rows-only: the compare needs only the row COUNT
+                    # — collecting a data-proportional result (e.g.
+                    # bin_packing_plan's per-file plan, millions of
+                    # rows at sf1+) to pandas would fail the HARNESS,
+                    # not the query
+                    row["spark_rows"] = sdf.count()
+                    row["err"] = "no_oracle"
+                    n_rows_only += 1
                 else:
-                    n_fail += 1
-        except Exception as exc:  # record, keep sweeping
-            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
-            n_fail += 1
+                    pdf = sdf.toPandas()
+                    row["spark_rows"] = len(pdf)
+                    hs, ns, ds = _hash_pdf(pdf)
+                    opdf = con.execute(oracles[name]).fetchdf()
+                    ho, no, do = _hash_pdf(opdf)
+                    row["oracle_rows"] = no
+                    row["rows_match"] = ns == no
+                    row["schema_match"] = ds == do
+                    row["hash_match"] = hs == ho
+                    if row["hash_match"]:
+                        n_hash_green += 1
+                    else:
+                        n_fail += 1
+                break
+            except Exception as exc:
+                row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+                if _session_stopped() and attempt == 1:
+                    print(
+                        f"{name}: SparkContext died mid-query — "
+                        "rebuilding the session and retrying once",
+                        flush=True,
+                    )
+                    _rebuild_session()
+                    continue
+                n_fail += 1  # record, keep sweeping
+                break
         row["seconds"] = round(time.perf_counter() - t0, 3)
         results[name] = row
         status = (
