@@ -1018,7 +1018,12 @@ REWRITE_OPS = frozenset({"compact", "delete", "merge"})
 # ops that change the table's ROW SET without a file-level signature
 # an incremental append-scan could see — crossing one invalidates
 # file-diff semantics even though no file was rewritten
-ROW_CHANGING_OPS = REWRITE_OPS | {"mor_delete", "mor_delete_eq", "mor_upsert"}
+ROW_CHANGING_OPS = REWRITE_OPS | {
+    "mor_delete",
+    "mor_delete_eq",
+    "mor_upsert",
+    "rollback",
+}
 
 
 def read_incremental(
@@ -1243,6 +1248,24 @@ def evolve_schema(
     )
 
 
+def _latest_spec_id(log: SnapshotLog, version: int | None = None) -> int:
+    """Highest spec_id recorded at or before `version` — INCLUDING an
+    empty plain-layout record (which partition_spec_of reports as
+    None), so ids stay monotonic across a rollback-to-plain."""
+    v = log.latest() if version is None else version
+    seen = 0
+    while v:
+        blob = log.read(v)
+        spec = blob.get("partition_spec")
+        if spec is not None:
+            return int(spec["spec_id"])
+        v = blob.get("parent")
+        seen += 1
+        if seen > 100_000:
+            raise RuntimeError(f"parent chain cycle in {log.log_dir}")
+    return 0
+
+
 def partition_spec_of(log: SnapshotLog, version: int | None = None) -> dict | None:
     """The partition spec in effect at `version` (default latest):
     the spec recorded by the nearest `evolve_partitioning` commit at
@@ -1255,7 +1278,11 @@ def partition_spec_of(log: SnapshotLog, version: int | None = None) -> dict | No
         blob = log.read(v)
         spec = blob.get("partition_spec")
         if spec is not None:
-            return spec
+            # an empty partition_by is the explicit "plain layout"
+            # record (written by a rollback across a spec evolution):
+            # it TERMINATES the walk as no-spec instead of falling
+            # through to the newer spec behind it
+            return spec if spec.get("partition_by") else None
         v = blob.get("parent")
         seen += 1
         if seen > 100_000:  # corrupt parent cycle guard
@@ -1306,9 +1333,8 @@ def evolve_partitioning(
                 f"partition column {col!r} is not a data column "
                 f"(have: {sorted(names)})"
             )
-    prev = partition_spec_of(log, v)
     spec = {
-        "spec_id": (prev["spec_id"] + 1) if prev else 1,
+        "spec_id": _latest_spec_id(log, v) + 1,
         "partition_by": list(partition_by),
     }
     manifest = log.copy_manifest(v)
@@ -2796,6 +2822,63 @@ def snapshot_delete_by_key(
         "scanned_files": 0,
         "delete_files": len(new_list),
     }
+
+
+def snapshot_rollback(
+    spark: SparkSession,
+    table_root: str,
+    to_version: int | str,
+) -> dict:
+    """Roll the table back to an earlier snapshot — Iceberg's
+    `rollback_to_snapshot`, as a METADATA-ONLY forward commit: the new
+    version byte-copies the target's manifest and carries its schema,
+    partition spec, and pending delete entries, so readers of
+    \"latest\" see exactly the old state while the log stays linear
+    (the rolled-back versions remain time-travelable until expiry —
+    nothing is deleted, an audit can still read the bad commit).
+    `to_version` may be a version number or a named ref (tag/branch).
+    At 100 TB this is the one-commit undo for a bad ingest: zero data
+    bytes move."""
+    log = SnapshotLog(spark, table_root)
+    if isinstance(to_version, str):
+        to_version = log.resolve_ref(to_version)
+    latest = log.latest()
+    if latest is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    target = log.read(to_version)  # raises if the version is gone
+    if to_version == latest:
+        return {"version": latest, "rolled_back_to": to_version,
+                "noop": True}
+    manifest = log.copy_manifest(to_version)
+    if manifest is None:  # legacy inline snapshot: re-encode once
+        res = log._resolve(to_version)
+        manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
+    extra = {
+        "delete_files": [
+            [n, c] for n, c in (target.get("delete_files") or [])
+        ],
+        "rolled_back_to": to_version,
+    }
+    # the spec resolves by walking the PARENT chain, and this commit's
+    # parent is the CURRENT head — so a rollback across a partition-
+    # spec evolution must pin the TARGET's effective spec explicitly
+    # (an empty partition_by is the explicit plain-layout record)
+    spec_t = partition_spec_of(log, to_version)
+    spec_c = partition_spec_of(log, latest)
+    if spec_t != spec_c:
+        extra["partition_spec"] = spec_t if spec_t is not None else {
+            "spec_id": _latest_spec_id(log, latest) + 1,
+            "partition_by": [],
+        }
+    v = log.commit(
+        None,
+        op="rollback",
+        parent=latest,
+        schema=target.get("schema"),
+        manifest=manifest,
+        extra=extra,
+    )
+    return {"version": v, "rolled_back_to": to_version, "noop": False}
 
 
 def _eq_scope(

@@ -619,6 +619,112 @@ def snapshot_eqdelete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# snapshot_rollback_scan — Iceberg's rollback_to_snapshot: a bad
+# commit is undone by ONE metadata-only forward commit that restores
+# the earlier state; the bad version stays time-travelable for audit
+# and the table keeps living (appends continue on the restored line).
+RB_LO, RB_HI = 900, 999       # the "bad" delete wipes these keys
+RB_INS_MAX = 4                # keys 0..4 template the post-rollback append
+RB_INS_OFFSET = 50_000_000
+
+
+def rollback_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders`, COW-delete [RB_LO, RB_HI] (the bad
+    commit — files genuinely rewritten), ROLL BACK to the pre-delete
+    version, then append fresh rows on the restored line. The builder
+    asserts the rollback contract on every materialization: the
+    rollback commit's data-file list is exactly the target's (zero
+    data bytes moved), the wiped keys are back, and the bad version
+    still serves its (smaller) state to time travel — undo without
+    destroying the audit trail."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        append_partitioned,
+        read_table_at,
+        snapshot_delete,
+        snapshot_rollback,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        if v is None:
+            return False
+        if lg.read(v).get("op") != "append-partitioned":
+            return False
+        return any(
+            lg.read(x).get("op") == "rollback" for x in lg.versions()
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "rollback_scan", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    good_v = log.latest()
+    good_files = log.files(good_v)
+    bad = snapshot_delete(spark, root, {"o_orderkey": (RB_LO, RB_HI)})
+    if bad["deleted_rows"] == 0 or bad["rewritten_files"] == 0:
+        raise RuntimeError(f"vacuous bad-delete fixture: {bad}")
+    res = snapshot_rollback(spark, root, good_v)
+    if res["noop"] or log.files(res["version"]) != good_files:
+        raise RuntimeError(
+            f"rollback must restore the target's exact file list: {res}"
+        )
+    n_bad = read_table_at(spark, root, bad["version"]).count()
+    n_good = read_table_at(spark, root, res["version"]).count()
+    if n_good <= n_bad:  # wiped keys back; bad version still audits
+        raise RuntimeError("rollback did not restore the deleted rows")
+    appended = _orders_slim(spark, sf_dir).filter(
+        F.col("o_orderkey") <= RB_INS_MAX
+    ).select(
+        (F.col("o_orderkey") + F.lit(RB_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("B").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    append_partitioned(spark, root, appended)
+    return root
+
+
+@query(
+    "snapshot_rollback_scan",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + {RB_INS_OFFSET} AS o_orderkey, o_custkey,
+           'B' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {RB_INS_MAX}
+    """,
+)
+def snapshot_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table after a bad COW delete was UNDONE by
+    `snapshot_rollback` (compaction/snapshots.py) and life went on
+    with a fresh append: the rollback is one metadata-only commit
+    that byte-copies the target's manifest (file-list equality
+    asserted in the builder) and pins its schema/spec/delete state;
+    the rolled-back version stays time-travelable for audit. Oracle =
+    the original table UNION the post-rollback append — the bad
+    delete must leave no trace in the current state. Spec-evolution
+    pinning and read_incremental refusal are covered in
+    tests/test_snapshot_workloads.py."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = rollback_scan_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------
 # snapshot_history — the Iceberg `table$history`/`table$snapshots`
 # METADATA TABLE surface: the commit lineage of a live table as a
 # queryable DataFrame, pinned row-for-row against the literal

@@ -1386,3 +1386,60 @@ def test_sweep_orphans_reclaims_uncommitted_delete_entries(spark, tmp_path):
     assert orphan2 in set(
         os.listdir(os.path.join(root, "_snapshots", "deletes"))
     )
+
+
+def test_rollback_restores_state_spec_and_mor(spark, tmp_path):
+    """snapshot_rollback is a metadata-only FORWARD commit: the file
+    list is exactly the target's, the rolled-back versions stay
+    time-travelable, pending MOR entries are pinned to the target's
+    (not carried from the head), a rollback across a partition-spec
+    evolution restores the target's spec (including back to
+    plain layout), read_incremental refuses to cross it, ref
+    resolution works as the target, and a same-version rollback is a
+    committed no-op."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mor_table(spark, tmp_path)  # ids 0..39, 4 range files
+    log = SnapshotLog(spark, root)
+    v1 = log.latest()
+    files1 = log.files(v1)
+    # head moves: a MOR delete then an eq delete (pending entries)
+    S.snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(3,)], "id long")
+    )
+    vh = log.latest()
+    assert len(log.delete_files(vh)) == 2
+    # rollback to the clean v1 — all rows back, no pending entries
+    res = S.snapshot_rollback(spark, root, v1)
+    assert not res["noop"]
+    assert log.files(res["version"]) == files1
+    assert log.delete_files(res["version"]) == []
+    assert S.read_table_at(spark, root).count() == 40
+    # audit trail intact: the bad head still serves its state
+    assert S.read_table_at(spark, root, vh).count() == 34
+    # incremental refuses to cross the range (and refuses the
+    # rollback commit itself, named when it is the only crossing)
+    with pytest.raises(ValueError, match="crosses a rewrite commit"):
+        S.read_incremental(spark, root, v1)
+    with pytest.raises(ValueError, match="rollback"):
+        S.read_incremental(spark, root, res["version"] - 1, res["version"])
+    # no-op rollback: same version, nothing committed
+    again = S.snapshot_rollback(spark, root, res["version"])
+    assert again["noop"] and again["version"] == log.latest()
+    # ref as target: tag the clean state, evolve the spec, roll back
+    # to the TAG — the spec must restore to plain layout
+    log.set_ref("clean", res["version"], kind="tag")
+    S.evolve_partitioning(spark, root, ["v"])
+    assert S.partition_spec_of(log) is not None
+    res2 = S.snapshot_rollback(spark, root, "clean")
+    assert S.partition_spec_of(log) is None  # plain layout restored
+    assert log.files(res2["version"]) == files1
+    # and forward again onto an evolved line: spec pins to the target
+    v_spec = S.evolve_partitioning(spark, root, ["v"])
+    S.append_partitioned(
+        spark, root, spark.createDataFrame([(100, 0)], "id long, v long")
+    )
+    S.snapshot_rollback(spark, root, v_spec)
+    assert S.partition_spec_of(log)["partition_by"] == ["v"]
+    assert S.read_table_at(spark, root).count() == 40
