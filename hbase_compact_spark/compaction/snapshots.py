@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import os
 import posixpath
+import re
 import time
 import uuid
 from typing import NamedTuple
@@ -92,6 +93,148 @@ PARTITION_DIR_PREFIX = "_hp_"
 # Spark/Hive writes NULL partition values under this sentinel dir —
 # unknown for pruning purposes (always keep)
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+# ------------------------------------------------------- spec fields
+# Hidden-partitioning TRANSFORMS (Iceberg's partition transforms): a
+# spec entry is either a plain data column (identity) or a transform
+# string — "days(ts)", "bucket(16, key)", "truncate(4, name)". The
+# transform VALUE becomes the `_hp_<name>=<value>` path component;
+# the derived dir name encodes the transform + width so two spec
+# generations with different parameters never collide. The one design
+# constraint is that every transform must be computable IDENTICALLY
+# in the JVM (write path, whole-stage codegen) and in plain Python
+# (metadata-only pruning over the manifest) — which is why bucket
+# uses crc32 (zlib.crc32 == Spark's crc32 on UTF-8 bytes) rather
+# than Iceberg's murmur3 (not in the Python stdlib).
+
+
+class PartitionField(NamedTuple):
+    name: str            # `_hp_<name>=...` dir base name
+    source: str          # the data column the value derives from
+    transform: str       # identity | days | bucket | truncate
+    param: int | None    # bucket count / truncate width
+
+
+_TRANSFORM_RE = re.compile(
+    r"^(days|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+)
+
+
+def parse_partition_field(raw: str) -> PartitionField:
+    """One spec entry -> PartitionField. Plain names are identity
+    (dir name == column, the pre-transform behavior, so existing
+    specs parse unchanged)."""
+    raw = raw.strip()
+    if "(" not in raw:
+        return PartitionField(raw, raw, "identity", None)
+    m = _TRANSFORM_RE.match(raw)
+    if not m:
+        raise ValueError(
+            f"unparseable partition transform {raw!r} — expected "
+            "'col', 'days(col)', 'bucket(N, col)' or 'truncate(W, col)'"
+        )
+    tr, param, col = m.group(1), m.group(2), m.group(3)
+    if tr == "days":
+        if param is not None:
+            raise ValueError(f"days() takes no width: {raw!r}")
+        return PartitionField(f"{col}_day", col, "days", None)
+    if param is None or int(param) < 1:
+        raise ValueError(f"{tr}() needs a positive parameter: {raw!r}")
+    n = int(param)
+    suffix = f"bucket{n}" if tr == "bucket" else f"trunc{n}"
+    return PartitionField(f"{col}_{suffix}", col, tr, n)
+
+
+def _partition_field_expr(df: DataFrame, fld: PartitionField):
+    """The JVM-side (codegen) expression computing a spec field's
+    path value for every row of `df` — MUST stay value-identical to
+    `_transform_bound` below, which computes the same function
+    driver-side for pruning."""
+    from pyspark.sql.types import StringType
+
+    src = F.col(fld.source)
+    if fld.transform == "identity":
+        return src.cast("string")
+    if fld.transform == "days":
+        # session tz is UTC engine-wide; a date cast renders ISO
+        # yyyy-MM-dd, whose lexicographic order IS its date order
+        return src.cast("date").cast("string")
+    if fld.transform == "bucket":
+        return F.pmod(F.crc32(src.cast("string")), F.lit(fld.param)).cast(
+            "string"
+        )
+    # truncate: prefix for strings, floor-to-multiple for integers
+    # (pmod keeps negatives correct: -7 trunc 4 -> -8, like Iceberg)
+    if isinstance(df.schema[fld.source].dataType, StringType):
+        return F.substring(src, 1, fld.param)
+    return (src - F.pmod(src, F.lit(fld.param))).cast("string")
+
+
+def _transform_bound(fld: PartitionField, value):
+    """Driver-side transform of ONE predicate bound into the field's
+    path-value domain, or None when the bound's type cannot be
+    transformed soundly (the derived predicate is then simply not
+    added — pruning stays conservative). days/truncate are monotonic,
+    so transformed range bounds stay valid range bounds; bucket is
+    not monotonic and is only ever called for equality probes."""
+    import datetime
+
+    if value is None:
+        return None
+    if fld.transform == "days":
+        if isinstance(value, datetime.datetime):
+            return value.strftime("%Y-%m-%d")
+        if isinstance(value, datetime.date):
+            return value.isoformat()
+        if isinstance(value, str) and len(value) >= 10:
+            return value[:10]
+        return None
+    if fld.transform == "bucket":
+        import zlib
+
+        return str(zlib.crc32(str(value).encode("utf-8")) % fld.param)
+    if fld.transform == "truncate":
+        if isinstance(value, str):
+            return value[: fld.param]
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value - (value % fld.param)
+        return None
+    return str(value)  # identity
+
+
+def _spec_derived_predicates(
+    log: SnapshotLog, version: int, norm: dict[str, tuple]
+) -> dict[str, tuple]:
+    """Predicates on spec SOURCE columns, re-expressed in the derived
+    `_hp_` dir-name domain so `_row_survives` prunes transform
+    layouts from the path alone — `days(ts)` range scans open only
+    matching day dirs, `bucket(N, k)` point lookups open 1/N of the
+    spec generation, zero stats required. Identity fields need no
+    derivation (dir name == column). Returns {} when the table has
+    no spec or no predicate touches a spec source."""
+    spec = partition_spec_of(log, version)
+    if not spec:
+        return {}
+    out: dict[str, tuple] = {}
+    for raw in spec["partition_by"]:
+        fld = parse_partition_field(raw)
+        if fld.transform == "identity" or fld.source not in norm:
+            continue
+        lo, hi = norm[fld.source]
+        if fld.transform == "bucket":
+            if lo is not None and lo == hi:  # equality only
+                b = _transform_bound(fld, lo)
+                if b is not None:
+                    out[fld.name] = (b, b)
+            continue
+        dlo, dhi = _transform_bound(fld, lo), _transform_bound(fld, hi)
+        if dlo is not None or dhi is not None:
+            out[fld.name] = (dlo, dhi)
+    return out
 
 
 def _path_partition_values(relpath: str) -> dict[str, str]:
@@ -1314,8 +1457,9 @@ def evolve_partitioning(
     v = log.latest()
     if not partition_by:
         raise ValueError("partition_by must name at least one column")
-    if len(set(partition_by)) != len(partition_by):
-        raise ValueError(f"duplicate column in partition spec: {partition_by}")
+    fields = [parse_partition_field(r) for r in partition_by]
+    if len({f.name for f in fields}) != len(fields):
+        raise ValueError(f"duplicate field in partition spec: {partition_by}")
     blob = log.read(v).get("schema") or _capture_schema(spark, log, v)
     legacy_pcols = set(blob["partition_cols"])
     if legacy_pcols:
@@ -1324,14 +1468,45 @@ def evolve_partitioning(
             "their values live only in directory names, so a metadata-only "
             "spec change cannot apply; compact to a data-column layout first"
         )
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import (
+        DateType,
+        IntegralType,
+        StringType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
-    names = {f.name for f in StructType.fromJson(blob["fields"]).fields}
-    for col in partition_by:
-        if col not in names:
+    struct = StructType.fromJson(blob["fields"])
+    names = {f.name: f.dataType for f in struct.fields}
+    for fld in fields:
+        if fld.source not in names:
             raise ValueError(
-                f"partition column {col!r} is not a data column "
-                f"(have: {sorted(names)})"
+                f"partition source column {fld.source!r} is not a data "
+                f"column (have: {sorted(names)})"
+            )
+        dt = names[fld.source]
+        if fld.transform == "days" and not isinstance(
+            dt, (DateType, TimestampType, TimestampNTZType)
+        ):
+            raise ValueError(
+                f"days() needs a date/timestamp source, "
+                f"{fld.source!r} is {dt.simpleString()}"
+            )
+        if fld.transform == "truncate" and not isinstance(
+            dt, (StringType, IntegralType)
+        ):
+            raise ValueError(
+                f"truncate() needs a string/integer source, "
+                f"{fld.source!r} is {dt.simpleString()}"
+            )
+        if fld.transform != "identity" and fld.name in names:
+            # the derived dir name doubles as a pruning-predicate key,
+            # so it must not shadow a real data column
+            raise ValueError(
+                f"derived partition field name {fld.name!r} collides "
+                "with a data column — rename the column or pick a "
+                "different transform parameter"
             )
     spec = {
         "spec_id": _latest_spec_id(log, v) + 1,
@@ -1402,9 +1577,10 @@ def _land_spec_files(
         if spec:
             hp_cols = []
             aug = df
-            for col in spec["partition_by"]:
-                hp = PARTITION_DIR_PREFIX + col
-                aug = aug.withColumn(hp, F.col(col).cast("string"))
+            for raw in spec["partition_by"]:
+                fld = parse_partition_field(raw)
+                hp = PARTITION_DIR_PREFIX + fld.name
+                aug = aug.withColumn(hp, _partition_field_expr(df, fld))
                 hp_cols.append(hp)
             aug.write.partitionBy(*hp_cols).mode("overwrite").parquet(tmp)
             # move each dir's parquet files under the root, layout
@@ -1841,6 +2017,12 @@ def scan_plan(
         for col, pred in predicates.items()
         if not isinstance(pred, tuple)
     }
+    # transform-spec pruning: predicates on a spec SOURCE column gain
+    # a derived twin in the `_hp_` dir-name domain (days/bucket/
+    # truncate values), so transform layouts prune from the path
+    # alone — no stats annotation needed (identity fields already
+    # prune through their own column name)
+    norm.update(_spec_derived_predicates(log, v, norm))
     snap = log.read(v)
     n_files = snap.get("n_files")
     if n_files is None:
@@ -1953,6 +2135,122 @@ def read_table_where(
     return df
 
 
+# --------------------------------------------------------------------
+# Optimistic-retry commit protocol (Iceberg's validate → rebase →
+# recommit): every snapshot-log writer, not just streaming ingest,
+# survives losing the commit race to a DISJOINT concurrent committer.
+# The reference assumes a single writer (its one checkpoint file,
+# QHBaseCompact.java:102-115); at 100 TB every real table has ingest,
+# compaction, and GDPR deletes racing, so the engine outgrows that
+# assumption here. Bounded attempts; a SEMANTIC conflict (overlapping
+# rewrites) aborts immediately — retrying cannot make it safe.
+COMMIT_REBASE_RETRIES = int(os.environ.get("HCS_COMMIT_REBASE_RETRIES", 5))
+
+
+def _rebase_keep_or_raise(
+    spark: SparkSession,
+    log: SnapshotLog,
+    old_base: int,
+    new_latest: int,
+    replaced: set[str],
+) -> list[tuple[str, int]]:
+    """Validate that a rewrite derived from snapshot `old_base` may
+    REBASE onto `new_latest` (a concurrent committer won the race)
+    and return the rebased keep list — new latest's files minus the
+    rewrite's replaced sources. Aborts (re-raises
+    SnapshotConflictError) when the intervening commits:
+
+    1. removed or rewrote ANY file this rewrite read-and-replaced —
+       the two rewrites overlap, so rebasing would either resurrect
+       rows the winner deleted or drop rows it added;
+    2. changed the declared schema — the loser's new files physically
+       materialized the old shape;
+    3. added MOR delete entries touching a replaced file — the
+       rewrite read effective rows AT old_base, so rows logically
+       deleted in between would silently resurrect inside its output.
+       (By-name comparison: a concurrent rewrite that merely shrank a
+       surviving entry's scope re-publishes it under a fresh name, so
+       this check can abort conservatively — never falsely proceed.)
+
+    Disjoint work — appends, rewrites of OTHER files, deletes scoped
+    to carried files — rebases cleanly: the caller recommits with the
+    returned keep list against `new_latest`."""
+    new_files = log.files(new_latest)
+    missing = replaced - {p for p, _ in new_files}
+    if missing:
+        raise SnapshotConflictError(
+            f"concurrent commit removed {len(missing)} file(s) this "
+            f"rewrite replaced (e.g. {sorted(missing)[:3]}) — "
+            "overlapping rewrites cannot rebase; re-derive from the "
+            "new latest snapshot"
+        )
+    if log.read(new_latest).get("schema") != log.read(old_base).get("schema"):
+        raise SnapshotConflictError(
+            "concurrent schema evolution landed mid-rewrite — the "
+            "rewritten files materialized the old schema; re-derive"
+        )
+    old_entries = {n for n, _ in log.delete_files(old_base)}
+    fresh = [
+        n for n, _ in log.delete_files(new_latest) if n not in old_entries
+    ]
+    if fresh and replaced & _mor_affected_relpaths(spark, log, fresh):
+        raise SnapshotConflictError(
+            "concurrent MOR delete touches files this rewrite "
+            "replaced — its rows would resurrect; re-derive"
+        )
+    return [(p, s) for p, s in new_files if p not in replaced]
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    log: SnapshotLog,
+    *,
+    base_version: int,
+    keep: list[tuple[str, int]],
+    added: list[tuple[str, int]],
+    op: str,
+    schema: dict | None,
+    max_retries: int | None = None,
+) -> int:
+    """Commit a rewrite (compact / COW delete / merge) with the
+    optimistic validate-rebase-retry loop. Each attempt rebuilds the
+    child manifest (kept rows carried on executors + added files
+    footer-annotated) and re-derives the surviving MOR delete entries
+    against the CURRENT base, so a rebase carries a concurrent
+    committer's appends and delete entries forward instead of
+    dropping them. The losing attempt's manifest is deleted by
+    commit()'s abort path — no orphans accumulate across retries."""
+    retries = COMMIT_REBASE_RETRIES if max_retries is None else max_retries
+    replaced = {p for p, _ in log.files(base_version)} - {
+        p for p, _ in keep
+    }
+    cur, cur_keep = base_version, keep
+    for _ in range(retries + 1):
+        manifest = _carried_manifest(spark, log, cur, cur_keep, added)
+        extra = _retire_delete_entries(
+            spark, log, cur, [p for p, _ in cur_keep]
+        )
+        try:
+            return log.commit(
+                None,
+                op=op,
+                parent=cur,
+                schema=schema,
+                manifest=manifest,
+                extra=extra,
+            )
+        except SnapshotConflictError:
+            new_latest = log.latest()
+            cur_keep = _rebase_keep_or_raise(
+                spark, log, cur, new_latest, replaced
+            )
+            cur = new_latest
+    raise SnapshotConflictError(
+        f"rewrite commit kept conflicting after {retries} rebases "
+        f"under {log.log_dir}"
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_root: str,
@@ -2025,7 +2323,7 @@ def snapshot_compact(
     migrate: list[tuple[str, int]] = []
     spec = partition_spec_of(log, base_version) if migrate_spec else None
     if spec:
-        want = set(spec["partition_by"])
+        want = {parse_partition_field(r).name for r in spec["partition_by"]}
         migrate = [
             (p, s)
             for p, s in base
@@ -2091,9 +2389,10 @@ def snapshot_compact(
         n_bins = max(1, math.ceil(total / target_bytes))
         hp_cols = []
         aug = src
-        for col in spec["partition_by"]:
-            hp = PARTITION_DIR_PREFIX + col
-            aug = aug.withColumn(hp, F.col(col).cast("string"))
+        for raw in spec["partition_by"]:
+            fld = parse_partition_field(raw)
+            hp = PARTITION_DIR_PREFIX + fld.name
+            aug = aug.withColumn(hp, _partition_field_expr(src, fld))
             hp_cols.append(hp)
         tmp_dir = posixpath.join(
             table_root, f"_snapmigrate_tmp_{uuid.uuid4().hex[:10]}"
@@ -2145,16 +2444,14 @@ def snapshot_compact(
             "new_files": 0,
             "migrated": 0,
         }
-    manifest = _carried_manifest(spark, log, base_version, keep, added)
-    version = log.commit(
-        None,
+    version = _commit_rewrite(
+        spark,
+        log,
+        base_version=base_version,
+        keep=keep,
+        added=added,
         op="compact",
-        parent=base_version,
         schema=schema_blob,
-        manifest=manifest,
-        extra=_retire_delete_entries(
-            spark, log, base_version, [p for p, _ in keep]
-        ),
     )
     return {
         "version": version,
@@ -2409,14 +2706,21 @@ def _snapshot_delete_mor(
     if manifest is None:  # legacy inline snapshot: re-encode once
         res = log._resolve(base_version)
         manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
-    v = log.commit(
-        None,
-        op="mor_delete",
-        parent=base_version,
-        schema=log.read(base_version).get("schema"),
-        manifest=manifest,
-        extra={"delete_files": new_list},
-    )
+    try:
+        v = log.commit(
+            None,
+            op="mor_delete",
+            parent=base_version,
+            schema=log.read(base_version).get("schema"),
+            manifest=manifest,
+            extra={"delete_files": new_list},
+        )
+    except SnapshotConflictError:
+        # the published delete file belongs to no committed version —
+        # remove it before the caller re-derives against the new
+        # latest (otherwise each retry would leak one orphan)
+        _rm(spark, posixpath.join(log.deletes_dir, name))
+        raise
     return {
         "version": v,
         "deleted_rows": n,
@@ -2620,8 +2924,26 @@ def snapshot_delete(
     base_version = log.latest() if version is None else version
     plan = scan_plan(spark, table_root, predicates, base_version)
     if mode == "mor":
-        return _snapshot_delete_mor(
-            spark, log, table_root, predicates, base_version, plan
+        # optimistic retry: a positional delete is a cheap metadata
+        # commit, so losing the race to ANY concurrent committer is
+        # handled by full re-derivation against the new latest (the
+        # candidate read re-applies its pending entries, so the retry
+        # stays idempotent — rows already deleted record nothing).
+        # A caller-pinned explicit version surfaces the conflict: the
+        # pin says "delete from THIS state", and that state is gone.
+        for _ in range(COMMIT_REBASE_RETRIES + 1):
+            try:
+                return _snapshot_delete_mor(
+                    spark, log, table_root, predicates, base_version, plan
+                )
+            except SnapshotConflictError:
+                if version is not None:
+                    raise
+                base_version = log.latest()
+                plan = scan_plan(spark, table_root, predicates, base_version)
+        raise SnapshotConflictError(
+            f"MOR delete kept conflicting after {COMMIT_REBASE_RETRIES} "
+            f"re-derivations under {table_root}"
         )
     pending = _mor_info(log, base_version)
     candidates = set(plan["paths"])
@@ -2689,16 +3011,14 @@ def snapshot_delete(
             "rewritten_files": 0,
             "scanned_files": len(cand),
         }
-    manifest = _carried_manifest(spark, log, base_version, keep, added)
-    v = log.commit(
-        None,
+    v = _commit_rewrite(
+        spark,
+        log,
+        base_version=base_version,
+        keep=keep,
+        added=added,
         op="delete",
-        parent=base_version,
         schema=log.read(base_version).get("schema"),
-        manifest=manifest,
-        extra=_retire_delete_entries(
-            spark, log, base_version, [p for p, _ in keep]
-        ),
     )
     return {
         "version": v,
@@ -2778,50 +3098,74 @@ def snapshot_delete_by_key(
             "scanned_files": 0,
             "delete_files": len(log.delete_files(base_version)),
         }
-    scope_rels = _eq_scope(spark, log, base_version, key_cols, keys, relpaths)
-    if not scope_rels:
-        # stats/blooms PROVE no live file can hold any key: no-op
+    # optimistic retry: the whole commit is metadata (scope probe +
+    # key rows), so losing the race re-derives the scope against the
+    # NEW latest — a concurrent compact's rewritten file names and a
+    # concurrent append's fresh files (which, having committed FIRST,
+    # precede this delete and so belong in its scope) are both picked
+    # up by the re-probe. A caller-pinned version surfaces the
+    # conflict instead: the pinned state is gone.
+    for _ in range(COMMIT_REBASE_RETRIES + 1):
+        scope_rels = _eq_scope(
+            spark, log, base_version, key_cols, keys, relpaths
+        )
+        if not scope_rels:
+            # stats/blooms PROVE no live file can hold any key: no-op
+            return {
+                "version": base_version,
+                "deleted_keys": 0,
+                "rewritten_files": 0,
+                "scanned_files": 0,
+                "delete_files": len(log.delete_files(base_version)),
+            }
+        scope_df = spark.createDataFrame(
+            [(p,) for p in scope_rels], "relpath string"
+        )
+        name, n_keys = _write_eq_delete_dir(spark, log, keys, scope_df)
+        if n_keys == 0:
+            _rm(spark, posixpath.join(log.deletes_dir, name))
+            return {
+                "version": base_version,
+                "deleted_keys": 0,
+                "rewritten_files": 0,
+                "scanned_files": 0,
+                "delete_files": len(log.delete_files(base_version)),
+            }
+        new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
+        new_list.append([name, n_keys])
+        manifest = log.copy_manifest(base_version)
+        if manifest is None:  # legacy inline snapshot: re-encode once
+            res = log._resolve(base_version)
+            manifest = log.write_manifest(
+                res["files"], res["stats"], res["blooms"]
+            )
+        try:
+            v = log.commit(
+                None,
+                op="mor_delete_eq",
+                parent=base_version,
+                schema=log.read(base_version).get("schema"),
+                manifest=manifest,
+                extra={"delete_files": new_list},
+            )
+        except SnapshotConflictError:
+            _rm(spark, posixpath.join(log.deletes_dir, name))
+            if version is not None:
+                raise
+            base_version = log.latest()
+            relpaths = [p for p, _ in log.files(base_version)]
+            continue
         return {
-            "version": base_version,
-            "deleted_keys": 0,
+            "version": v,
+            "deleted_keys": n_keys,
             "rewritten_files": 0,
             "scanned_files": 0,
-            "delete_files": len(log.delete_files(base_version)),
+            "delete_files": len(new_list),
         }
-    scope_df = spark.createDataFrame(
-        [(p,) for p in scope_rels], "relpath string"
+    raise SnapshotConflictError(
+        f"equality delete kept conflicting after {COMMIT_REBASE_RETRIES} "
+        f"re-derivations under {table_root}"
     )
-    name, n_keys = _write_eq_delete_dir(spark, log, keys, scope_df)
-    if n_keys == 0:
-        _rm(spark, posixpath.join(log.deletes_dir, name))
-        return {
-            "version": base_version,
-            "deleted_keys": 0,
-            "rewritten_files": 0,
-            "scanned_files": 0,
-            "delete_files": len(log.delete_files(base_version)),
-        }
-    new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
-    new_list.append([name, n_keys])
-    manifest = log.copy_manifest(base_version)
-    if manifest is None:  # legacy inline snapshot: re-encode once
-        res = log._resolve(base_version)
-        manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
-    v = log.commit(
-        None,
-        op="mor_delete_eq",
-        parent=base_version,
-        schema=log.read(base_version).get("schema"),
-        manifest=manifest,
-        extra={"delete_files": new_list},
-    )
-    return {
-        "version": v,
-        "deleted_keys": n_keys,
-        "rewritten_files": 0,
-        "scanned_files": 0,
-        "delete_files": len(new_list),
-    }
 
 
 def snapshot_rollback(
@@ -2866,10 +3210,17 @@ def snapshot_rollback(
     spec_t = partition_spec_of(log, to_version)
     spec_c = partition_spec_of(log, latest)
     if spec_t != spec_c:
-        extra["partition_spec"] = spec_t if spec_t is not None else {
-            "spec_id": _latest_spec_id(log, latest) + 1,
-            "partition_by": [],
-        }
+        # the pinned spec gets a FRESH spec_id (not the target's old
+        # one): _latest_spec_id walks the parent chain and only sees
+        # the nearest record, so re-pinning the old id verbatim would
+        # let a later evolve_partitioning re-issue an id the rolled-
+        # back spec already used — ids must stay unique table-wide
+        fresh_id = _latest_spec_id(log, latest) + 1
+        extra["partition_spec"] = (
+            {**spec_t, "spec_id": fresh_id}
+            if spec_t is not None
+            else {"spec_id": fresh_id, "partition_by": []}
+        )
     v = log.commit(
         None,
         op="rollback",
@@ -2966,33 +3317,59 @@ def snapshot_upsert_mor(
     added = _land_spec_files(spark, log, table_root, source_df, base_version)
     if not added:
         raise ValueError("snapshot_upsert_mor: the frame wrote no files")
-    new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
-    scope_rels = _eq_scope(
-        spark, log, base_version, key_cols, keys_df,
-        [p for p, _ in base_files],
-    ) if base_files else []
-    if scope_rels:
-        scope_df = spark.createDataFrame(
-            [(p,) for p in scope_rels], "relpath string"
+    # optimistic retry: the EXPENSIVE half (landing the batch's data
+    # files) happened exactly once above and stays valid — a lost race
+    # re-derives only the metadata half (delete-entry scope + carried
+    # manifest) against the new latest. Scope-at-new-latest is the
+    # correct semantics for both race shapes: a concurrent compact's
+    # rewritten files enter the scope (the keys' old versions still
+    # die), and a concurrent upsert's fresh files do too (this commit
+    # is LATER in the log, so for shared keys its rows win —
+    # last-writer-wins, exactly the serial order the log records).
+    for _ in range(COMMIT_REBASE_RETRIES + 1):
+        new_list = [[nm, cnt] for nm, cnt in log.delete_files(base_version)]
+        name = None
+        scope_rels = _eq_scope(
+            spark, log, base_version, key_cols, keys_df,
+            [p for p, _ in base_files],
+        ) if base_files else []
+        if scope_rels:
+            scope_df = spark.createDataFrame(
+                [(p,) for p in scope_rels], "relpath string"
+            )
+            name, n_keys = _write_eq_delete_dir(spark, log, keys_df, scope_df)
+            new_list.append([name, n_keys])
+        manifest = _carried_manifest(
+            spark, log, base_version, base_files, added
         )
-        name, n_keys = _write_eq_delete_dir(spark, log, keys_df, scope_df)
-        new_list.append([name, n_keys])
-    manifest = _carried_manifest(spark, log, base_version, base_files, added)
-    v = log.commit(
-        None,
-        op="mor_upsert",
-        parent=base_version,
-        schema=log.read(base_version).get("schema"),
-        manifest=manifest,
-        extra={"delete_files": new_list},
+        try:
+            v = log.commit(
+                None,
+                op="mor_upsert",
+                parent=base_version,
+                schema=log.read(base_version).get("schema"),
+                manifest=manifest,
+                extra={"delete_files": new_list},
+            )
+        except SnapshotConflictError:
+            if name is not None:
+                _rm(spark, posixpath.join(log.deletes_dir, name))
+            if version is not None:
+                raise
+            base_version = log.latest()
+            base_files = log.files(base_version)
+            continue
+        return {
+            "version": v,
+            "upserted_keys": n_source,
+            "new_files": len(added),
+            "rewritten_files": 0,
+            "scanned_files": 0,
+        }
+    raise SnapshotConflictError(
+        f"MOR upsert kept conflicting after {COMMIT_REBASE_RETRIES} "
+        f"re-derivations under {table_root}"
     )
-    return {
-        "version": v,
-        "upserted_keys": n_source,
-        "new_files": len(added),
-        "rewritten_files": 0,
-        "scanned_files": 0,
-    }
 
 
 def _file_may_hold(
@@ -3231,16 +3608,14 @@ def snapshot_merge(
                 _move_tmp_files(fs, Path, tmp_dir, table_root, part_rel, "merged")
             )
         _rm(spark, tmp_dir)
-    manifest = _carried_manifest(spark, log, base_version, keep, added)
-    v = log.commit(
-        None,
+    v = _commit_rewrite(
+        spark,
+        log,
+        base_version=base_version,
+        keep=keep,
+        added=added,
         op="merge",
-        parent=base_version,
         schema=snap.get("schema"),
-        manifest=manifest,
-        extra=_retire_delete_entries(
-            spark, log, base_version, [p for p, _ in keep]
-        ),
     )
     return {
         "version": v,

@@ -908,7 +908,17 @@ def extend_ivf_index(
     new_stats = assigned.agg(
         F.avg("score").alias("m"), F.count("*").alias("n")
     ).collect()[0]
-    if new_stats["n"] and new_stats["m"] < base_mean - drift_margin:
+    if not new_stats["n"]:
+        # empty delta: nothing to assign or commit — and
+        # append_partitioned would (correctly) refuse a zero-file
+        # write, so return the no-op result instead of raising
+        return {
+            "mode": "incremental",
+            "appended": 0,
+            "base_mean": float(base_mean) if base_mean is not None else None,
+            "new_mean": None,
+        }
+    if base_mean is not None and new_stats["m"] < base_mean - drift_margin:
         return {
             "mode": "retrain",
             "base_mean": float(base_mean),
@@ -918,6 +928,6 @@ def extend_ivf_index(
     return {
         "mode": "incremental",
         "appended": int(new_stats["n"]),
-        "base_mean": float(base_mean),
+        "base_mean": float(base_mean) if base_mean is not None else None,
         "new_mean": float(new_stats["m"]),
     }

@@ -11,6 +11,7 @@ stream table.
 
 from __future__ import annotations
 
+import os
 import threading
 import uuid
 
@@ -48,7 +49,31 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
 )
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+# Heavy stateful queries (session windows, per-key running totals —
+# the operators whose state grows with the key domain) run under
+# RocksDB BY DEFAULT (VERDICT r10 task 2): SCALE_r10 measured the
+# default on-heap provider super-linear on stream_session's second
+# decade (sf1→sf10 11.7× for 10× data) while RocksDB held 5.9× —
+# the scale-safe backend is now the default code path, not an opt-in
+# variant. Opt out (or redirect) via HCS_HEAVY_STATE_PROVIDER:
+# "default" keeps the session's provider, anything else is used as
+# the provider class verbatim. An EXPLICIT session-level provider
+# (state_store_provider context manager / user conf) always wins —
+# run_bounded only applies this when the session has no explicit
+# providerClass, so parity tests can still force either backend.
+_heavy_env = os.environ.get("HCS_HEAVY_STATE_PROVIDER", "rocksdb")
+HEAVY_STATE_PROVIDER: str | None = {
+    "default": None,
+    "": None,
+    "rocksdb": ROCKSDB_PROVIDER,
+    "hdfs": HDFS_PROVIDER,
+}.get(_heavy_env.lower(), _heavy_env)
 
 
 class state_store_provider:
@@ -162,6 +187,7 @@ def run_bounded(
     n_partitions: int | None = None,
     timeout: float = 600.0,
     progress: list | None = None,
+    heavy_state: bool = False,
 ) -> DataFrame:
     """Drive a (bounded) streaming aggregation to completion with an
     availableNow trigger into a memory sink and return the result as
@@ -208,6 +234,20 @@ def run_bounded(
         "spark.sql.shuffle.partitions",
         n_partitions or spark.sparkContext.defaultParallelism,
     )
+    # heavy_state: the caller declares key-domain-sized state (session
+    # windows, per-key running totals) — run under the scale-safe
+    # default provider (RocksDB; module docs above). Scoped to this
+    # one bounded run like the shuffle-partition sizing. An EXPLICIT
+    # session-level providerClass (state_store_provider context /
+    # user conf) wins — this is a default, not an override.
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+    provider_set = (
+        heavy_state
+        and HEAVY_STATE_PROVIDER is not None
+        and prev_provider is None
+    )
+    if provider_set:
+        spark.conf.set(_PROVIDER_KEY, HEAVY_STATE_PROVIDER)
     name = None
     try:
         name = f"stream_out_{uuid.uuid4().hex[:10]}"
@@ -264,6 +304,8 @@ def run_bounded(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider_set:
+            spark.conf.unset(_PROVIDER_KEY)
         # restore any session flags the stream's sources needed for
         # their lifetime (e.g. nanosAsLong for NANOS fixtures) — LIFO
         # so nested pushes unwind to the true original

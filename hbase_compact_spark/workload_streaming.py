@@ -128,7 +128,7 @@ def join_stream_staging(spark: SparkSession, sf_dir: str) -> str:
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
     from hbase_compact_spark.tables import load_table
 
-    root, complete = memo_root(sf_dir, "joinstage", "events", logic_rev="r10a")
+    root, complete = memo_root(sf_dir, "joinstage", "events", logic_rev="r11a")
     if complete:
         return root
 
@@ -166,6 +166,27 @@ def join_stream_staging(spark: SparkSession, sf_dir: str) -> str:
         if bucket.limit(1).count() == 0:
             continue
         n_file = _emit(bucket, n_file)
+    # PARITY GUARANTEE: the reader paces maxFilesPerTrigger=2, so with
+    # an EVEN real-file count both trailing sentinel files would land
+    # in ONE micro-batch and the "second file runs under the first's
+    # advanced watermark" drain would silently degrade to relying on
+    # the terminal no-data batch (ADVICE r10). An even count gets one
+    # padding file — a single sentinel-user click at +2 h, outside
+    # every real user's key space and short of the first sentinel's
+    # 30-min match window (3 h − 30 min > 2 h), filtered from the
+    # output with the sentinels — so the sentinels always straddle a
+    # trigger boundary.
+    if n_file % 2 == 0:
+        pad = spark.createDataFrame(
+            [(-99, _JOIN_SENTINEL_USER, "click", max_ts + 2 * 3600)],
+            "event_id long, user_id long, event_type string, _t long",
+        ).select(
+            F.col("event_id").cast(ev.schema["event_id"].dataType),
+            F.col("user_id").cast(ev.schema["user_id"].dataType),
+            F.col("event_type").cast(ev.schema["event_type"].dataType),
+            F.timestamp_seconds("_t").alias("ts"),
+        ).select("event_id", "user_id", "event_type", "ts")
+        n_file = _emit(pad, n_file)
     # sentinel ts must clear every error's eviction point (e_ts plus
     # the 1 h watermark delay); +3 h / +4 h leave margin, and the
     # second file is the batch that RUNS under the first's advanced
@@ -462,7 +483,11 @@ def stream_session(
     )
     n_parts = int(min(32, max(4, staged_bytes // (512 << 10))))
     out = run_bounded(
-        agg, mode="append", n_partitions=n_parts, progress=progress
+        agg,
+        mode="append",
+        n_partitions=n_parts,
+        progress=progress,
+        heavy_state=True,
     )
     # Sentinel guard on the BATCH result, never inside the streaming
     # plan: user_id is a grouping column, so an in-plan WHERE would be
@@ -749,7 +774,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     return run_bounded(
-        stateful_user_totals(ev), mode="update", n_partitions=8
+        stateful_user_totals(ev),
+        mode="update",
+        n_partitions=8,
+        heavy_state=True,
     )
 
 

@@ -1,0 +1,238 @@
+"""Optimistic-retry commit protocol (VERDICT r10 task 1).
+
+Every snapshot-log writer must survive losing the commit race to a
+DISJOINT concurrent committer (validate → rebase → recommit) and must
+ABORT — never silently clobber — when the concurrent commit overlaps
+the files it rewrote. The reference assumes a single writer (its one
+checkpoint file, QHBaseCompact.java:102-115); these tests pin the
+multi-writer contract the engine adds on top.
+
+Races are injected deterministically: SnapshotLog.commit is wrapped so
+the FIRST commit attempt of the writer under test first lands a real
+concurrent commit (through the same public API), then proceeds — the
+exact interleaving of a writer that derived its plan, did its work,
+and reached the commit point just after someone else committed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+import hbase_compact_spark.compaction.snapshots as S
+from hbase_compact_spark.compaction.snapshots import (
+    SnapshotConflictError,
+    SnapshotLog,
+    read_table_at,
+)
+
+
+def _tbl(spark, tmp_path, n=40, files=4):
+    root = str(tmp_path / "t")
+    (
+        spark.range(n)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(files, "id")
+        .write.parquet(root)
+    )
+    S.annotate_stats(spark, root, cols=["id"])
+    return root
+
+
+def _land_append(spark, root, rows, schema="id long, v long"):
+    """A real concurrent APPEND through the log: land one parquet file
+    beside the table's and commit_append it (the ingest path's shape)."""
+    df = spark.createDataFrame(rows, schema)
+    tmp = os.path.join(root, "_race_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    name = f"race-{uuid.uuid4().hex[:8]}.parquet"
+    dest = os.path.join(root, name)
+    os.replace(part, dest)
+    shutil.rmtree(tmp)
+    log = SnapshotLog(spark, root)
+    log.commit_append(
+        [(name, os.path.getsize(dest))], op="append", parent=log.latest()
+    )
+    return name
+
+
+def _install_race(monkeypatch, race_fn):
+    """Fire `race_fn` (a real concurrent commit) immediately before
+    the next commit attempt, exactly once. Returns the shared state
+    dict so tests can assert the race actually fired."""
+    orig = SnapshotLog.commit
+    state = {"fired": False}
+
+    def racing(self, *a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            race_fn()
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SnapshotLog, "commit", racing)
+    return state
+
+
+def test_compact_rebases_across_concurrent_append(spark, tmp_path, monkeypatch):
+    """Compaction racing an append (the daily production race):
+    disjoint → the compact REBASES, carrying the appended file into
+    its child manifest, and no row from either writer is lost."""
+    root = _tbl(spark, tmp_path)
+    appended = {}
+    state = _install_race(
+        monkeypatch,
+        lambda: appended.setdefault(
+            "name", _land_append(spark, root, [(100, 200), (101, 202)])
+        ),
+    )
+    res = S.snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert state["fired"] and res["rewritten"] >= 1
+    log = SnapshotLog(spark, root)
+    assert res["version"] == log.latest()
+    final = {p for p, _ in log.files(res["version"])}
+    assert appended["name"] in final  # the winner's file carried
+    got = read_table_at(spark, root)
+    assert got.count() == 42
+    assert got.filter("id IN (100, 101)").count() == 2
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(
+        i * 2 for i in range(40)
+    ) + 200 + 202
+
+
+def test_cow_delete_rebases_across_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """COW row-delete racing a disjoint append: rebase commits; the
+    deleted rows are gone, the appended rows survive."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch, lambda: _land_append(spark, root, [(500, 1000)])
+    )
+    res = S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert state["fired"] and res["deleted_rows"] == 6
+    got = read_table_at(spark, root)
+    assert got.count() == 40 - 6 + 1
+    assert got.filter("id <= 5").count() == 0
+    assert got.filter("id = 500").count() == 1
+
+
+def test_overlapping_rewrites_abort_not_clobber(spark, tmp_path, monkeypatch):
+    """COW delete racing a compact that rewrote the SAME files: the
+    loser must raise SnapshotConflictError (rebasing would resurrect
+    the pre-compact files), and the table must serve exactly the
+    winner's state."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch,
+        lambda: S.snapshot_compact(spark, root, target_bytes=1 << 30),
+    )
+    with pytest.raises(SnapshotConflictError):
+        S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert state["fired"]
+    log = SnapshotLog(spark, root)
+    assert log.read(log.latest())["op"] == "compact"  # winner intact
+    assert read_table_at(spark, root).count() == 40  # nothing deleted
+
+
+def test_mor_positional_delete_rederives_across_compact(
+    spark, tmp_path, monkeypatch
+):
+    """Positional MOR delete racing a compact: positions recorded
+    against the pre-compact files are stale, so the retry re-derives
+    (re-scans candidates at the new latest) — the final entries
+    reference the compacted files, the aborted attempt's delete file
+    is cleaned up, and the read is exact."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch,
+        lambda: S.snapshot_compact(spark, root, target_bytes=1 << 30),
+    )
+    res = S.snapshot_delete(spark, root, {"id": (10, 14)}, mode="mor")
+    assert state["fired"] and res["deleted_rows"] == 5
+    log = SnapshotLog(spark, root)
+    assert log.read(log.latest())["op"] == "mor_delete"
+    got = read_table_at(spark, root)
+    assert got.count() == 35 and got.filter("id BETWEEN 10 AND 14").count() == 0
+    # exactly one live delete entry on disk: the losing attempt's file
+    # was removed before the re-derivation
+    entries = [
+        e for e in os.listdir(os.path.join(root, "_snapshots", "deletes"))
+        if not e.startswith("_")
+    ]
+    assert len(entries) == 1
+    # and it references the compacted generation, not the stale files
+    (entry,) = entries
+    referenced = {
+        r["relpath"]
+        for r in spark.read.parquet(
+            os.path.join(root, "_snapshots", "deletes", entry)
+        ).collect()
+    }
+    live = {p for p, _ in log.files(log.latest())}
+    assert referenced <= live
+
+
+def test_eq_delete_rederives_scope_across_append(spark, tmp_path, monkeypatch):
+    """Equality delete racing an append that lands ANOTHER row of the
+    deleted key: the appended commit is EARLIER in the log, so the
+    re-derived scope covers its file too and both versions of the key
+    die — the serial order the log records."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch, lambda: _land_append(spark, root, [(5, 9999)])
+    )
+    res = S.snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(5,)], "id long")
+    )
+    assert state["fired"] and res["deleted_keys"] == 1
+    got = read_table_at(spark, root)
+    assert got.filter("id = 5").count() == 0
+    assert got.count() == 39  # both copies of key 5 subtracted
+
+
+def test_mor_upsert_rebases_across_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """MOR upsert racing an append of a shared key: the upsert is
+    LATER in the log, so its row wins (scope re-derived at the new
+    latest covers the appended file), its own landed files are reused
+    (no double write), and the rebase loses no one's rows."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch, lambda: _land_append(spark, root, [(7, 7777), (600, 0)])
+    )
+    batch = spark.createDataFrame([(7, 14_000), (601, 1)], "id long, v long")
+    res = S.snapshot_upsert_mor(spark, root, batch, ["id"])
+    assert state["fired"] and res["upserted_keys"] == 2
+    got = read_table_at(spark, root)
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows[7] == 14_000  # upsert (later commit) wins the shared key
+    assert rows[600] == 0 and rows[601] == 1  # disjoint rows both survive
+    assert got.count() == 42  # 40 base (key 7 replaced) + 600 + 601
+    assert got.filter("id = 7").count() == 1
+
+
+def test_rebase_bounded_retries_exhaust(spark, tmp_path, monkeypatch):
+    """A writer that loses EVERY retry must surface the conflict after
+    the bounded attempt count, not spin forever."""
+    root = _tbl(spark, tmp_path)
+    orig = SnapshotLog.commit
+    counter = {"n": 0}
+
+    def always_racing(self, *a, **k):
+        op = k.get("op") or (a[1] if len(a) > 1 else "")
+        if op == "compact":
+            counter["n"] += 1
+            _land_append(spark, root, [(1000 + counter["n"], 0)])
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(SnapshotLog, "commit", always_racing)
+    with pytest.raises(SnapshotConflictError, match="kept conflicting"):
+        S.snapshot_compact(spark, root, target_bytes=1 << 30)
+    assert counter["n"] == S.COMMIT_REBASE_RETRIES + 1

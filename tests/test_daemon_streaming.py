@@ -648,6 +648,27 @@ def test_stream_static_join_adds_no_join_state(spark):
     )
 
 
+def test_heavy_stateful_queries_default_to_rocksdb(spark):
+    """VERDICT r10 task 2: the heavy stateful queries (session
+    windows — the one SCALE-flagged super-linear decade under the
+    on-heap provider) must run under RocksDB ON THE DEFAULT CODE PATH
+    (no context manager, no env), proven by the rocksdb custom
+    metrics in the run's own progress; and the scoped provider conf
+    must not leak into the session afterwards."""
+    from hbase_compact_spark.streaming.tumbling import _PROVIDER_KEY
+    from hbase_compact_spark.workload_streaming import stream_session
+
+    assert spark.conf.get(_PROVIDER_KEY, None) is None  # clean session
+    progress: list = []
+    stream_session(spark, SF_DIR, progress=progress).collect()
+    assert spark.conf.get(_PROVIDER_KEY, None) is None  # no leak
+    assert any(
+        any(k.startswith("rocksdb") for k in op.get("customMetrics", {}))
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+    ), "session-window state did not run under RocksDB by default"
+
+
 def test_rocksdb_state_store_result_parity(spark):
     """The RocksDB state store (the 100 TB answer to the default
     provider's on-heap state — stream_session and
@@ -658,6 +679,7 @@ def test_rocksdb_state_store_result_parity(spark):
     conf must not leak out of the scoping context manager."""
     from hbase_compact_spark.streaming.tumbling import (
         _PROVIDER_KEY,
+        HDFS_PROVIDER,
         ROCKSDB_PROVIDER,
         state_store_provider,
     )
@@ -668,11 +690,18 @@ def test_rocksdb_state_store_result_parity(spark):
 
     prev = spark.conf.get(_PROVIDER_KEY, None)
     # collect() before leaving each run: run_bounded's memory-sink
-    # rows are localCheckpointed, so they survive the next run
-    base_sess = sorted(map(tuple, stream_session(spark, SF_DIR).collect()))
-    base_tot = sorted(
-        map(tuple, stream_stateful_totals(spark, SF_DIR).collect())
-    )
+    # rows are localCheckpointed, so they survive the next run.
+    # The baseline FORCES the HDFS-backed provider: these two queries
+    # now default to RocksDB (run_bounded heavy_state), and an
+    # explicit session-level provider must win over that default —
+    # which this context also proves.
+    with state_store_provider(spark, HDFS_PROVIDER):
+        base_sess = sorted(
+            map(tuple, stream_session(spark, SF_DIR).collect())
+        )
+        base_tot = sorted(
+            map(tuple, stream_stateful_totals(spark, SF_DIR).collect())
+        )
     with state_store_provider(spark, ROCKSDB_PROVIDER):
         assert spark.conf.get(_PROVIDER_KEY) == ROCKSDB_PROVIDER
         rock_sess = sorted(

@@ -1187,3 +1187,14 @@ def test_ivf_index_incremental_maintenance_and_drift_gate(spark, tmp_path):
     assert out["mode"] == "retrain", out
     assert out["new_mean"] < out["base_mean"]
     assert alog.latest() == v2  # no commit on retrain decision
+
+    # empty delta (ADVICE r10): a no-op return, never a raise from
+    # append_partitioned's zero-file guard, and no commit
+    empty = extend_ivf_index(spark, delta.limit(0), root)
+    assert empty == {
+        "mode": "incremental",
+        "appended": 0,
+        "base_mean": out["base_mean"],
+        "new_mean": None,
+    }
+    assert alog.latest() == v2

@@ -1443,3 +1443,20 @@ def test_rollback_restores_state_spec_and_mor(spark, tmp_path):
     S.snapshot_rollback(spark, root, v_spec)
     assert S.partition_spec_of(log)["partition_by"] == ["v"]
     assert S.read_table_at(spark, root).count() == 40
+    # spec-id uniqueness across rollbacks (ADVICE r10): the rollback
+    # re-stamps the pinned spec with a FRESH id, so a later evolution
+    # (which derives next-id from the nearest parent-chain record) can
+    # never re-issue an id that a shadowed, different spec already
+    # used. One more evolution exercises exactly that path.
+    S.evolve_partitioning(spark, root, ["id"])
+    by_id: dict[int, tuple] = {}
+    for ver in log.versions():
+        sp = log.read(ver).get("partition_spec")
+        if sp is None:
+            continue
+        cols = tuple(sp["partition_by"])
+        seen = by_id.setdefault(int(sp["spec_id"]), cols)
+        assert seen == cols, (
+            f"spec_id {sp['spec_id']} names two different specs: "
+            f"{seen} vs {cols}"
+        )

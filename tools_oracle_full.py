@@ -35,6 +35,18 @@ import time
 from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent)
+
+# fixture-memo tags the forced-branch run wipes before import (so the
+# capped builders rebuild under the forced branch); the recorded
+# _meta["memos_wiped"] derives from this SAME tuple — the provenance
+# metadata can never understate what was rebuilt (ADVICE r10)
+_FORCED_WIPE_TAGS = (
+    "clusterlabels",
+    "merge_scan",
+    "mor_delete_scan",
+    "eqdelete_scan",
+    "mor_upsert_scan",
+)
 sys.path.insert(0, _REPO)
 
 
@@ -101,13 +113,7 @@ def main() -> None:
         os.environ["HCS_SEMANTIC_SPLIT_CAP"] = "40"
         os.environ["HCS_MOR_BROADCAST_ROWS"] = "0"
         sf_name = os.path.basename(args.sf_dir.rstrip("/"))
-        for tag in (
-            "clusterlabels",
-            "merge_scan",
-            "mor_delete_scan",
-            "eqdelete_scan",
-            "mor_upsert_scan",
-        ):
+        for tag in _FORCED_WIPE_TAGS:
             for d in glob.glob(
                 os.path.join(tempfile.gettempdir(), f"hcs_{tag}_{sf_name}_*")
             ):
@@ -274,7 +280,7 @@ def main() -> None:
                 "HCS_SEMANTIC_SPLIT_CAP": "40",
                 "HCS_MOR_BROADCAST_ROWS": "0",
             },
-            "memos_wiped": ["clusterlabels", "merge_scan", "mor_delete_scan"],
+            "memos_wiped": list(_FORCED_WIPE_TAGS),
             "subprocess_rc": rc,
             **{k: v for k, v in fdata.items() if k != "_meta"},
         }
