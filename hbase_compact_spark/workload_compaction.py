@@ -1964,3 +1964,119 @@ def snapshot_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_at(spark, root, "audit-preevolution"),
         "audit-preevolution",
     ).unionByName(agg(read_table_at(spark, root, "main"), "main"))
+
+
+# --------------------------------------------------------------------
+# snapshot_transform_scan — hidden-partitioning TRANSFORMS (Iceberg
+# days()/bucket() partition transforms, VERDICT r10 task 3): the spec
+# derives the layout from a FUNCTION of a data column, readers prune
+# from the path value alone, and the scan predicate stays on the raw
+# column — the user never addresses the layout.
+# Day window spanning the generation boundary (events span 2024-01-01
+# .. 2024-01-30; the plain generation holds days < 16).
+TR_SPLIT = "2024-01-16 00:00:00"
+TR_LO = "2024-01-13 00:00:00"
+TR_HI = "2024-01-20 00:00:00"
+
+
+def transform_scan_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `events` as a two-generation transform-spec table:
+    v1 bootstraps the first half (ts < TR_SPLIT) as plain files, v2 =
+    `evolve_partitioning(["days(ts)", "bucket(4, user_id)"])` —
+    metadata only — and v3 appends the second half, which lands under
+    `_hp_ts_day=yyyy-MM-dd/_hp_user_id_bucket4=<b>` directories
+    (day value = UTC date cast, bucket = crc32(str(user_id)) % 4 —
+    the same function the driver-side pruner computes). At 100 TB
+    this is the ingest-time layout for a time-series table: every
+    daily query opens one day dir per spec generation, and a per-user
+    drill-down opens 1/4 of it, with zero stats annotation."""
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+        evolve_partitioning,
+        parse_partition_field,
+        partition_spec_of,
+    )
+
+    def _ready(lg) -> bool:
+        if (lg.latest() or 0) < 3:
+            return False
+        spec = partition_spec_of(lg)
+        return bool(spec) and spec["partition_by"] == [
+            "days(ts)",
+            "bucket(4, user_id)",
+        ]
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, "transform_scan", _ready, src_table="events"
+    )
+    if ok:
+        return root
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    split = F.to_timestamp(F.lit(TR_SPLIT))
+    ev.filter(F.col("ts") < split).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(root)
+    log.bootstrap()  # v1: plain pre-transform layout
+    evolve_partitioning(
+        spark, root, ["days(ts)", "bucket(4, user_id)"]
+    )  # v2: metadata only
+    append_partitioned(spark, root, ev.filter(F.col("ts") >= split))  # v3
+    # the builder asserts the layout contract on every materialization
+    fld = parse_partition_field("days(ts)")
+    spec_files = [
+        p for p, _ in log.files(log.latest()) if "_hp_ts_day=" in p
+    ]
+    if not spec_files or not all(
+        "_hp_user_id_bucket4=" in p for p in spec_files
+    ):
+        raise RuntimeError("transform append landed outside the spec layout")
+    days = {p.split("_hp_ts_day=", 1)[1][:10] for p in spec_files}
+    if min(days) < "2024-01-16" and fld.transform == "days":
+        raise RuntimeError(f"plain-generation day leaked into the spec: {days}")
+    return root
+
+
+@query(
+    "snapshot_transform_scan",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(sum(CAST(value AS DECIMAL(20,6)))
+                OVER (PARTITION BY 1) AS DOUBLE) AS window_sum
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{TR_LO}' AND TIMESTAMP '{TR_HI}'
+    """,
+)
+def snapshot_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over the transform-spec table: the predicate is on
+    the RAW ts column, `scan_plan` derives its `_hp_ts_day` twin, and
+    only the in-window day dirs (plus the stats-free plain
+    generation, conservatively kept) are opened — pruning pinned in
+    tests/test_snapshot_workloads.py, dir-open accounting in the
+    fixture builder. Oracle = the same window filtered from the full
+    table, with a total-sum witness column proving no row was lost to
+    pruning. Generalizes the reference's time-window gate
+    (QHBaseCompact.java:48-60) from \"when may I run\" to \"which
+    files may I read\"."""
+    import datetime
+
+    from hbase_compact_spark.compaction.snapshots import read_table_where
+
+    root = transform_scan_root(spark, sf_dir)
+    lo = datetime.datetime.fromisoformat(TR_LO)
+    hi = datetime.datetime.fromisoformat(TR_HI)
+    got = read_table_where(spark, root, {"ts": (lo, hi)})
+    from pyspark.sql import Window
+
+    return got.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("double")
+        .alias("window_sum"),
+    )

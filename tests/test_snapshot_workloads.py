@@ -1460,3 +1460,250 @@ def test_rollback_restores_state_spec_and_mor(spark, tmp_path):
             f"spec_id {sp['spec_id']} names two different specs: "
             f"{seen} vs {cols}"
         )
+
+
+# ---------------------------------------------------------------------
+# Hidden-partitioning TRANSFORMS (VERDICT r10 task 3): days / bucket /
+# truncate spec fields — write-path layout, metadata-only pruning from
+# the path alone, and spec migration through snapshot_compact.
+
+
+def test_transform_write_and_prune_functions_agree(spark):
+    """The JVM write-path expression and the driver-side pruning
+    function MUST compute the same value for every transform — that
+    identity is what makes path-only pruning sound. Checked value-for-
+    value over ints (incl. negatives), strings, and timestamps."""
+    import datetime
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    df = spark.createDataFrame(
+        [
+            (i - 25, f"key_{i:03d}", datetime.datetime(2024, 3, 1 + i % 27, i % 24, 30, 59, 123456))
+            for i in range(54)
+        ],
+        "i long, s string, ts timestamp",
+    )
+    fields = [
+        S.parse_partition_field("bucket(8, i)"),
+        S.parse_partition_field("bucket(8, s)"),
+        S.parse_partition_field("truncate(4, i)"),
+        S.parse_partition_field("truncate(4, s)"),
+        S.parse_partition_field("days(ts)"),
+    ]
+    sel = [S._partition_field_expr(df, f).alias(f.name) for f in fields] + [
+        "i", "s", "ts"
+    ]
+    for r in df.select(*sel).collect():
+        for f in fields:
+            src_val = r[f.source]
+            want = S._transform_bound(f, src_val)
+            assert str(want) == r[f.name], (
+                f"{f}: JVM={r[f.name]!r} python={want!r} src={src_val!r}"
+            )
+
+
+def test_days_transform_layout_prunes_from_path(spark, tmp_path):
+    """days(ts) spec: appends land under `_hp_ts_day=yyyy-MM-dd`
+    dirs, a ts range scan opens ONLY matching day dirs (plus the
+    stats-free plain generation, conservatively kept), and the read
+    equals full-scan + filter exactly."""
+    import datetime
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(240).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2024-03-01 00:00:00') AS ts",
+    )
+    df.filter("ts < timestamp'2024-03-04 00:00:00'").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["days(ts)"])
+    S.append_partitioned(
+        spark, root, df.filter("ts >= timestamp'2024-03-04 00:00:00'")
+    )
+    log = SnapshotLog(spark, root)
+    spec_files = [p for p, _ in log.files(log.latest()) if "_hp_ts_day=" in p]
+    assert len({p.split("/")[0] for p in spec_files}) == 7  # days 04..10
+    lo = datetime.datetime(2024, 3, 6)
+    hi = datetime.datetime(2024, 3, 7, 23, 59, 59)
+    plan = scan_plan(spark, root, {"ts": (lo, hi)})
+    for p in plan["paths"]:
+        if "_hp_ts_day=" in p:
+            assert "_hp_ts_day=2024-03-06" in p or "_hp_ts_day=2024-03-07" in p, p
+    assert plan["pruned_files"] >= 5  # the other 5 day dirs dropped
+    got = S.read_table_where(spark, root, {"ts": (lo, hi)})
+    want = df.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert sorted(map(tuple, got.select("id", "ts").collect())) == sorted(
+        map(tuple, want.select("id", "ts").collect())
+    )
+    assert got.count() == 48  # two full days of hourly rows
+
+
+def test_bucket_transform_prunes_point_lookups(spark, tmp_path):
+    """bucket(4, id) spec: a point lookup keeps exactly one bucket
+    dir of the spec generation (1/N of the appended files) and the
+    read equals the filter; range predicates on the source column do
+    NOT prune buckets (non-monotonic transform)."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(400).selectExpr("id", "id * 3 AS v")
+    df.filter("id < 100").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["bucket(4, id)"])
+    S.append_partitioned(spark, root, df.filter("id >= 100"))
+    log = SnapshotLog(spark, root)
+    buckets = {
+        p.split("=", 1)[1].split("/")[0]
+        for p, _ in log.files(log.latest())
+        if "_hp_id_bucket4=" in p
+    }
+    assert buckets == {"0", "1", "2", "3"}
+    import zlib
+
+    target = 251
+    b = str(zlib.crc32(str(target).encode()) % 4)
+    plan = scan_plan(spark, root, {"id": target})
+    for p in plan["paths"]:
+        if "_hp_id_bucket4=" in p:
+            assert f"_hp_id_bucket4={b}" in p, p
+    assert plan["pruned_files"] >= 3
+    got = S.read_table_where(spark, root, {"id": target})
+    assert [tuple(r) for r in got.select("id", "v").collect()] == [
+        (251, 753)
+    ]
+    # a RANGE on id must not prune buckets (only the eq path derives)
+    plan_rng = scan_plan(spark, root, {"id": (200, 210)})
+    kept_buckets = {
+        p.split("=", 1)[1].split("/")[0]
+        for p in plan_rng["paths"]
+        if "_hp_id_bucket4=" in p
+    }
+    assert kept_buckets == {"0", "1", "2", "3"}
+
+
+def test_truncate_transform_layout_and_pruning(spark, tmp_path):
+    """truncate(4, s) on strings: appended files land under the 4-char
+    prefix dirs, prefix-range predicates prune, and the read is
+    exact. Integer truncate is covered by the parity test above and
+    the floor-to-multiple rule (negatives round DOWN, Iceberg-style)."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(120).selectExpr(
+        "id", "concat('grp', CAST(id % 3 AS STRING), '_', CAST(id AS STRING)) AS s"
+    )
+    df.filter("id < 30").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["truncate(4, s)"])
+    S.append_partitioned(spark, root, df.filter("id >= 30"))
+    log = SnapshotLog(spark, root)
+    prefixes = {
+        p.split("=", 1)[1].split("/")[0]
+        for p, _ in log.files(log.latest())
+        if "_hp_s_trunc4=" in p
+    }
+    assert prefixes == {"grp0", "grp1", "grp2"}
+    plan = scan_plan(spark, root, {"s": ("grp1_", "grp1_zzzz")})
+    for p in plan["paths"]:
+        if "_hp_s_trunc4=" in p:
+            assert "_hp_s_trunc4=grp1" in p, p
+    assert plan["pruned_files"] >= 2
+    got = S.read_table_where(spark, root, {"s": ("grp1_", "grp1_zzzz")})
+    want = df.filter("s >= 'grp1_' AND s <= 'grp1_zzzz'")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_transform_spec_migration_and_validation(spark, tmp_path):
+    """snapshot_compact(migrate_spec=True) rewrites plain-generation
+    files INTO the transform layout (identity→transform migration),
+    after which the whole table prunes from the path; and
+    evolve_partitioning rejects unsound transform specs loudly."""
+    import pytest as _pytest
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(240).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2024-03-01 00:00:00') AS ts",
+    )
+    df.filter("ts < timestamp'2024-03-04 00:00:00'").repartition(2).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["days(ts)"])
+    S.append_partitioned(
+        spark, root, df.filter("ts >= timestamp'2024-03-04 00:00:00'")
+    )
+    res = S.snapshot_compact(spark, root, migrate_spec=True)
+    assert res["migrated"] == 2
+    log = SnapshotLog(spark, root)
+    assert all(
+        "_hp_ts_day=" in p for p, _ in log.files(log.latest())
+    )  # one layout now
+    got = S.read_table_at(spark, root)
+    assert sorted(map(tuple, got.select("id").collect())) == [
+        (i,) for i in range(240)
+    ]
+    # post-migration: the whole table prunes from the path
+    import datetime
+
+    plan = scan_plan(
+        spark, root,
+        {"ts": (datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 2, 23, 59, 59))},
+    )
+    assert all("_hp_ts_day=2024-03-02" in p for p in plan["paths"])
+    # validation: wrong source type, name collision, bad syntax
+    r2 = str(tmp_path / "t2")
+    spark.range(10).selectExpr("id", "CAST(id AS STRING) AS id_day").write.parquet(r2)
+    with _pytest.raises(ValueError, match="date/timestamp"):
+        S.evolve_partitioning(spark, r2, ["days(id)"])
+    with _pytest.raises(ValueError, match="unparseable"):
+        S.evolve_partitioning(spark, r2, ["hours(id)"])
+    # truncate on a double column
+    r3 = str(tmp_path / "t3")
+    spark.range(10).selectExpr("CAST(id AS DOUBLE) AS d").write.parquet(r3)
+    with _pytest.raises(ValueError, match="string/integer"):
+        S.evolve_partitioning(spark, r3, ["truncate(2, d)"])
+    # derived-name collision with a real data column
+    r4 = str(tmp_path / "t4")
+    spark.range(10).selectExpr(
+        "id", "current_timestamp() AS ts", "CAST(id AS STRING) AS ts_day"
+    ).write.parquet(r4)
+    with _pytest.raises(ValueError, match="collides"):
+        S.evolve_partitioning(spark, r4, ["days(ts)"])
+
+
+def test_transform_scan_query_prunes_day_dirs(spark):
+    """The registered snapshot_transform_scan fixture: its day-window
+    predicate must open only in-window `_hp_ts_day` dirs (the spec
+    generation prunes from the path alone) while the stats-free plain
+    generation is conservatively kept."""
+    import datetime
+
+    from hbase_compact_spark.workload_compaction import (
+        TR_HI,
+        TR_LO,
+        transform_scan_root,
+    )
+
+    root = transform_scan_root(spark, SF_DIR)
+    plan = scan_plan(
+        spark,
+        root,
+        {
+            "ts": (
+                datetime.datetime.fromisoformat(TR_LO),
+                datetime.datetime.fromisoformat(TR_HI),
+            )
+        },
+    )
+    spec_kept = 0
+    for p in plan["paths"]:
+        if "_hp_ts_day=" in p:
+            d = p.split("_hp_ts_day=", 1)[1][:10]
+            assert "2024-01-13" <= d <= "2024-01-20", p
+            spec_kept += 1
+    assert spec_kept > 0           # the window's spec files are served
+    assert plan["pruned_files"] > 0  # out-of-window day dirs dropped
