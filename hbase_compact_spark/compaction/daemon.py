@@ -57,12 +57,25 @@ class DaemonConfig:
     # (CompactionCheckpoint is local-FS by contract) — an hdfs://
     # or s3a:// deployment MUST point this at a local path
     checkpoint_path: str | None = None
+    # merge-on-read maintenance (VERDICT r10 task 4): when set, the
+    # table is a SNAPSHOT-LOGGED MOR table (the streaming-upsert /
+    # deferred-delete shape) and each daemon cycle runs
+    # snapshots.maintain_mor instead of the in-place executor —
+    # snapshot tables must never go through the swap-manifest rewrite,
+    # whose in-place file replacement would invalidate committed
+    # manifests. The trigger: pending delete entries > mor_pending_max
+    # OR oldest entry older than mor_pending_age_s → snapshot_compact
+    # applies and retires the chain.
+    mor_pending_max: int | None = None
+    mor_pending_age_s: float | None = None
 
 
 @dataclass
 class DaemonRun:
     stats_report: list
-    cycles: list[CompactionReport] = field(default_factory=list)
+    # CompactionReport per cycle in the in-place mode; maintain_mor
+    # result dicts in the merge-on-read maintenance mode
+    cycles: list = field(default_factory=list)
 
 
 def stats_report(spark: SparkSession, table_root: str) -> DataFrame:
@@ -113,6 +126,8 @@ def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
     `max_cycles` passes over the table, each compacting up to
     `partitions_per_iteration` partitions at a time with the
     reference's pacing structure."""
+    if cfg.mor_pending_max is not None:
+        return _run_mor_maintenance(spark, cfg)
     ckpt = CompactionCheckpoint(
         cfg.checkpoint_path
         or f"{cfg.table_root}/_compaction_checkpoint.json"
@@ -144,6 +159,34 @@ def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
         # wraparound: reset the cursor and take the long cycle pause
         # (QHBaseCompact.java:140-143)
         ckpt.reset()
+        if cycle + 1 < cfg.max_cycles:
+            time.sleep(cfg.cycle_pause_s)
+    return run
+
+
+def _run_mor_maintenance(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
+    """The daemon's merge-on-read mode: same pacing/window/cycle
+    structure, but the per-cycle action is `snapshots.maintain_mor` —
+    an O(history-JSON) metadata probe that only compacts when the
+    pending delete-entry chain breaches the configured count/age
+    policy. `cycles` carries the maintain_mor result dicts (one per
+    cycle) so callers can pin chain-length behavior."""
+    from hbase_compact_spark.compaction.snapshots import maintain_mor
+
+    run = DaemonRun(stats_report=stats_report(spark, cfg.table_root).collect())
+    for cycle in range(cfg.max_cycles):
+        if cfg.window is not None:
+            while not _in_time_window(*cfg.window):
+                time.sleep(cfg.window_recheck_s)
+        run.cycles.append(
+            maintain_mor(
+                spark,
+                cfg.table_root,
+                max_pending=cfg.mor_pending_max,
+                max_age_s=cfg.mor_pending_age_s,
+                target_bytes=cfg.target_bytes,
+            )
+        )
         if cycle + 1 < cfg.max_cycles:
             time.sleep(cfg.cycle_pause_s)
     return run

@@ -2080,3 +2080,167 @@ def snapshot_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("window_sum"),
     )
+
+
+# --------------------------------------------------------------------
+# snapshot_files_meta / snapshot_partitions_meta — the remaining two
+# Iceberg METADATA TABLES a 100 TB operator actually queries
+# (`table$files`, `table$partitions`; VERDICT r10 task 5): per-file
+# stats and pending-delete flags, and the per-partition rollup, all
+# from ONE manifest scan — zero data files opened (inputFiles pinned
+# in tests/test_snapshot_workloads.py).
+FM_KEY = 42        # equality-delete key; lives in rng=0 at every sf
+FM_RANGES = 4      # top-level range dirs
+_FM_TAG = "files_meta"
+
+
+def files_meta_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` in a DETERMINISTIC layout the oracle can
+    reconstruct in SQL: hive dirs `rng=<0..3>` (rng = floor(4 *
+    o_orderkey / (max+1)), IEEE-identical in Spark and DuckDB) with
+    exactly TWO files per dir (one per o_orderkey parity — two
+    single-task writes), stats-annotated on o_orderkey, then ONE
+    equality delete of key FM_KEY whose stats-probed scope is exactly
+    the two rng=0 files (every other dir's min exceeds the key). The
+    builder asserts the 2-files-per-dir layout and the 2-file scope."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_delete_by_key,
+    )
+
+    def _ready(lg) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and lg.read(v).get("op") == "mor_delete_eq"
+            and bool(lg.delete_files(v))
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, _FM_TAG, _ready)
+    if ok:
+        return root
+    orders = _orders_slim(spark, sf_dir)
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    if not (FM_RANGES * FM_KEY) / mx < 1.0:
+        raise RuntimeError(f"FM_KEY {FM_KEY} does not land in rng=0 (max+1={mx})")
+    aug = orders.withColumn(
+        "rng",
+        F.floor(F.lit(float(FM_RANGES)) * F.col("o_orderkey") / F.lit(float(mx)))
+        .cast("long"),
+    )
+    for par in (0, 1):
+        (
+            aug.filter(F.col("o_orderkey") % 2 == par)
+            .coalesce(1)
+            .write.mode("append" if par else "overwrite")
+            .partitionBy("rng")
+            .parquet(root)
+        )
+    log.bootstrap()
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    by_dir: dict[str, int] = {}
+    for p, _ in log.files(log.latest()):
+        by_dir[posixpath.dirname(p)] = by_dir.get(posixpath.dirname(p), 0) + 1
+    if sorted(by_dir) != [f"rng={r}" for r in range(FM_RANGES)] or set(
+        by_dir.values()
+    ) != {2}:
+        raise RuntimeError(f"files_meta layout drifted: {by_dir}")
+    res = snapshot_delete_by_key(
+        spark, root, spark.createDataFrame([(FM_KEY,)], "o_orderkey long")
+    )
+    scope = spark.read.parquet(
+        posixpath.join(
+            log.deletes_dir, log.delete_files(log.latest())[0][0], "scope"
+        )
+    )
+    scoped = sorted(r["relpath"] for r in scope.collect())
+    if len(scoped) != 2 or not all(p.startswith("rng=0/") for p in scoped):
+        raise RuntimeError(
+            f"eq scope must be exactly the two rng=0 files, got {scoped}"
+        )
+    assert res["deleted_keys"] == 1
+    return root
+
+
+_FM_ORACLE_CTE = f"""
+    WITH m AS (SELECT max(o_orderkey) + 1 AS mx FROM orders),
+    f AS (SELECT CAST(FLOOR({float(FM_RANGES)} * o_orderkey / mx) AS BIGINT)
+                     AS rng,
+                 o_orderkey % 2 AS par, o_orderkey
+          FROM orders, m)
+"""
+
+
+@query(
+    "snapshot_files_meta",
+    oracle=_FM_ORACLE_CTE
+    + """
+    SELECT 'rng=' || CAST(rng AS VARCHAR) AS part_dir,
+           CAST(count(*) AS BIGINT) AS row_count,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           rng = 0 AS eq_pending
+    FROM f GROUP BY rng, par
+    """,
+)
+def snapshot_files_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table$files` over the deterministic-layout fixture: one row
+    per data file with its partition dir, recorded row count, the
+    o_orderkey [min, max] from the manifest stats payload, and the
+    equality-pending flag (TRUE exactly for the two rng=0 files the
+    FM_KEY delete scoped). The oracle reconstructs every column from
+    the data because the layout rule (rng × parity) is pure SQL — so
+    a hash match proves the MANIFEST's metadata agrees row-for-row
+    with ground truth, without the query opening one data file.
+    Generalizes the reference's table-descriptor/stats report
+    (QHBaseCompact.java:219-270) from a log line to a queryable
+    relation."""
+    from hbase_compact_spark.compaction.snapshots import table_files_meta
+
+    root = files_meta_root(spark, sf_dir)
+    return table_files_meta(spark, root).select(
+        "part_dir",
+        "row_count",
+        F.get_json_object("stats_json", "$.cols.o_orderkey[0]")
+        .cast("long")
+        .alias("min_key"),
+        F.get_json_object("stats_json", "$.cols.o_orderkey[1]")
+        .cast("long")
+        .alias("max_key"),
+        "eq_pending",
+    )
+
+
+@query(
+    "snapshot_partitions_meta",
+    oracle=_FM_ORACLE_CTE
+    + """
+    SELECT 'rng=' || CAST(rng AS VARCHAR) AS part_dir,
+           CAST(count(DISTINCT par) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS row_count,
+           CAST(CASE WHEN rng = 0 THEN 2 ELSE 0 END AS BIGINT)
+               AS n_eq_pending_files,
+           CAST(0 AS BIGINT) AS n_pos_pending_files
+    FROM f GROUP BY rng
+    """,
+)
+def snapshot_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table$partitions` over the same fixture: per-partition file
+    count, recorded row total, and pending-delete file counts — the
+    rollup an operator scans to find which partitions owe a MOR
+    rewrite. byte totals are real but environment-dependent, so the
+    hashed surface carries the invariant columns; total_bytes > 0 is
+    pinned test-side."""
+    from hbase_compact_spark.compaction.snapshots import (
+        table_partitions_meta,
+    )
+
+    root = files_meta_root(spark, sf_dir)
+    return table_partitions_meta(spark, root).select(
+        "part_dir",
+        "n_files",
+        "row_count",
+        "n_eq_pending_files",
+        "n_pos_pending_files",
+    )

@@ -1707,3 +1707,42 @@ def test_transform_scan_query_prunes_day_dirs(spark):
             spec_kept += 1
     assert spec_kept > 0           # the window's spec files are served
     assert plan["pruned_files"] > 0  # out-of-window day dirs dropped
+
+
+def test_metadata_tables_open_no_data_files(spark):
+    """`table$files` / `table$partitions` (VERDICT r10 task 5) must
+    plan over snapshot METADATA only: every input file of both plans
+    lives under `_snapshots/` (the manifest parquet + delete-entry
+    payloads), never a data file; flags and rollups are exact; and
+    total_bytes is real (positive, summing to the manifest's size
+    column)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        table_files_meta,
+        table_partitions_meta,
+    )
+    from hbase_compact_spark.workload_compaction import files_meta_root
+
+    root = files_meta_root(spark, SF_DIR)
+    files = table_files_meta(spark, root)
+    parts = table_partitions_meta(spark, root)
+    for df in (files, parts):
+        inputs = df.inputFiles()
+        assert inputs, "plan should read the manifest parquet"
+        for f in inputs:
+            assert "/_snapshots/" in f, f"data file opened: {f}"
+    rows = files.collect()
+    assert len(rows) == 8
+    assert all(r["size_bytes"] > 0 and r["row_count"] > 0 for r in rows)
+    assert {r["part_dir"] for r in rows} == {f"rng={i}" for i in range(4)}
+    assert all(
+        r["eq_pending"] == (r["part_dir"] == "rng=0") for r in rows
+    )
+    assert not any(r["pos_pending"] for r in rows)
+    prow = {r["part_dir"]: r for r in parts.collect()}
+    assert all(prow[d]["n_files"] == 2 for d in prow)
+    assert all(prow[d]["total_bytes"] > 0 for d in prow)
+    log = SnapshotLog(spark, root)
+    assert sum(prow[d]["total_bytes"] for d in prow) == sum(
+        s for _, s in log.files(log.latest())
+    )
+    assert prow["rng=0"]["n_eq_pending_files"] == 2
