@@ -106,14 +106,60 @@ def main() -> None:
         }
         print(f"{name:10s} recall@10={recall}", flush=True)
 
+    # ---- dial curves (VERDICT r10 task 6): the full recall/latency
+    # trade-off surface so a user can pick an operating point, not
+    # just the registered defaults. n_probe is bounded by n_lists
+    # (10 labels); rerank_factor sweeps the ADC-candidate multiplier.
+    from hbase_compact_spark.functions.similarity import ivf_topk, pq_topk
+    from hbase_compact_spark.tables import load_table
+
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    qdf = emb.filter(emb.vec_id < 5)
+    curves: dict[str, list] = {"ann_ivf_n_probe": [], "ann_pq_rerank_factor": []}
+    for n_probe in (1, 2, 4, 6, 8, 9, 10):
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                qdf, emb, k=10, n_probe=n_probe, refine_iters=2
+            ).collect()
+        }
+        curves["ann_ivf_n_probe"].append(
+            {
+                "n_probe": n_probe,
+                "recall_at_10": round(len(exact & approx) / len(exact), 4),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+        print(f"ivf n_probe={n_probe}: {curves['ann_ivf_n_probe'][-1]}", flush=True)
+    for rf in (10, 20, 40, 60, 80):
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in pq_topk(qdf, emb, k=10, rerank_factor=rf).collect()
+        }
+        curves["ann_pq_rerank_factor"].append(
+            {
+                "rerank_factor": rf,
+                "recall_at_10": round(len(exact & approx) / len(exact), 4),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+        print(f"pq rerank_factor={rf}: {curves['ann_pq_rerank_factor'][-1]}", flush=True)
+
     payload = {
         "_meta": {
             "sf_dir": args.sf_dir,
             "round": rnd,
             "baseline": "similarity_topk (exact brute-force cosine)",
-            "floor_in_tests": {"ann_lsh": 0.8, "ann_ivf": "dial", "ann_pq": 0.7},
+            "floor_in_tests": {
+                "ann_lsh": 0.8,
+                "ann_ivf": "dial + 0.9 at n_probe=9",
+                "ann_pq": "0.7 at rerank_factor=40, 0.9 at 80",
+            },
         },
         **results,
+        "dial_curves": curves,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
