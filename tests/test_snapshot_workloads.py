@@ -1746,3 +1746,110 @@ def test_metadata_tables_open_no_data_files(spark):
         s for _, s in log.files(log.latest())
     )
     assert prow["rng=0"]["n_eq_pending_files"] == 2
+
+
+# ---------------------------------------------------------------------
+# Write-path SORT ORDERS (VERDICT r10 stretch task): a table-level
+# declaration every writer honors — appends arrive pre-prunable,
+# compaction defaults to the declared shape.
+
+
+def test_sort_order_appends_arrive_prunable(spark, tmp_path):
+    """Two identical tables, one with a declared sort order: after the
+    same append + stats annotation, a range predicate on the sort
+    column prunes MORE files from the ordered table (its files carry
+    disjoint ranges) — and the declaration itself is metadata-only."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    df = spark.range(4000).selectExpr(
+        "pmod(hash(id), 4000) AS k", "id AS v"
+    )
+
+    def build(root, declare):
+        df.limit(1).write.parquet(root)  # seed so the log can bootstrap
+        log = SnapshotLog(spark, root)
+        log.bootstrap()
+        if declare:
+            before = log.files(log.latest())
+            v = S.set_sort_order(spark, root, ["k"])
+            assert log.files(v) == before  # metadata-only
+            assert S.sort_order_of(log) == {"order_id": 1, "sort_by": ["k"]}
+        S.append_partitioned(spark, root, df)
+        S.annotate_stats(spark, root, cols=["k"])
+        return log
+
+    sorted_log = build(str(tmp_path / "s"), True)
+    plain_log = build(str(tmp_path / "p"), False)
+    pred = {"k": (100, 199)}
+    plan_s = scan_plan(spark, str(tmp_path / "s"), pred)
+    plan_p = scan_plan(spark, str(tmp_path / "p"), pred)
+    assert plan_s["pruned_files"] > plan_p["pruned_files"]
+    # the ordered table serves the window from a small file fraction
+    assert plan_s["kept_files"] <= max(
+        3, plan_s["kept_files"] + plan_s["pruned_files"] - 3
+    )
+    got = S.read_table_where(spark, str(tmp_path / "s"), pred)
+    want = list(map(tuple, df.filter("k BETWEEN 100 AND 199").collect()))
+    want += [
+        tuple(r) for r in df.limit(1).collect() if 100 <= r["k"] <= 199
+    ]  # the 1-row bootstrap seed duplicates one df row
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+
+def test_compact_defaults_to_declared_sort_order(spark, tmp_path):
+    """snapshot_compact with NO explicit sort/cluster args must honor
+    the declared order: post-compact files carry disjoint sort-column
+    ranges (strictly improving pruning), and unsetting the order
+    (sort_by=[]) restores plain repartition rewrites."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("pmod(hash(id), 2000) AS k", "id AS v")
+    df.repartition(6).write.parquet(root)  # hash layout: all files span k
+    log = SnapshotLog(spark, root)
+    log.bootstrap()
+    S.annotate_stats(spark, root, cols=["k"])
+    S.set_sort_order(spark, root, ["k"])
+    total = sum(s for _, s in log.files())
+    res = S.snapshot_compact(spark, root, target_bytes=max(1, total // 3))
+    assert res["rewritten"] >= 1 and res["new_files"] >= 2
+    stats = log.stats(res["version"])
+    ranges = sorted(
+        tuple(stats[p]["cols"]["k"])
+        for p, _ in log.files(res["version"])
+        if p in stats
+    )
+    assert len(ranges) >= 2
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint per-file key ranges
+    # rows survived the rewrite exactly
+    assert S.read_table_at(spark, root).count() == 2000
+    # unset: the next compact stops range-clustering (no error paths)
+    S.set_sort_order(spark, root, [])
+    assert S.sort_order_of(log) is None
+    # declared-order ids stay monotonic across set/unset
+    assert S._latest_order_id(log) == 2
+
+
+def test_sort_order_validation_and_rollback_pin(spark, tmp_path):
+    """Unknown sort columns are rejected; a rollback across a
+    set_sort_order pins the target's (un)sorted state explicitly."""
+    import pytest as _pytest
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(root)
+    log = SnapshotLog(spark, root)
+    log.bootstrap()
+    v1 = log.latest()
+    with _pytest.raises(ValueError, match="not data columns"):
+        S.set_sort_order(spark, root, ["nope"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        S.set_sort_order(spark, root, ["id", "id"])
+    S.set_sort_order(spark, root, ["id"])
+    assert S.sort_order_of(log) is not None
+    S.snapshot_rollback(spark, root, v1)
+    assert S.sort_order_of(log) is None  # pinned back to unsorted
+    S.snapshot_rollback(spark, root, log.latest() - 1)
+    assert S.sort_order_of(log) == {"order_id": 3, "sort_by": ["id"]}
