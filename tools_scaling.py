@@ -261,6 +261,8 @@ HEAVY3 = [
     # and the one-commit MOR upsert read
     "snapshot_eqdelete_scan",
     "snapshot_mor_upsert_scan",
+    # r11 addition: the transform-spec pruned read (days+bucket layout)
+    "snapshot_transform_scan",
 ]
 
 
@@ -544,6 +546,90 @@ def bench_recovery_rocksdb(rnd: int | None = None) -> None:
     print("merged recovery_variants into", out_path)
 
 
+def bench_mor_maintenance(rnd: int | None = None) -> None:
+    """The task-4 'Done' SCALE row: read cost as CDC upsert batches
+    accumulate, WITH the daemon's MOR maintenance (chain bounded at 3
+    pending entries) vs WITHOUT (chain grows one equality entry per
+    batch). Each point = warm read (2nd of 2 noop-write scans) of the
+    table's latest snapshot after batch k. The claim being measured:
+    maintained read cost stays ~flat while unmaintained cost grows
+    with chain length — the policy converts an O(batches) read tax
+    into a bounded one."""
+    import shutil
+    import tempfile
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    if rnd is None:
+        raise SystemExit("pass the round number")
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    N, BATCH, K = 2_000_000, 50_000, 10
+
+    def _build(tag: str) -> str:
+        root = os.path.join(tempfile.gettempdir(), f"hcs_mormaint_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        (
+            spark.range(N)
+            .selectExpr("id", "CAST(0 AS LONG) AS batch", "CAST(id AS DOUBLE) AS v")
+            .repartitionByRange(16, "id")
+            .write.parquet(root)
+        )
+        S.annotate_stats(spark, root, cols=["id"])
+        return root
+
+    def _read_sec(root: str) -> float:
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            S.read_table_at(spark, root).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        return round(ts[-1], 3)
+
+    out: dict[str, list] = {}
+    for tag, maintain in (("unmaintained", False), ("maintained", True)):
+        root = _build(tag)
+        curve = []
+        for b in range(1, K + 1):
+            batch = spark.range(BATCH).selectExpr(
+                f"(id * 37 + {b * 101}) % {N} AS key_mod"
+            ).selectExpr(
+                "key_mod AS id",
+                f"CAST({b} AS LONG) AS batch",
+                "CAST(key_mod AS DOUBLE) AS v",
+            ).dropDuplicates(["id"])
+            S.snapshot_upsert_mor(spark, root, batch, ["id"])
+            res = None
+            if maintain:
+                res = S.maintain_mor(spark, root, max_pending=3)
+            log = S.SnapshotLog(spark, root)
+            curve.append(
+                {
+                    "batch": b,
+                    "pending_entries": len(log.delete_files(log.latest())),
+                    "read_sec": _read_sec(root),
+                    "compacted": bool(res and res["triggered"]),
+                }
+            )
+            print(tag, curve[-1], flush=True)
+        out[tag] = curve
+        shutil.rmtree(root, ignore_errors=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    payload["mor_maintenance"] = {
+        "what": (f"read cost after each of {K} CDC upsert batches "
+                 f"({BATCH} keys into a {N}-row table), daemon MOR "
+                 "maintenance (max_pending=3) vs none; warm 2nd-read "
+                 "seconds"),
+        "curves": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged mor_maintenance into", out_path)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
     if cmd == "generate":
@@ -571,5 +657,7 @@ if __name__ == "__main__":
         bench_index_maintenance(int(sys.argv[2]))
     elif cmd == "bench_recovery":
         bench_recovery_rocksdb(int(sys.argv[2]))
+    elif cmd == "bench_mor":
+        bench_mor_maintenance(int(sys.argv[2]))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
