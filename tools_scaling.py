@@ -603,7 +603,17 @@ def bench_mor_maintenance(rnd: int | None = None) -> None:
             S.snapshot_upsert_mor(spark, root, batch, ["id"])
             res = None
             if maintain:
-                res = S.maintain_mor(spark, root, max_pending=3)
+                log0 = S.SnapshotLog(spark, root)
+                total = sum(s for _, s in log0.files(log0.latest()))
+                # keep ~16 output files: at fixture scale the default
+                # 128 MB target would collapse the table into ONE
+                # file and strangle scan parallelism — production
+                # tables keep the default because their partitions
+                # exceed it
+                res = S.maintain_mor(
+                    spark, root, max_pending=3,
+                    target_bytes=max(1, total // 16),
+                )
             log = S.SnapshotLog(spark, root)
             curve.append(
                 {
