@@ -117,9 +117,15 @@ class PartitionField(NamedTuple):
 
 
 _TRANSFORM_RE = re.compile(
-    r"^(days|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"^(days|hours|months|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
+
+# time-granularity transforms share one code path: the dir value is a
+# prefix of the ISO timestamp rendering, so lexicographic order IS
+# time order at every granularity and the same range-derivation rule
+# applies (months=7 chars 'yyyy-MM', days=10, hours=13 'yyyy-MM-dd HH')
+_TIME_TRANSFORMS = {"months": 7, "days": 10, "hours": 13}
 
 
 def parse_partition_field(raw: str) -> PartitionField:
@@ -133,13 +139,14 @@ def parse_partition_field(raw: str) -> PartitionField:
     if not m:
         raise ValueError(
             f"unparseable partition transform {raw!r} — expected "
-            "'col', 'days(col)', 'bucket(N, col)' or 'truncate(W, col)'"
+            "'col', 'months(col)', 'days(col)', 'hours(col)', "
+            "'bucket(N, col)' or 'truncate(W, col)'"
         )
     tr, param, col = m.group(1), m.group(2), m.group(3)
-    if tr == "days":
+    if tr in _TIME_TRANSFORMS:
         if param is not None:
-            raise ValueError(f"days() takes no width: {raw!r}")
-        return PartitionField(f"{col}_day", col, "days", None)
+            raise ValueError(f"{tr}() takes no width: {raw!r}")
+        return PartitionField(f"{col}_{tr[:-1]}", col, tr, None)
     if param is None or int(param) < 1:
         raise ValueError(f"{tr}() needs a positive parameter: {raw!r}")
     n = int(param)
@@ -157,10 +164,12 @@ def _partition_field_expr(df: DataFrame, fld: PartitionField):
     src = F.col(fld.source)
     if fld.transform == "identity":
         return src.cast("string")
-    if fld.transform == "days":
-        # session tz is UTC engine-wide; a date cast renders ISO
-        # yyyy-MM-dd, whose lexicographic order IS its date order
-        return src.cast("date").cast("string")
+    if fld.transform in _TIME_TRANSFORMS:
+        # session tz is UTC engine-wide; ISO prefixes render so that
+        # lexicographic order IS time order at every granularity
+        fmt = {"months": "yyyy-MM", "days": "yyyy-MM-dd",
+               "hours": "yyyy-MM-dd HH"}[fld.transform]
+        return F.date_format(src.cast("timestamp"), fmt)
     if fld.transform == "bucket":
         return F.pmod(F.crc32(src.cast("string")), F.lit(fld.param)).cast(
             "string"
@@ -183,13 +192,17 @@ def _transform_bound(fld: PartitionField, value):
 
     if value is None:
         return None
-    if fld.transform == "days":
+    if fld.transform in _TIME_TRANSFORMS:
+        n = _TIME_TRANSFORMS[fld.transform]
         if isinstance(value, datetime.datetime):
-            return value.strftime("%Y-%m-%d")
+            return value.strftime("%Y-%m-%d %H:%M:%S")[:n]
         if isinstance(value, datetime.date):
-            return value.isoformat()
-        if isinstance(value, str) and len(value) >= 10:
-            return value[:10]
+            # a date bound means midnight in both roles: as a lower
+            # bound every in-range ts has prefix >= it, as an upper
+            # bound Spark compares the midnight cast the same way
+            return (value.isoformat() + " 00")[:n]
+        if isinstance(value, str) and len(value) >= n:
+            return value[:n]
         return None
     if fld.transform == "bucket":
         import zlib
@@ -1600,11 +1613,11 @@ def evolve_partitioning(
                 f"column (have: {sorted(names)})"
             )
         dt = names[fld.source]
-        if fld.transform == "days" and not isinstance(
+        if fld.transform in _TIME_TRANSFORMS and not isinstance(
             dt, (DateType, TimestampType, TimestampNTZType)
         ):
             raise ValueError(
-                f"days() needs a date/timestamp source, "
+                f"{fld.transform}() needs a date/timestamp source, "
                 f"{fld.source!r} is {dt.simpleString()}"
             )
         if fld.transform == "truncate" and not isinstance(

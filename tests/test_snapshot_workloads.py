@@ -1490,6 +1490,8 @@ def test_transform_write_and_prune_functions_agree(spark):
         S.parse_partition_field("truncate(4, i)"),
         S.parse_partition_field("truncate(4, s)"),
         S.parse_partition_field("days(ts)"),
+        S.parse_partition_field("hours(ts)"),
+        S.parse_partition_field("months(ts)"),
     ]
     sel = [S._partition_field_expr(df, f).alias(f.name) for f in fields] + [
         "i", "s", "ts"
@@ -1659,8 +1661,10 @@ def test_transform_spec_migration_and_validation(spark, tmp_path):
     spark.range(10).selectExpr("id", "CAST(id AS STRING) AS id_day").write.parquet(r2)
     with _pytest.raises(ValueError, match="date/timestamp"):
         S.evolve_partitioning(spark, r2, ["days(id)"])
-    with _pytest.raises(ValueError, match="unparseable"):
+    with _pytest.raises(ValueError, match="date/timestamp"):
         S.evolve_partitioning(spark, r2, ["hours(id)"])
+    with _pytest.raises(ValueError, match="unparseable"):
+        S.evolve_partitioning(spark, r2, ["weeks(id)"])
     # truncate on a double column
     r3 = str(tmp_path / "t3")
     spark.range(10).selectExpr("CAST(id AS DOUBLE) AS d").write.parquet(r3)
@@ -1853,3 +1857,61 @@ def test_sort_order_validation_and_rollback_pin(spark, tmp_path):
     assert S.sort_order_of(log) is None  # pinned back to unsorted
     S.snapshot_rollback(spark, root, log.latest() - 1)
     assert S.sort_order_of(log) == {"order_id": 3, "sort_by": ["id"]}
+
+
+def test_hours_and_months_transform_layouts_prune(spark, tmp_path):
+    """hours(ts) and months(ts) complete the time-granularity family:
+    appends land under ISO-prefix dirs ('yyyy-MM-dd HH' / 'yyyy-MM'),
+    raw-ts windows prune to the matching dirs, and reads are exact."""
+    import datetime
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    # hours: 72 hourly rows, spec generation = hours 24..71
+    rh = str(tmp_path / "h")
+    df = spark.range(72).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2024-03-01 00:00:00') AS ts",
+    )
+    df.filter("id < 24").coalesce(1).write.parquet(rh)
+    S.evolve_partitioning(spark, rh, ["hours(ts)"])
+    S.append_partitioned(spark, rh, df.filter("id >= 24"))
+    lo = datetime.datetime(2024, 3, 2, 5)
+    hi = datetime.datetime(2024, 3, 2, 9, 59, 59)
+    plan = scan_plan(spark, rh, {"ts": (lo, hi)})
+    kept_hours = {
+        p.split("_hp_ts_hour=", 1)[1][:13]
+        for p in plan["paths"]
+        if "_hp_ts_hour=" in p
+    }
+    assert kept_hours == {f"2024-03-02 {h:02d}" for h in range(5, 10)}
+    assert plan["pruned_files"] >= 40
+    got = S.read_table_where(spark, rh, {"ts": (lo, hi)})
+    assert got.count() == 5 and got.filter(
+        "ts < timestamp'2024-03-02 05:00:00'"
+    ).count() == 0
+
+    # months: 120 daily rows across 4 months, spec = months 2..4
+    rm = str(tmp_path / "m")
+    dm = spark.range(120).selectExpr(
+        "id",
+        "timestampadd(DAY, CAST(id AS INT), timestamp'2024-01-01 00:00:00') AS ts",
+    )
+    dm.filter("id < 31").coalesce(1).write.parquet(rm)
+    S.evolve_partitioning(spark, rm, ["months(ts)"])
+    S.append_partitioned(spark, rm, dm.filter("id >= 31"))
+    plan = scan_plan(
+        spark, rm,
+        {"ts": (datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 31, 23, 59))},
+    )
+    kept_months = {
+        p.split("_hp_ts_month=", 1)[1][:7]
+        for p in plan["paths"]
+        if "_hp_ts_month=" in p
+    }
+    assert kept_months == {"2024-03"}
+    got = S.read_table_where(
+        spark, rm,
+        {"ts": (datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 31, 23, 59))},
+    )
+    assert got.count() == 31  # march days
