@@ -195,18 +195,51 @@ def _transform_bound(fld: PartitionField, value):
     if fld.transform in _TIME_TRANSFORMS:
         n = _TIME_TRANSFORMS[fld.transform]
         if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                # session tz is UTC engine-wide; an aware bound must be
+                # rendered in UTC or the prefix lands in the wrong dir
+                value = value.astimezone(datetime.timezone.utc)
             return value.strftime("%Y-%m-%d %H:%M:%S")[:n]
         if isinstance(value, datetime.date):
             # a date bound means midnight in both roles: as a lower
             # bound every in-range ts has prefix >= it, as an upper
             # bound Spark compares the midnight cast the same way
             return (value.isoformat() + " 00")[:n]
-        if isinstance(value, str) and len(value) >= n:
-            return value[:n]
+        if isinstance(value, str):
+            # dir values use the CANONICAL 'yyyy-MM-dd HH:mm:ss'
+            # rendering; a raw slice of a Spark-accepted but
+            # non-canonical string ('2024-01-13T05', '2024-3-15')
+            # compares lexicographically against the wrong dirs and
+            # silently prunes in-range days — parse and re-render, and
+            # stay conservative (no derived predicate) on parse failure
+            try:
+                dt = datetime.datetime.fromisoformat(value.strip())
+            except ValueError:
+                return None
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc)
+            return dt.strftime("%Y-%m-%d %H:%M:%S")[:n]
         return None
     if fld.transform == "bucket":
         import zlib
 
+        # the layout dirs hold pmod(crc32(cast(src AS string)), N) —
+        # only derive when the Python rendering of the probe is
+        # PROVABLY byte-identical to Spark's string cast: str for
+        # string probes, decimal digits for ints (bool is an int
+        # subclass but renders 'True' vs Spark's 'true' — never
+        # derive), and integral-valued float probes coerced to int
+        # (Spark casts int column 251 to '251', never '251.0').
+        # Anything else (float, Decimal, date) renders differently
+        # ('1.0E8' vs '100000000.0') and would prune the WRONG bucket.
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, float):
+            if not value.is_integer():
+                return None
+            value = int(value)
+        if not isinstance(value, (str, int)):
+            return None
         return str(zlib.crc32(str(value).encode("utf-8")) % fld.param)
     if fld.transform == "truncate":
         if isinstance(value, str):
@@ -1627,6 +1660,18 @@ def evolve_partitioning(
                 f"truncate() needs a string/integer source, "
                 f"{fld.source!r} is {dt.simpleString()}"
             )
+        if fld.transform == "bucket" and not isinstance(
+            dt, (StringType, IntegralType)
+        ):
+            # bucket pruning derives crc32 input driver-side from the
+            # probe value; only string/integral sources render
+            # identically in Python and in Spark's string cast
+            # (float '1.0E8', bool 'true' diverge), so other types
+            # would make _spec_derived_predicates prune wrong buckets
+            raise ValueError(
+                f"bucket() needs a string/integer source, "
+                f"{fld.source!r} is {dt.simpleString()}"
+            )
         if fld.transform != "identity" and fld.name in names:
             # the derived dir name doubles as a pruning-predicate key,
             # so it must not shadow a real data column
@@ -2341,6 +2386,7 @@ def _commit_rewrite(
     op: str,
     schema: dict | None,
     max_retries: int | None = None,
+    validate_rebase=None,
 ) -> int:
     """Commit a rewrite (compact / COW delete / merge) with the
     optimistic validate-rebase-retry loop. Each attempt rebuilds the
@@ -2349,7 +2395,14 @@ def _commit_rewrite(
     against the CURRENT base, so a rebase carries a concurrent
     committer's appends and delete entries forward instead of
     dropping them. The losing attempt's manifest is deleted by
-    commit()'s abort path — no orphans accumulate across retries."""
+    commit()'s abort path and its freshly-consolidated delete entries
+    are removed below — no orphans accumulate across retries.
+
+    `validate_rebase(new_latest, appended_relpaths)` lets the caller
+    veto a structurally-clean rebase on SEMANTIC grounds by raising
+    SnapshotConflictError — COW delete uses it to refuse carrying
+    concurrently-appended files that may hold predicate matches
+    (serializable row-level deletes, matching the MOR path)."""
     retries = COMMIT_REBASE_RETRIES if max_retries is None else max_retries
     replaced = {p for p, _ in log.files(base_version)} - {
         p for p, _ in keep
@@ -2370,10 +2423,25 @@ def _commit_rewrite(
                 extra=extra,
             )
         except SnapshotConflictError:
+            # commit()'s abort removed the losing manifest; also remove
+            # the delete entries _retire_delete_entries freshly WROTE
+            # for this attempt (consolidated positional file, rewritten
+            # e-* dirs) — carried-by-name entries belong to the base
+            # and stay. Without this, every rebase leaks one entry set
+            # until sweep_orphans (mirrors _snapshot_delete_mor).
+            base_entry_names = {n for n, _ in log.delete_files(cur)}
+            for n, _cnt in (extra or {}).get("delete_files", []):
+                if n not in base_entry_names:
+                    _rm(spark, posixpath.join(log.deletes_dir, n))
             new_latest = log.latest()
             cur_keep = _rebase_keep_or_raise(
                 spark, log, cur, new_latest, replaced
             )
+            if validate_rebase is not None:
+                appended = {p for p, _ in log.files(new_latest)} - {
+                    p for p, _ in log.files(cur)
+                }
+                validate_rebase(new_latest, appended)
             cur = new_latest
     raise SnapshotConflictError(
         f"rewrite commit kept conflicting after {retries} rebases "
@@ -3048,7 +3116,12 @@ def snapshot_delete(
     a partial delete, time travel keeps the pre-delete version. NULL
     predicate evaluations keep the row (SQL DELETE WHERE semantics).
     At 100 TB a keyed delete (GDPR erasure) touches the handful of
-    files the bloom cannot rule out, not the table.
+    files the bloom cannot rule out, not the table. Both modes are
+    SERIALIZABLE under concurrent appends: a rebase that would carry
+    an appended file whose stats may match the predicate aborts and
+    the delete re-derives against the new latest (Iceberg's default
+    for row-level deletes), so concurrently-appended matches never
+    survive the delete in either mode.
 
     `mode="mor"` is the merge-on-read variant (Iceberg v2 positional
     deletes): the commit writes ONLY a small (relpath, pos) delete
@@ -3085,6 +3158,42 @@ def snapshot_delete(
             f"MOR delete kept conflicting after {COMMIT_REBASE_RETRIES} "
             f"re-derivations under {table_root}"
         )
+    # COW: same serializable semantics as the MOR branch (ADVICE r11).
+    # A rebase across a DISJOINT concurrent commit normally carries the
+    # intervening files forward — but for a row-level delete, a
+    # concurrently-APPENDED file may hold rows matching the predicate,
+    # and carrying it silently downgrades the delete to snapshot
+    # isolation (appended matches survive). The validate_rebase hook
+    # aborts that rebase; the whole delete then re-derives against the
+    # new latest (bounded retries), exactly like mode='mor'.
+    for _ in range(COMMIT_REBASE_RETRIES + 1):
+        try:
+            return _snapshot_delete_cow(
+                spark, log, table_root, predicates, base_version, plan
+            )
+        except SnapshotConflictError:
+            if version is not None:
+                raise
+            base_version = log.latest()
+            plan = scan_plan(spark, table_root, predicates, base_version)
+    raise SnapshotConflictError(
+        f"COW delete kept conflicting after {COMMIT_REBASE_RETRIES} "
+        f"re-derivations under {table_root}"
+    )
+
+
+def _snapshot_delete_cow(
+    spark: SparkSession,
+    log: SnapshotLog,
+    table_root: str,
+    predicates: dict[str, tuple],
+    base_version: int,
+    plan: dict,
+) -> dict:
+    """One COW delete attempt against `base_version` (see
+    snapshot_delete). Raises SnapshotConflictError — with this
+    attempt's rewritten output files removed — when the commit cannot
+    rebase serializably; the caller re-derives and retries."""
     pending = _mor_info(log, base_version)
     candidates = set(plan["paths"])
     all_files = log.files(base_version)
@@ -3151,15 +3260,38 @@ def snapshot_delete(
             "rewritten_files": 0,
             "scanned_files": len(cand),
         }
-    v = _commit_rewrite(
-        spark,
-        log,
-        base_version=base_version,
-        keep=keep,
-        added=added,
-        op="delete",
-        schema=log.read(base_version).get("schema"),
-    )
+    def _veto_appended_matches(new_latest: int, appended: set) -> None:
+        # stats/bloom may-match check over ONLY the appended files: a
+        # carried appendee the planner cannot rule out would keep rows
+        # the delete should remove — abort, the caller re-derives
+        if not appended:
+            return
+        plan2 = scan_plan(spark, table_root, predicates, new_latest)
+        hits = appended & set(plan2["paths"])
+        if hits:
+            raise SnapshotConflictError(
+                f"{len(hits)} concurrently-appended file(s) may match "
+                f"the delete predicate (e.g. {sorted(hits)[:3]}) — "
+                "re-deriving for serializable delete semantics"
+            )
+
+    try:
+        v = _commit_rewrite(
+            spark,
+            log,
+            base_version=base_version,
+            keep=keep,
+            added=added,
+            op="delete",
+            schema=log.read(base_version).get("schema"),
+            validate_rebase=_veto_appended_matches,
+        )
+    except SnapshotConflictError:
+        # this attempt's rewritten output is about to be re-derived —
+        # remove it so retries never leak data files into the tree
+        for p, _s in added:
+            fs.delete(Path(posixpath.join(table_root, p)), False)
+        raise
     return {
         "version": v,
         "deleted_rows": deleted_rows,

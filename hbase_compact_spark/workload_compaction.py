@@ -2068,18 +2068,22 @@ def snapshot_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = datetime.datetime.fromisoformat(TR_LO)
     hi = datetime.datetime.fromisoformat(TR_HI)
     got = read_table_where(spark, root, {"ts": (lo, hi)})
-    from pyspark.sql import Window
-
+    # the grand-total witness is a 1-row partial-then-final aggregate
+    # broadcast back onto every row (the decay_hotness pattern) — a
+    # Window.partitionBy(lit(1)) would funnel the ENTIRE pruned slice
+    # through one task (Exchange SinglePartition), the exact
+    # scale-killer the rest of the tree eliminates (VERDICT r11)
+    total = got.agg(
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("window_sum")
+    )
     return got.select(
         "event_id",
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        F.sum(F.col("value").cast("decimal(20,6)"))
-        .over(Window.partitionBy(F.lit(1)))
-        .cast("double")
-        .alias("window_sum"),
-    )
+    ).crossJoin(F.broadcast(total))
 
 
 # --------------------------------------------------------------------

@@ -108,8 +108,10 @@ def test_compact_rebases_across_concurrent_append(spark, tmp_path, monkeypatch):
 def test_cow_delete_rebases_across_concurrent_append(
     spark, tmp_path, monkeypatch
 ):
-    """COW row-delete racing a disjoint append: rebase commits; the
-    deleted rows are gone, the appended rows survive."""
+    """COW row-delete racing a disjoint append: the delete commits
+    (the stats-less appendee cannot be PROVEN disjoint, so this path
+    re-derives rather than rebases — see the serializability tests
+    below); the deleted rows are gone, the appended rows survive."""
     root = _tbl(spark, tmp_path)
     state = _install_race(
         monkeypatch, lambda: _land_append(spark, root, [(500, 1000)])
@@ -122,22 +124,35 @@ def test_cow_delete_rebases_across_concurrent_append(
     assert got.filter("id = 500").count() == 1
 
 
-def test_overlapping_rewrites_abort_not_clobber(spark, tmp_path, monkeypatch):
+def test_overlapping_rewrites_rederive_not_clobber(spark, tmp_path, monkeypatch):
     """COW delete racing a compact that rewrote the SAME files: the
-    loser must raise SnapshotConflictError (rebasing would resurrect
-    the pre-compact files), and the table must serve exactly the
-    winner's state."""
+    rebase must abort (carrying the rebased keep list would resurrect
+    the pre-compact files), and the delete then RE-DERIVES its whole
+    plan against the compacted latest — never clobbering the winner,
+    never losing the delete (the MOR branch's semantics, extended to
+    COW by the r12 serializable-retry loop). A caller-pinned explicit
+    version still surfaces the conflict instead of retrying."""
     root = _tbl(spark, tmp_path)
+    pinned = SnapshotLog(spark, root).latest()
     state = _install_race(
         monkeypatch,
         lambda: S.snapshot_compact(spark, root, target_bytes=1 << 30),
     )
-    with pytest.raises(SnapshotConflictError):
-        S.snapshot_delete(spark, root, {"id": (0, 5)})
-    assert state["fired"]
+    res = S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert state["fired"] and res["deleted_rows"] == 6
     log = SnapshotLog(spark, root)
-    assert log.read(log.latest())["op"] == "compact"  # winner intact
-    assert read_table_at(spark, root).count() == 40  # nothing deleted
+    # the delete's parent chain contains the compact — winner intact
+    ops = [log.read(v)["op"] for v in log.versions()]
+    assert "compact" in ops and ops[-1] == "delete"
+    got = read_table_at(spark, root)
+    assert got.count() == 34 and got.filter("id <= 5").count() == 0
+    # version-pinned delete: the pinned state is gone, so it aborts
+    state2 = _install_race(
+        monkeypatch,
+        lambda: S.snapshot_compact(spark, root, target_bytes=1 << 30),
+    )
+    with pytest.raises(SnapshotConflictError):
+        S.snapshot_delete(spark, root, {"id": (6, 8)}, version=pinned)
 
 
 def test_mor_positional_delete_rederives_across_compact(
@@ -236,3 +251,87 @@ def test_rebase_bounded_retries_exhaust(spark, tmp_path, monkeypatch):
     with pytest.raises(SnapshotConflictError, match="kept conflicting"):
         S.snapshot_compact(spark, root, target_bytes=1 << 30)
     assert counter["n"] == S.COMMIT_REBASE_RETRIES + 1
+
+
+def test_cow_delete_serializable_across_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: COW delete racing an append whose rows MATCH the
+    delete predicate. Rebasing would carry the appended file and let
+    its matching rows survive (snapshot isolation); the engine instead
+    re-derives against the new latest — serializable, like mode='mor'
+    and Iceberg's row-level-delete default — so the appended match
+    dies too."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch, lambda: _land_append(spark, root, [(3, 999), (700, 1)])
+    )
+    res = S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert state["fired"]
+    # 6 base matches + the concurrently-appended id=3
+    assert res["deleted_rows"] == 7
+    got = read_table_at(spark, root)
+    assert got.filter("id <= 5").count() == 0
+    assert got.filter("id = 700").count() == 1  # disjoint appendee lives
+    assert got.count() == 40 - 6 + 1
+
+
+def test_cow_delete_rebase_carries_provably_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """The serializability veto is stats-driven, not blanket: when the
+    concurrently-appended file's stats PROVE it holds no predicate
+    matches, the rebase carries it and commits without re-deriving
+    (exactly one losing commit attempt)."""
+    root = _tbl(spark, tmp_path)
+    orig_commit = SnapshotLog.commit
+    state = {"fired": False, "delete_commits": 0}
+
+    def racing_and_counting(self, *a, **k):
+        op = k.get("op") or (a[1] if len(a) > 1 else "")
+        if op == "delete":
+            state["delete_commits"] += 1
+        if not state["fired"]:
+            state["fired"] = True
+            _land_append(spark, root, [(500, 1000)])
+            S.annotate_stats(spark, root, cols=["id"])
+        return orig_commit(self, *a, **k)
+
+    monkeypatch.setattr(SnapshotLog, "commit", racing_and_counting)
+    res = S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert state["fired"] and res["deleted_rows"] == 6
+    assert state["delete_commits"] == 2  # one losing attempt + rebase
+    got = read_table_at(spark, root)
+    assert got.count() == 40 - 6 + 1
+    assert got.filter("id = 500").count() == 1
+
+
+def test_rewrite_conflict_leaves_no_orphan_delete_entries(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: a losing rewrite attempt's freshly-consolidated
+    delete entries are removed in the conflict path — only the
+    original MOR entry (owned by its own commit, kept for time
+    travel) and the winning attempt's consolidation remain on disk."""
+    root = _tbl(spark, tmp_path)
+    # pending positional entry on rows the COW delete will NOT rewrite
+    S.snapshot_delete(spark, root, {"id": (35, 37)}, mode="mor")
+
+    def race():
+        _land_append(spark, root, [(900, 0)])
+        S.annotate_stats(spark, root, cols=["id"])
+
+    _install_race(monkeypatch, race)
+    res = S.snapshot_delete(spark, root, {"id": (0, 5)})
+    assert res["deleted_rows"] == 6
+    deletes_dir = os.path.join(root, "_snapshots", "deletes")
+    on_disk = {e for e in os.listdir(deletes_dir) if not e.startswith("_")}
+    log = SnapshotLog(spark, root)
+    live = {n for n, _ in log.delete_files(log.latest())}
+    # the MOR commit's original entry + exactly ONE live consolidation;
+    # the losing attempt's consolidation must not linger
+    assert len(live) == 1
+    assert len(on_disk) == 2, sorted(on_disk)
+    got = read_table_at(spark, root)
+    assert got.count() == 40 - 6 - 3 + 1
+    assert got.filter("id BETWEEN 35 AND 37").count() == 0

@@ -448,3 +448,16 @@ def test_mor_upsert_scan_read_shape(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_transform_scan_witness_is_broadcast_not_single_partition(spark):
+    """VERDICT r11: the grand-total witness in snapshot_transform_scan
+    is a 1-row aggregate broadcast back onto the rows — never a
+    Window.partitionBy(lit(1)), whose SinglePartition exchange funnels
+    the ENTIRE pruned slice through one task. The aggregate's own
+    final-stage exchange moves one partial row per map task, which is
+    the standard global-agg shape, not a row funnel — so the pin is
+    structural: no Window node, broadcast join present."""
+    p = _plan(spark, "snapshot_transform_scan")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

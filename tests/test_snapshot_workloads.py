@@ -1915,3 +1915,133 @@ def test_hours_and_months_transform_layouts_prune(spark, tmp_path):
         {"ts": (datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 31, 23, 59))},
     )
     assert got.count() == 31  # march days
+
+
+# ---------------------------------------------------------------------
+# ADVICE r11: driver-side transform-bound derivation must be PROVABLY
+# value-identical to the JVM write path, or return None (conservative
+# no-prune) — never a diverging rendering that prunes the wrong dirs.
+
+
+def test_transform_bound_rendering_guards():
+    """_transform_bound only derives bucket predicates when the Python
+    rendering is byte-identical to Spark's string cast: bool ('True'
+    vs 'true') and non-integral floats never derive; integral-valued
+    float probes coerce to the int rendering Spark uses for integral
+    columns ('251', never '251.0'). Time transforms canonicalize
+    Spark-accepted-but-non-canonical strings ('T' separators, aware
+    offsets) and refuse unparseable ones."""
+    import datetime
+    import zlib
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    b4 = S.parse_partition_field("bucket(4, id)")
+    assert S._transform_bound(b4, True) is None
+    assert S._transform_bound(b4, 251.5) is None
+    assert S._transform_bound(b4, datetime.date(2024, 1, 1)) is None
+    assert S._transform_bound(b4, 251.0) == S._transform_bound(b4, 251)
+    assert S._transform_bound(b4, 251) == str(
+        zlib.crc32(b"251") % 4
+    )
+    hours = S.parse_partition_field("hours(ts)")
+    months = S.parse_partition_field("months(ts)")
+    # 'T'-separated ISO renders to the canonical space-separated dir
+    assert S._transform_bound(hours, "2024-01-13T05:00:00") == "2024-01-13 05"
+    # aware offsets convert to the engine's UTC before slicing
+    assert (
+        S._transform_bound(hours, "2024-01-13T05:00:00+02:00")
+        == "2024-01-13 03"
+    )
+    assert (
+        S._transform_bound(
+            hours,
+            datetime.datetime(
+                2024, 1, 13, 5, tzinfo=datetime.timezone(
+                    datetime.timedelta(hours=2)
+                )
+            ),
+        )
+        == "2024-01-13 03"
+    )
+    # non-zero-padded / unparseable strings: no derived predicate
+    assert S._transform_bound(months, "2024-3-15") is None
+    assert S._transform_bound(months, "not a time") is None
+
+
+def test_bucket_prune_float_probe_on_integral_column(spark, tmp_path):
+    """ADVICE r11 (medium): a float equality probe 251.0 against an
+    integral bucket source must prune to the bucket of '251' (Spark's
+    cast rendering), not of '251.0' — for bucket(4) those are buckets
+    0 and 3, so the old str(value) derivation silently dropped the
+    matching row."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(400).selectExpr("id", "id * 3 AS v")
+    df.filter("id < 100").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["bucket(4, id)"])
+    S.append_partitioned(spark, root, df.filter("id >= 100"))
+    plan = scan_plan(spark, root, {"id": (251.0, 251.0)})
+    kept = {
+        p.split("_hp_id_bucket4=", 1)[1].split("/")[0]
+        for p in plan["paths"]
+        if "_hp_id_bucket4=" in p
+    }
+    assert kept == {"0"}  # crc32('251') % 4, the bucket holding id=251
+    got = S.read_table_where(spark, root, {"id": (251.0, 251.0)})
+    assert [tuple(r) for r in got.select("id", "v").collect()] == [(251, 753)]
+
+
+def test_bucket_spec_rejects_unsafe_source_types(spark, tmp_path):
+    """evolve_partitioning validates bucket() sources like truncate():
+    only string/integral columns render identically in the Python
+    pruner and Spark's string cast — float/bool sources are rejected
+    at declaration time instead of mispruning at read time."""
+    import pytest as _pytest
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    spark.range(10).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS d", "id % 2 = 0 AS b"
+    ).coalesce(1).write.parquet(root)
+    with _pytest.raises(ValueError, match="bucket"):
+        S.evolve_partitioning(spark, root, ["bucket(4, d)"])
+    with _pytest.raises(ValueError, match="bucket"):
+        S.evolve_partitioning(spark, root, ["bucket(4, b)"])
+    S.evolve_partitioning(spark, root, ["bucket(4, id)"])  # integral OK
+
+
+def test_hours_prune_with_noncanonical_string_bounds(spark, tmp_path):
+    """ADVICE r11 (medium): an hours(ts) range probe with ISO
+    'T'-separated string bounds must open the SAME hour dirs as the
+    canonical rendering — the old raw value[:13] slice produced
+    '2024-03-01T05', which sorts above every space-separated dir value
+    and pruned the whole in-range day. Unparseable bounds must fall
+    back to no pruning, never wrong pruning."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(48).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2024-03-01 00:00:00') AS ts",
+    )
+    df.filter("id < 8").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["hours(ts)"])
+    S.append_partitioned(spark, root, df.filter("id >= 8"))
+    probe = {"ts": ("2024-03-01T10:00:00", "2024-03-01T11:30:00")}
+    plan = scan_plan(spark, root, probe)
+    kept_hours = {
+        p.split("_hp_ts_hour=", 1)[1].split("/")[0]
+        for p in plan["paths"]
+        if "_hp_ts_hour=" in p
+    }
+    assert kept_hours == {"2024-03-01 10", "2024-03-01 11"}
+    got = S.read_table_where(spark, root, probe)
+    assert sorted(r["id"] for r in got.collect()) == [10, 11]
+    # a bound fromisoformat cannot parse: conservative full keep of the
+    # spec generation plus exact in-plan filtering — rows still correct
+    sloppy = {"ts": ("2024-3-1 10:00:00", "2024-3-1 11:30:00")}
+    got2 = S.read_table_where(spark, root, sloppy)
+    assert sorted(r["id"] for r in got2.collect()) == [10, 11]
