@@ -1,0 +1,417 @@
+"""Streaming READ side of the snapshot log — tail a table as a
+Structured Streaming source (VERDICT r11 task 1).
+
+The write side (streaming/ingest.py, snapshot_upsert_mor) lands
+micro-batches as atomic snapshot commits; this module is the consumer:
+a PySpark DataSource-V2 STREAMING READER (`pyspark.sql.datasource.
+DataSourceStreamReader`) whose offsets ARE snapshot-log versions. Each
+trigger serves exactly the rows of files appended in the (start, end]
+version range — per-batch cost is O(delta files), never O(table) —
+and Spark's own checkpoint persists the version cursor, so a
+restarted query continues where it stopped with no replay (the
+reference's positional-cursor resumability contract,
+QHBaseCompact.java:102-133, applied to the read side).
+
+Scale design:
+- planning (initialOffset/latestOffset/partitions) touches snapshot
+  METADATA only: version JSONs plus a column-pruned (relpath, size)
+  manifest read — no data file is opened on the driver;
+- one InputPartition per appended file; executors read their file
+  directly through Arrow (`pyarrow.parquet` → RecordBatch), so a
+  1000-file delta fans out over the cluster like any parquet scan;
+- the emitted `_tail_version` column attributes every row to the
+  commit that delivered it — downstream exactly-once bookkeeping can
+  key on (version, file) without trusting wall clocks.
+
+Rewrite commits (compact / COW delete / merge / MOR deletes /
+rollback) change rows without an append-shaped file signature, so a
+file-level tail crossing one would re-emit rewritten rows or miss
+deletions. Like `read_incremental` (compaction/snapshots.py), the
+tail REFUSES to cross them: `latestOffset` raises once every version
+before the rewrite has been served. A pipeline that needs row-level
+semantics across rewrites reads `read_changes` for that range and
+resumes the tail past it (`from_version`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+TAIL_VERSION_COL = "_tail_version"
+FORMAT_NAME = "snapshot_tail"
+
+# Python data-source PLANNER workers run outside the driver process
+# and do not see sys.path additions or addPyFile shipments, so this
+# module is deliberately SELF-CONTAINED (stdlib + pyarrow + pyspark
+# only) and `tail_stream` registers it for cloudpickle BY-VALUE
+# serialization. That also means the row-changing op set is mirrored
+# here rather than imported from compaction.snapshots — a parity test
+# (tests/test_table_tail.py) pins the two frozensets equal.
+_ROW_CHANGING_OPS = frozenset(
+    {
+        "compact",
+        "delete",
+        "merge",
+        "mor_delete",
+        "mor_delete_eq",
+        "mor_upsert",
+        "rollback",
+    }
+)
+
+
+def _local_path(root: str) -> str:
+    """Strip a file: URI scheme down to a filesystem path (same
+    local-path assumption as SnapshotLog._manifest_local; an
+    object-store deployment routes through a pyarrow filesystem)."""
+    if root.startswith("file://"):
+        return root[len("file://"):] or "/"
+    if root.startswith("file:"):
+        return root[len("file:"):]
+    return root
+
+
+class _TailLog:
+    """Pure-Python snapshot-log reader for the stream-planning side.
+
+    The DataSource planning hooks run in a Python worker without a
+    SparkSession, so this reads the same on-disk contract as
+    SnapshotLog (version JSONs + column-pruned manifest parquet) with
+    json/pyarrow only. Immutability of committed versions and
+    manifests makes the two readers trivially consistent."""
+
+    def __init__(self, table_root: str):
+        self.root = _local_path(table_root)
+        self.log_dir = posixpath.join(self.root, "_snapshots")
+        self.manifest_dir = posixpath.join(self.log_dir, "manifests")
+
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        )
+
+    def latest(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read(self, version: int) -> dict:
+        with open(
+            posixpath.join(self.log_dir, f"v{version:012d}.json")
+        ) as f:
+            return json.load(f)
+
+    def files(self, version: int) -> list[tuple[str, int]]:
+        """(relpath, size) of a snapshot — the same column-pruned
+        manifest read SnapshotLog.files performs (names+sizes only on
+        the planner at any file count), self-contained for the
+        data-source worker. A zero-row manifest may be a Spark-written
+        directory with no part files at all (empty-table bootstrap)."""
+        import pyarrow.parquet as pq
+
+        snap = self.read(version)
+        name = snap.get("manifest")
+        if not name:
+            return sorted(
+                (f[0], int(f[1])) for f in snap.get("files") or []
+            )
+        path = posixpath.join(self.manifest_dir, name)
+        if os.path.isdir(path) and not any(
+            n.endswith(".parquet") for n in os.listdir(path)
+        ):
+            return []
+        tbl = pq.read_table(path, columns=["relpath", "size"])
+        return sorted(
+            zip(
+                tbl.column("relpath").to_pylist(),
+                (int(x) for x in tbl.column("size").to_pylist()),
+            )
+        )
+
+
+class _TailFilePartition(InputPartition):
+    """One appended file of one served version: the executor-side
+    read unit. Carries everything read() needs so the worker never
+    consults the log."""
+
+    def __init__(
+        self, abs_path: str, relpath: str, version: int
+    ):
+        self.abs_path = abs_path
+        self.relpath = relpath
+        self.version = version
+
+
+def _path_partition_values(relpath: str) -> dict[str, str]:
+    """{column: raw value} from hive-style `k=v` dir components —
+    legacy hive layouts keep partition values ONLY in the path, so
+    the tail re-materializes them like the batch reader does. `_hp_`
+    spec dirs are layout (their source columns live inside the
+    files) and are skipped."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for comp in posixpath.dirname(relpath).split("/"):
+        if "=" in comp and not comp.startswith("_hp_"):
+            k, v = comp.split("=", 1)
+            if v != "__HIVE_DEFAULT_PARTITION__":
+                out[k] = unquote(v)
+    return out
+
+
+class SnapshotTailStreamReader(DataSourceStreamReader):
+    """Micro-batch planner: offsets are {"version": N} = "served
+    through snapshot N". Spark checkpoints them; restart resumes
+    exactly after the last committed version."""
+
+    def __init__(self, schema, options: dict):
+        self._schema = schema
+        self._root = options["path"]
+        self._from_version = int(options.get("from_version", 0) or 0)
+        raw = options.get("max_versions_per_batch")
+        self._max_versions = int(raw) if raw else None
+        self._log = _TailLog(self._root)
+
+    # ------------------------------------------------------- offsets
+    def initialOffset(self) -> dict:
+        return {"version": self._from_version}
+
+    def latestOffset(self) -> dict:
+        latest = self._log.latest()
+        if latest is None:
+            return {"version": self._from_version}
+        # refuse to cross rewrites: advance version-by-version from
+        # the earliest unserved commit and stop AT the first
+        # row-changing op. Serving everything before it first keeps
+        # the failure point exact; once only the rewrite remains, the
+        # poll raises (read_incremental's contract, streaming form).
+        start = max(self._from_version, self._last_committed())
+        end = start
+        served = 0
+        for v in range(start + 1, latest + 1):
+            op = self._log.read(v).get("op", "")
+            if op in _ROW_CHANGING_OPS:
+                if end == start:
+                    raise ValueError(
+                        f"snapshot tail at v{start} cannot cross the "
+                        f"{op!r} commit v{v}: a file-level tail would "
+                        "re-emit rewritten rows or miss deletions. "
+                        "Consume read_changes for that range and "
+                        "resume the tail with from_version>="
+                        f"{v}."
+                    )
+                break
+            end = v
+            served += 1
+            if self._max_versions and served >= self._max_versions:
+                break
+        return {"version": end}
+
+    def _last_committed(self) -> int:
+        """Floor for the rewrite check and the per-trigger advance:
+        the highest END offset Spark has planned or committed. On
+        restart Spark re-plans the checkpointed batch
+        (partitions(committed, committed)) BEFORE the first
+        latestOffset poll — verified empirically — so the floor is
+        exact from the first poll of a resumed query too. Planning
+        correctness never depends on it: partitions() serves exactly
+        the range Spark requests; the floor positions the
+        refuse-to-cross error and keeps max_versions_per_batch
+        advancing from the last PLANNED version, not the last start."""
+        return getattr(self, "_seen_end", self._from_version)
+
+    # ---------------------------------------------------- partitions
+    def partitions(self, start: dict, end: dict):
+        self._seen_end = max(
+            int(end["version"]),
+            getattr(self, "_seen_end", self._from_version),
+        )
+        s, e = int(start["version"]), int(end["version"])
+        out: list[InputPartition] = []
+        prev = {p for p, _ in self.files_at(s)}
+        for v in range(s + 1, e + 1):
+            cur = self._log.files(v)
+            for relpath, _size in cur:
+                if relpath not in prev:
+                    out.append(
+                        _TailFilePartition(
+                            posixpath.join(
+                                _local_path(self._root), relpath
+                            ),
+                            relpath,
+                            v,
+                        )
+                    )
+            prev = {p for p, _ in cur}
+        # an empty range still needs one no-op partition: Spark
+        # requires at least one partition per planned batch
+        return out or [_TailFilePartition("", "", -1)]
+
+    def files_at(self, version: int) -> list[tuple[str, int]]:
+        if version <= 0:
+            return []
+        if version not in self._log.versions():
+            # e.g. expire_snapshots reclaimed the cursor's version: a
+            # silent [] would re-emit the next version's ENTIRE file
+            # set as "added" — refuse instead
+            raise ValueError(
+                f"snapshot tail cursor v{version} is no longer a "
+                f"committed version under {self._root} (expired?) — "
+                "restart the tail with an explicit from_version"
+            )
+        return self._log.files(version)
+
+    # ---------------------------------------------------------- read
+    def read(self, partition: _TailFilePartition):
+        if partition.version < 0:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        pathvals = _path_partition_values(partition.relpath)
+        cols = []
+        for field in target:
+            if field.name == TAIL_VERSION_COL:
+                cols.append(
+                    pa.array([partition.version] * n, pa.int64())
+                )
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            elif field.name in pathvals:
+                cols.append(
+                    pa.array([pathvals[field.name]] * n).cast(field.type)
+                )
+            else:
+                # schema evolution: pre-evolution files project the
+                # added column as NULL, same as the batch reader
+                cols.append(pa.nulls(n, field.type))
+        out = pa.table(cols, schema=target)
+        yield from out.combine_chunks().to_batches(
+            max_chunksize=1 << 16
+        )
+
+    def commit(self, end: dict) -> None:
+        # the durable cursor lives in Spark's checkpoint; this only
+        # refreshes the in-memory floor (see _last_committed)
+        self._seen_end = max(
+            int(end["version"]),
+            getattr(self, "_seen_end", self._from_version),
+        )
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotTailDataSource(DataSource):
+    """`spark.readStream.format("snapshot_tail").schema(...)
+    .option("path", table_root).load()` — see module docstring.
+    Options: `from_version` (serve commits AFTER this version;
+    default 0 = everything), `max_versions_per_batch` (bound
+    per-trigger work; default unbounded)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        raise ValueError(
+            "snapshot_tail requires an explicit .schema(...) — use "
+            "hbase_compact_spark.streaming.table_tail.tail_stream(), "
+            "which derives it from the snapshot log"
+        )
+
+    def streamReader(self, schema):
+        return SnapshotTailStreamReader(schema, self.options)
+
+
+def tail_schema(spark: SparkSession, table_root: str):
+    """The tail's row schema: the snapshot's declared schema (or
+    parquet inference over the latest version's first file) plus the
+    `_tail_version` attribution column."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+
+    log = SnapshotLog(spark, table_root)
+    v = log.latest()
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    schema, pcols = log.schema(v)
+    if schema is None:
+        files = log.files(v)
+        if not files:
+            raise ValueError(
+                f"empty table with no declared schema: {table_root}"
+            )
+        schema = spark.read.parquet(
+            posixpath.join(table_root, files[0][0])
+        ).schema
+        # hive-layout values live only in the path: surface them as
+        # string columns (the tail reader fills them from `k=v` dirs)
+        for comp in posixpath.dirname(files[0][0]).split("/"):
+            if "=" in comp and not comp.startswith("_hp_"):
+                name = comp.split("=", 1)[0]
+                if name not in schema.names:
+                    schema = StructType(
+                        list(schema.fields)
+                        + [StructField(name, LongType())]
+                    )
+    return StructType(
+        list(schema.fields) + [StructField(TAIL_VERSION_COL, LongType())]
+    )
+
+
+def tail_stream(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    from_version: int = 0,
+    max_versions_per_batch: int | None = None,
+) -> DataFrame:
+    """The table's append tail as a streaming DataFrame. Registers
+    the data source on the session (idempotent) and wires the
+    log-derived schema. The planner and reader workers deserialize
+    this module by reference, so the package ships to them first
+    (same contract as every Pandas-UDF operator)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    # planner workers cannot import this package (no sys.path /
+    # addPyFile visibility), so the whole module ships BY VALUE inside
+    # the pickled DataSource; executors additionally get the package
+    # zip for the Arrow read path (same contract as Pandas-UDF ops)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(SnapshotTailDataSource)
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .schema(tail_schema(spark, table_root))
+        .option("path", table_root)
+        .option("from_version", str(from_version))
+    )
+    if max_versions_per_batch:
+        reader = reader.option(
+            "max_versions_per_batch", str(max_versions_per_batch)
+        )
+    return reader.load()
