@@ -3908,6 +3908,391 @@ def snapshot_merge(
     }
 
 
+def snapshot_merge_full(
+    spark: SparkSession,
+    table_root: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    *,
+    update_set: dict[str, str] | None = None,
+    update_condition: str | None = None,
+    delete_condition: str | None = None,
+    insert_unmatched: bool = True,
+    unmatched_delete_predicates: dict | None = None,
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write MERGE with the FULL clause matrix — the
+    Delta/Iceberg `MERGE INTO` shapes beyond plain upsert
+    (snapshot_merge covers WHEN MATCHED THEN replace / WHEN NOT
+    MATCHED THEN INSERT):
+
+    - WHEN MATCHED [AND `delete_condition`] THEN DELETE — evaluated
+      FIRST among matched clauses (fixed clause order);
+    - WHEN MATCHED [AND `update_condition`] THEN UPDATE SET
+      `update_set` ({col: SQL expr}); unmatched conditions carry the
+      row unchanged;
+    - WHEN NOT MATCHED THEN INSERT (`insert_unmatched`);
+    - WHEN NOT MATCHED BY SOURCE [AND `unmatched_delete_predicates`]
+      THEN DELETE — the GDPR/retention clause a 100 TB table runs
+      weekly ({} = unconditional; None = clause absent). Predicates
+      use the engine's scan_plan dict shape so candidate narrowing is
+      stats/bloom-driven, same as snapshot_delete.
+
+    Condition and update expressions are SQL strings over the target
+    row's columns plus the matching source row's non-key columns as
+    `__src_<col>` (e.g. ``"__src_value > value"``). Updates cannot
+    touch key or partition columns (rows never move partitions here;
+    use snapshot_merge's replace semantics for key-moves).
+
+    Candidate files = (stats/bloom key-probe for the matched clauses)
+    ∪ (scan_plan survivors of `unmatched_delete_predicates`); only
+    partitions with actual deletes, condition-true updates, or
+    inserts are rewritten — everything else carries by reference.
+    Serializable under concurrent appends like snapshot_delete: a
+    rebase that would carry an appended file the planner cannot prove
+    untouched by either clause aborts and the whole merge re-derives
+    against the new latest (bounded retries)."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    base_version = log.latest() if version is None else version
+    for _ in range(COMMIT_REBASE_RETRIES + 1):
+        try:
+            return _snapshot_merge_full_once(
+                spark,
+                log,
+                table_root,
+                source_df,
+                key_cols,
+                update_set or {},
+                update_condition,
+                delete_condition,
+                insert_unmatched,
+                unmatched_delete_predicates,
+                base_version,
+            )
+        except SnapshotConflictError:
+            if version is not None:
+                raise
+            base_version = log.latest()
+    raise SnapshotConflictError(
+        f"full MERGE kept conflicting after {COMMIT_REBASE_RETRIES} "
+        f"re-derivations under {table_root}"
+    )
+
+
+def _snapshot_merge_full_once(
+    spark: SparkSession,
+    log: SnapshotLog,
+    table_root: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    update_set: dict[str, str],
+    update_condition: str | None,
+    delete_condition: str | None,
+    insert_unmatched: bool,
+    unmatched_delete_predicates: dict | None,
+    base_version: int,
+) -> dict:
+    """One full-MERGE attempt against `base_version` (see
+    snapshot_merge_full). Raises SnapshotConflictError — with this
+    attempt's rewritten output removed — when the commit cannot
+    rebase serializably; the caller re-derives and retries."""
+    all_files = log.files(base_version)
+    pending = _mor_info(log, base_version)
+    pcols = _partition_cols_of(log, base_version)
+    missing = [c for c in key_cols if c not in source_df.columns] + [
+        c for c in pcols if c not in source_df.columns
+    ]
+    if missing:
+        raise ValueError(f"source_df lacks required columns: {missing}")
+    bad_set = [
+        c for c in update_set if c in key_cols or c in pcols
+    ]
+    if bad_set:
+        raise ValueError(
+            f"update_set cannot touch key/partition columns: {bad_set}"
+        )
+    n_source = source_df.count()
+    keys_df = source_df.select(*key_cols)
+    if keys_df.distinct().count() != n_source:
+        raise ValueError("source keys must be unique for MERGE")
+
+    # ---- candidate files: key probe ∪ retention-predicate survivors
+    stat_cols_present, bloom_cols_present = _parent_meta_cols(
+        log, base_version
+    )
+    if (
+        n_source
+        and n_source <= MERGE_KEY_PROBE_CAP
+        and (stat_cols_present or bloom_cols_present)
+    ):
+        keys = [tuple(r) for r in keys_df.collect()]
+        may = _probe_candidates(log, base_version, key_cols, keys)
+    else:
+        may = {p for p, _ in all_files} if n_source else set()
+    if unmatched_delete_predicates is not None:
+        plan = scan_plan(
+            spark, table_root, unmatched_delete_predicates, base_version
+        )
+        may = may | set(plan["paths"])
+    cand = [(p, s) for p, s in all_files if p in may]
+    keep = [(p, s) for p, s in all_files if p not in may]
+
+    src_data_cols = [
+        c for c in source_df.columns if c not in key_cols and c not in pcols
+    ]
+    src_pref = source_df.select(
+        *key_cols,
+        *[F.col(c).alias(f"__src_{c}") for c in src_data_cols],
+        F.lit(True).alias("__src_match"),
+    )
+
+    # global matched-key set off ONE candidate read: non-candidate
+    # files provably hold no source key, so this is complete
+    rels = [p for p, _ in cand]
+    if rels:
+        cand_read = _mor_filter_scan(
+            spark,
+            table_root,
+            spark.read.option("basePath", table_root).parquet(
+                *[posixpath.join(table_root, p) for p in rels]
+            ),
+            pending,
+        )
+        # keys_df unhinted: batch-sized key sets must not be forced
+        # into a broadcast (AQE decides), same as snapshot_merge
+        matched_keys = (
+            cand_read.select(*key_cols)
+            .join(keys_df, on=key_cols, how="left_semi")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        n_matched_keys = matched_keys.count()
+    else:
+        matched_keys = keys_df.limit(0)
+        n_matched_keys = 0
+    if insert_unmatched and n_source:
+        inserts = source_df.join(
+            matched_keys, on=key_cols, how="left_anti"
+        )
+    else:
+        inserts = source_df.limit(0)
+    n_inserts = inserts.count()
+
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for relpath, size in cand:
+        by_part.setdefault(
+            posixpath.dirname(relpath), []
+        ).append((relpath, size))
+    if pcols:
+        ins_parts = {
+            "/".join(f"{c}={r[c]}" for c in pcols): None
+            for r in inserts.select(*pcols).distinct().collect()
+        }
+    else:
+        ins_parts = {"": None} if n_inserts else {}
+
+    matched_expr = F.coalesce(F.col("__src_match"), F.lit(False))
+    del_cond = (
+        F.expr(delete_condition) if delete_condition is not None
+        else F.lit(True)
+    )
+    upd_cond = (
+        F.expr(update_condition) if update_condition is not None
+        else F.lit(True)
+    )
+    nmbs_pred = (
+        _predicate_expr(unmatched_delete_predicates)
+        if unmatched_delete_predicates is not None
+        else None
+    )
+
+    fs, _, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    added: list[tuple[str, int]] = []
+    n_upd_total = n_del_matched = n_del_unmatched = 0
+    for part_rel in sorted(set(by_part) | set(ins_parts)):
+        files = by_part.get(part_rel, [])
+        part_ins = inserts
+        if pcols and part_rel:
+            vals = dict(
+                comp.split("=", 1)
+                for comp in part_rel.split("/")
+                if "=" in comp
+            )
+            part_ins = inserts.filter(_predicate_expr(dict(vals)))
+        n_ins_here = part_ins.count() if part_rel in ins_parts else 0
+        old = None
+        n_old = 0
+        if files:
+            old = _mor_filter_scan(
+                spark,
+                table_root,
+                spark.read.option("basePath", table_root).parquet(
+                    *[posixpath.join(table_root, p) for p, _ in files]
+                ),
+                pending,
+            )
+            n_old = old.count()
+        if old is not None:
+            j = old.join(src_pref, on=key_cols, how="left")
+            drop_matched = (
+                matched_expr & del_cond
+                if delete_condition is not None
+                else F.lit(False)
+            )
+            drop_unmatched = (
+                (~matched_expr) & nmbs_pred
+                if nmbs_pred is not None
+                else F.lit(False)
+            )
+            n_dm = j.filter(drop_matched).count()
+            n_du = j.filter(drop_unmatched).count()
+            upd_fire = (
+                matched_expr & ~drop_matched & upd_cond
+                if update_set
+                else F.lit(False)
+            )
+            n_upd = j.filter(upd_fire).count() if update_set else 0
+            if n_dm == 0 and n_du == 0 and n_upd == 0:
+                # untouched partition: carry files; inserts (if any)
+                # land append-only in a fresh file below
+                keep.extend(files)
+                if not n_ins_here:
+                    continue
+                result = None
+            else:
+                kept_rows = j.filter(~drop_matched & ~drop_unmatched)
+                out_cols = []
+                for c in old.columns:
+                    if c in pcols:
+                        continue
+                    if c in update_set:
+                        out_cols.append(
+                            F.when(upd_fire, F.expr(update_set[c]))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                        )
+                    else:
+                        out_cols.append(F.col(c))
+                result = kept_rows.select(*out_cols)
+            n_del_matched += n_dm
+            n_del_unmatched += n_du
+            n_upd_total += n_upd
+        else:
+            result = None
+            n_dm = n_du = n_upd = 0
+        data_cols = [
+            c
+            for c in (old.columns if old is not None else source_df.columns)
+            if c not in pcols
+        ]
+        new_content = part_ins.select(*data_cols) if n_ins_here else None
+        if result is not None and new_content is not None:
+            new_content = result.unionByName(new_content)
+        elif result is not None:
+            new_content = result
+        if new_content is None:
+            continue
+        tmp_dir = posixpath.join(
+            table_root,
+            "_snapmergefull_tmp_"
+            + hashlib.md5(part_rel.encode()).hexdigest()[:12],
+        )
+        new_content.write.mode("overwrite").parquet(tmp_dir)
+        n_new = spark.read.parquet(tmp_dir).count()
+        want = (
+            (n_old - n_dm - n_du if result is not None else 0)
+            + n_ins_here
+        )
+        if n_new != want:
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"full-merge verification failed in {part_rel!r}: "
+                f"expected {want}, wrote {n_new}"
+            )
+        if n_new:
+            added.extend(
+                _move_tmp_files(
+                    fs, Path, tmp_dir, table_root, part_rel, "merged"
+                )
+            )
+        _rm(spark, tmp_dir)
+
+    if not added and len(keep) == len(all_files):
+        # every candidate partition carried and nothing landed:
+        # metadata-only no-op, zero commits
+        return {
+            "version": base_version,
+            "updated": 0,
+            "deleted_matched": 0,
+            "deleted_unmatched": 0,
+            "inserted": 0,
+            "candidate_files": len(cand),
+        }
+
+    def _veto_appended(new_latest: int, appended: set) -> None:
+        # serializability: an appended file the planner cannot prove
+        # free of source keys AND outside the retention predicate may
+        # hold rows either clause should have touched — re-derive
+        if not appended:
+            return
+        suspects = set(appended)
+        if n_source and n_source <= MERGE_KEY_PROBE_CAP and (
+            stat_cols_present or bloom_cols_present
+        ):
+            may2 = _probe_candidates(
+                log,
+                new_latest,
+                key_cols,
+                [tuple(r) for r in keys_df.collect()],
+            )
+            key_suspects = suspects & may2
+        else:
+            key_suspects = suspects if n_source else set()
+        pred_suspects: set = set()
+        if unmatched_delete_predicates is not None:
+            plan2 = scan_plan(
+                spark,
+                table_root,
+                unmatched_delete_predicates,
+                new_latest,
+            )
+            pred_suspects = suspects & set(plan2["paths"])
+        hits = key_suspects | pred_suspects
+        if hits:
+            raise SnapshotConflictError(
+                f"{len(hits)} concurrently-appended file(s) may be "
+                f"affected by the MERGE clauses (e.g. "
+                f"{sorted(hits)[:3]}) — re-deriving for serializable "
+                "merge semantics"
+            )
+
+    try:
+        v = _commit_rewrite(
+            spark,
+            log,
+            base_version=base_version,
+            keep=keep,
+            added=added,
+            op="merge",
+            schema=log.read(base_version).get("schema"),
+            validate_rebase=_veto_appended,
+        )
+    except SnapshotConflictError:
+        for p, _s in added:
+            fs.delete(Path(posixpath.join(table_root, p)), False)
+        raise
+    return {
+        "version": v,
+        "updated": n_upd_total,
+        "deleted_matched": n_del_matched,
+        "deleted_unmatched": n_del_unmatched,
+        "inserted": n_inserts,
+        "candidate_files": len(cand),
+    }
+
+
 def table_files_meta(
     spark: SparkSession, table_root: str, version: int | str | None = None
 ) -> DataFrame:

@@ -2342,3 +2342,134 @@ def snapshot_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_where(
         spark, root, {"o_custkey": (SO_LO, SO_HI)}
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------
+# snapshot_merge_full — the FULL MERGE clause matrix (VERDICT r11 task
+# 4): conditional matched UPDATE/DELETE, NOT MATCHED INSERT, and the
+# GDPR/retention clause WHEN NOT MATCHED BY SOURCE THEN DELETE, all in
+# one atomic commit. Clause arithmetic is pure key modulo so the
+# DuckDB dual can re-derive every branch.
+MF_DEL_MOD = 12        # matched keys % 12 == 0 -> source status 'X' -> DELETE
+MF_UPD_RES = 6         # keys % 24 == 6 -> source price higher -> UPDATE fires
+MF_CARRY_RES = 18      # keys % 24 == 18 -> source price lower -> carry
+MF_RETENTION_HI = 999  # NOT MATCHED BY SOURCE AND key <= this -> DELETE
+MF_INS_MAX = 14        # template keys 0..14 -> 15 inserts
+MF_INS_OFFSET = 20_000_000
+MF_BUMP = 50_000.0
+
+
+def merge_full_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic full-MERGE source from `orders` itself: one row
+    per key with o_orderkey % 6 == 0 (status 'X' for the delete
+    residues, price +MF_BUMP for the update residues, price -50 for
+    the carry residues — the update condition is then false), plus
+    offset-shifted INSERT rows templated from keys <= MF_INS_MAX."""
+    orders = _orders_slim(spark, sf_dir)
+    matched = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % MF_DEL_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 24 == MF_UPD_RES,
+            F.col("o_totalprice") + F.lit(MF_BUMP),
+        )
+        .otherwise(F.col("o_totalprice") - F.lit(50.0))
+        .alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") <= MF_INS_MAX).select(
+        (F.col("o_orderkey") + F.lit(MF_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return matched.unionByName(inserts)
+
+
+def merge_full_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize `orders` range-partitioned into 8 stats-annotated
+    files, then apply ONE snapshot_merge_full with every clause armed.
+    All four clause counters must be non-vacuous or the staging
+    raises (a silently-empty branch would make the oracle compare
+    prove nothing)."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        snapshot_merge_full,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return v is not None and lg.read(v).get("op") == "merge"
+
+    root, log, ok = _memo_root(spark, sf_dir, "merge_full", _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    res = snapshot_merge_full(
+        spark,
+        root,
+        merge_full_source(spark, sf_dir),
+        ["o_orderkey"],
+        update_set={"o_totalprice": "__src_o_totalprice"},
+        update_condition="__src_o_totalprice > o_totalprice",
+        delete_condition="__src_o_orderstatus = 'X'",
+        unmatched_delete_predicates={
+            "o_orderkey": (None, MF_RETENTION_HI)
+        },
+    )
+    if not all(
+        res[k] > 0
+        for k in ("updated", "deleted_matched", "deleted_unmatched", "inserted")
+    ):
+        raise RuntimeError(f"vacuous full merge: {res}")
+    return root
+
+
+@query(
+    "snapshot_merge_full",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 24 = {MF_UPD_RES}
+                THEN o_totalprice + {MF_BUMP}
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % {MF_DEL_MOD} = 0)
+      AND NOT (o_orderkey % 6 <> 0 AND o_orderkey <= {MF_RETENTION_HI})
+    UNION ALL
+    SELECT o_orderkey + {MF_INS_OFFSET} AS o_orderkey, o_custkey,
+           'I' AS o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= {MF_INS_MAX}
+    """,
+)
+def snapshot_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER one full-clause-matrix MERGE
+    (compaction/snapshots.py:snapshot_merge_full): matched rows with
+    source status 'X' deleted, matched rows whose source price is
+    higher updated to it, matched rows with a LOWER source price
+    carried untouched (the conditional branch a plain upsert cannot
+    express), unmatched-by-source rows inside the retention window
+    deleted, new keys inserted — one atomic commit, candidates
+    narrowed by stats key-probe ∪ retention-predicate scan_plan.
+    Oracle = the clause matrix as CASE/WHERE arithmetic over
+    `orders`; any branch misfiring (wrong clause order, update firing
+    on the carry residue, a BY-SOURCE delete hitting a matched row)
+    shifts rows and fails the hash. Generalizes the reference's
+    replace-then-insert daemon loop (QHBaseCompact.java:144-167) to
+    the conditional row-lifecycle a 100 TB table runs weekly."""
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    root = merge_full_root(spark, sf_dir)
+    return read_table_at(spark, root).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

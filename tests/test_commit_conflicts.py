@@ -335,3 +335,72 @@ def test_rewrite_conflict_leaves_no_orphan_delete_entries(
     got = read_table_at(spark, root)
     assert got.count() == 40 - 6 - 3 + 1
     assert got.filter("id BETWEEN 35 AND 37").count() == 0
+
+
+def test_merge_full_serializable_across_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    """Full MERGE racing an append that lands a row inside the
+    retention window (NOT MATCHED BY SOURCE DELETE): carrying it
+    would let the row dodge the retention clause — the merge
+    re-derives against the new latest and the appended row dies too."""
+    root = _tbl(spark, tmp_path)
+    state = _install_race(
+        monkeypatch, lambda: _land_append(spark, root, [(2, 123), (800, 1)])
+    )
+    src = spark.createDataFrame([(50, 999)], "id long, v long")
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["id"],
+        insert_unmatched=True,
+        unmatched_delete_predicates={"id": (0, 5)},
+    )
+    assert state["fired"]
+    # 6 base rows + the concurrently-appended id=2
+    assert res["deleted_unmatched"] == 7 and res["inserted"] == 1
+    got = read_table_at(spark, root)
+    assert got.filter("id <= 5").count() == 0
+    assert got.filter("id = 800").count() == 1
+    assert got.filter("id = 50").count() == 1
+    assert got.count() == 40 - 6 + 1 + 1
+
+
+def test_merge_full_rebases_across_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """Full MERGE racing an append whose stats PROVE it untouched by
+    both clauses: the rebase carries it — one losing commit attempt,
+    no re-derivation, appendee intact."""
+    root = _tbl(spark, tmp_path)
+    orig_commit = SnapshotLog.commit
+    state = {"fired": False, "merge_commits": 0}
+
+    def racing(self, *a, **k):
+        op = k.get("op") or (a[1] if len(a) > 1 else "")
+        if op == "merge":
+            state["merge_commits"] += 1
+        if not state["fired"]:
+            state["fired"] = True
+            _land_append(spark, root, [(500, 1000)])
+            S.annotate_stats(spark, root, cols=["id"])
+        return orig_commit(self, *a, **k)
+
+    monkeypatch.setattr(SnapshotLog, "commit", racing)
+    src = spark.createDataFrame([(10, 111), (11, 222)], "id long, v long")
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["id"],
+        update_set={"v": "__src_v"},
+        insert_unmatched=False,
+    )
+    assert state["fired"] and res["updated"] == 2
+    assert state["merge_commits"] == 2  # one losing attempt + rebase
+    got = read_table_at(spark, root)
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows[10] == 111 and rows[11] == 222
+    assert rows[500] == 1000  # the appendee carried through the rebase
+    assert got.count() == 41

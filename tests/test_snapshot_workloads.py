@@ -2045,3 +2045,165 @@ def test_hours_prune_with_noncanonical_string_bounds(spark, tmp_path):
     sloppy = {"ts": ("2024-3-1 10:00:00", "2024-3-1 11:30:00")}
     got2 = S.read_table_where(spark, root, sloppy)
     assert sorted(r["id"] for r in got2.collect()) == [10, 11]
+
+
+# ---------------------------------------------------------------------
+# snapshot_merge_full (VERDICT r11 task 4): the conditional MERGE
+# clause matrix — matched UPDATE/DELETE with conditions, NOT MATCHED
+# INSERT, NOT MATCHED BY SOURCE DELETE — plus candidate narrowing and
+# MOR composition.
+
+
+def _mf_table(spark, tmp_path, n=100, files=4):
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    (
+        spark.range(n)
+        .selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS val", "'A' AS st")
+        .repartitionByRange(files, "id")
+        .sortWithinPartitions("id")
+        .write.parquet(root)
+    )
+    S.annotate_stats(spark, root, cols=["id"])
+    return root
+
+
+def _mf_source(spark):
+    # keys id%6==0: %12==0 -> 'X' (delete), %24==6 -> +100 (update
+    # fires), %24==18 -> -50 (update condition false, carry)
+    src = spark.range(100).filter("id % 6 = 0").selectExpr(
+        "id",
+        "CASE WHEN id % 24 = 6 THEN id*1.5 + 100 "
+        "ELSE id*1.5 - 50 END AS val",
+        "CASE WHEN id % 12 = 0 THEN 'X' ELSE 'A' END AS st",
+    )
+    ins = spark.range(1000, 1005).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS val", "'N' AS st"
+    )
+    return src.unionByName(ins)
+
+
+def test_merge_full_clause_matrix(spark, tmp_path):
+    """Every clause fires on its residue class and ONLY there; the
+    delete clause is evaluated before update (a row satisfying both
+    dies); matched rows inside the retention window survive (BY
+    SOURCE means by source)."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mf_table(spark, tmp_path)
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        _mf_source(spark),
+        ["id"],
+        update_set={"val": "__src_val"},
+        update_condition="__src_val > val",
+        delete_condition="__src_st = 'X'",
+        unmatched_delete_predicates={"id": (None, 10)},
+    )
+    assert res["deleted_matched"] == 9   # 0,12,...,96
+    assert res["deleted_unmatched"] == 9  # ids 1..10 minus 6 (matched)
+    assert res["updated"] == 4           # 6,30,54,78
+    assert res["inserted"] == 5
+    rows = {
+        r["id"]: (r["val"], r["st"])
+        for r in S.read_table_at(spark, root).collect()
+    }
+    assert len(rows) == 100 - 9 - 9 + 5
+    assert 0 not in rows and 96 not in rows      # matched deletes
+    assert 1 not in rows and 10 not in rows      # retention deletes
+    assert rows[6] == (6 * 1.5 + 100, "A")       # update fired
+    assert rows[18] == (18 * 1.5, "A")           # condition false: carry
+    assert rows[11] == (11 * 1.5, "A")           # outside window
+    assert rows[1000] == (1000.0, "N")           # insert
+
+
+def test_merge_full_narrows_candidates_and_carries(spark, tmp_path):
+    """A narrow-key source + narrow retention window must leave the
+    provably-untouched files carried BY REFERENCE (same relpaths in
+    the child manifest), with candidate_files < all files."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mf_table(spark, tmp_path, n=400, files=8)
+    log = S.SnapshotLog(spark, root)
+    log.bootstrap()
+    before = {p for p, _ in log.files(log.latest())}
+    src = spark.range(10, 13).selectExpr(
+        "id", "CAST(0.0 AS DOUBLE) AS val", "'X' AS st"
+    )
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["id"],
+        delete_condition="__src_st = 'X'",
+        insert_unmatched=False,
+        unmatched_delete_predicates={"id": (390, 395)},
+    )
+    assert res["deleted_matched"] == 3
+    assert res["deleted_unmatched"] == 6
+    assert 1 <= res["candidate_files"] <= 3  # stats narrowed 8 files
+    after = {p for p, _ in log.files(log.latest())}
+    # at least the middle files are carried byte-identical
+    assert len(before & after) >= 5
+    got = S.read_table_at(spark, root)
+    assert got.count() == 400 - 9
+    assert got.filter("id BETWEEN 10 AND 12").count() == 0
+    assert got.filter("id BETWEEN 390 AND 395").count() == 0
+
+
+def test_merge_full_noop_commits_nothing(spark, tmp_path):
+    """No clause firing anywhere = metadata-only no-op: same version,
+    zero commits, zero rewritten files."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mf_table(spark, tmp_path)
+    log = S.SnapshotLog(spark, root)
+    log.bootstrap()
+    v0 = log.latest()
+    src = spark.range(5000, 5003).selectExpr(
+        "id", "CAST(0.0 AS DOUBLE) AS val", "'X' AS st"
+    )
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["id"],
+        delete_condition="__src_st = 'X'",
+        insert_unmatched=False,
+    )
+    assert res["version"] == v0
+    assert log.latest() == v0
+    assert all(
+        res[k] == 0
+        for k in ("updated", "deleted_matched", "deleted_unmatched", "inserted")
+    )
+
+
+def test_merge_full_applies_and_retires_pending_mor(spark, tmp_path):
+    """Full merge on a table with pending MOR deletes: the rewrite
+    reads EFFECTIVE rows (never resurrects), and entries consumed by
+    the rewritten files are retired from the child snapshot."""
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = _mf_table(spark, tmp_path)
+    S.snapshot_delete(spark, root, {"id": (20, 24)}, mode="mor")
+    src = spark.range(22, 23).selectExpr(
+        "id", "CAST(9999.0 AS DOUBLE) AS val", "'A' AS st"
+    )
+    res = S.snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["id"],
+        update_set={"val": "__src_val"},
+        insert_unmatched=True,
+    )
+    got = S.read_table_at(spark, root)
+    # id 22 was MOR-deleted BEFORE the merge, so the merge sees no
+    # matched row: the source row INSERTS instead of resurrecting
+    assert res["inserted"] == 1 and res["updated"] == 0
+    assert [r["val"] for r in got.filter("id = 22").collect()] == [9999.0]
+    assert got.filter("id BETWEEN 20 AND 24 AND id <> 22").count() == 0
+    assert got.count() == 100 - 5 + 1
