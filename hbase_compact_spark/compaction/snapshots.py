@@ -1977,6 +1977,117 @@ def annotate_stats(
     )
 
 
+def shard_manifest(
+    spark: SparkSession,
+    table_root: str,
+    by: str,
+    *,
+    shards: int | None = None,
+    files_per_shard: int = 25_000,
+    version: int | None = None,
+) -> int:
+    """Two-level metadata (Iceberg's manifest LIST, via its
+    rewrite_manifests action): re-encode the snapshot's manifest as
+    RANGE-SHARDED part files keyed on the recorded `by`-column stats,
+    and record each shard's [lo, hi] key bounds (plus file count and
+    a stats-missing flag) in the version JSON. `scan_plan` then opens
+    ONLY the shards whose bounds survive a predicate on `by` — at 10⁶
+    files a day-range query reads the day's manifest shard, not the
+    table's whole manifest, so PLANNING cost scales with selectivity
+    like the scan itself.
+
+    The shard index is an O(shards) dict in the version JSON (never
+    O(files)); every existing accessor (files(), manifest_df(),
+    table$files/table$partitions, expire) keeps reading the manifest
+    directory whole and needs no knowledge of the sharding. Stats on
+    `by` must be annotated first (annotate_stats); files without them
+    land in shards flagged always-kept — pruning stays conservative.
+    Later commits write fresh unsharded manifests (bounds would be
+    stale); re-shard periodically like Iceberg rewrite_manifests.
+    Commits op='shard-manifest' with the SAME file set."""
+    import json as _json
+
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    v = log.latest() if version is None else version
+    snap = log.read(v)
+    n_files = snap.get("n_files") or len(snap.get("files") or [])
+    if shards is None:
+        shards = max(2, -(-n_files // files_per_shard))
+    shards = max(2, min(int(shards), 1024))
+    src = log.manifest_df(v)
+    key_s = F.get_json_object("stats", f"$.cols.{by}[0]")
+    aug = src.withColumn("_k_num", key_s.cast("double")).withColumn(
+        "_k_str", key_s
+    )
+    name = f"m-{uuid.uuid4().hex[:12]}"
+    dest = posixpath.join(log.manifest_dir, name)
+    (
+        aug.repartitionByRange(
+            shards, F.col("_k_num").asc_nulls_first(), F.col("_k_str")
+        )
+        .drop("_k_num", "_k_str")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+
+    # per-shard bounds from the SAME stats payload scan_plan compares
+    # against (native JSON types preserved — double aggs would round
+    # int64 bounds past 2^53 and could prune a matching shard).
+    # Distributed: one applyInPandas over the re-read shards, O(shards)
+    # rows to the driver.
+    def _part_meta(pdf):
+        import json as _j
+
+        import pandas as _pd
+
+        los, his = [], []
+        unbounded = False
+        for s in pdf["stats"]:
+            rng = None
+            if s:
+                rng = (_j.loads(s).get("cols") or {}).get(by)
+            if not rng or rng[0] is None or rng[1] is None:
+                unbounded = True
+                continue
+            los.append(rng[0])
+            his.append(rng[1])
+        meta = [
+            min(los) if los else None,
+            max(his) if his else None,
+            unbounded or not los,
+            int(len(pdf)),
+        ]
+        return _pd.DataFrame(
+            {"part": [pdf["_part"].iloc[0]], "meta": [_j.dumps(meta)]}
+        )
+
+    rd = (
+        spark.read.schema(MANIFEST_SCHEMA_DDL)
+        .parquet(dest)
+        .withColumn("_part", F.input_file_name())
+    )
+    parts: dict[str, list] = {}
+    for r in rd.groupBy("_part").applyInPandas(
+        _part_meta, "part string, meta string"
+    ).collect():
+        parts[posixpath.basename(r["part"])] = _json.loads(r["meta"])
+    if sum(m[3] for m in parts.values()) != n_files:
+        _rm(spark, dest)
+        raise RuntimeError(
+            f"manifest shard verification failed under {table_root}: "
+            f"{sum(m[3] for m in parts.values())} != {n_files}"
+        )
+    return log.commit(
+        None,
+        op="shard-manifest",
+        parent=v,
+        schema=snap.get("schema"),
+        manifest=name,
+        extra={"manifest_shards": {"by": by, "parts": parts}},
+    )
+
+
 def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
     """(m bits, k hashes) for n values at target fpp, capped at
     max_bits (bigger files degrade fpp instead of blowing up the
@@ -2202,15 +2313,76 @@ def scan_plan(
     n_files = snap.get("n_files")
     if n_files is None:
         n_files = len(snap.get("files") or [])
+
+    # two-level metadata (shard_manifest): when the version carries a
+    # shard index and the predicate touches the shard key, open ONLY
+    # the manifest shards whose recorded bounds survive — planning
+    # cost scales with selectivity, not table size
+    shard_info = None
+    sharding = snap.get("manifest_shards")
+    if sharding and sharding["by"] in norm and snap.get("manifest"):
+        s_lo, s_hi = norm[sharding["by"]]
+        kept_parts = [
+            part
+            for part, (plo, phi, unbounded, _nf) in sharding[
+                "parts"
+            ].items()
+            if unbounded or not _disjoint([plo, phi], s_lo, s_hi)
+        ]
+        shard_info = {
+            "shards_total": len(sharding["parts"]),
+            "shards_opened": len(kept_parts),
+            "paths": [
+                posixpath.join(
+                    _uri_path(log.manifest_dir), snap["manifest"], part
+                )
+                for part in kept_parts
+            ],
+        }
+
     if n_files > DISTRIBUTED_PRUNE_THRESHOLD:
-        kept = _scan_plan_distributed(log, v, norm, eq_preds)
-        return {
+        kept = _scan_plan_distributed(
+            log,
+            v,
+            norm,
+            eq_preds,
+            manifest_paths=shard_info["paths"] if shard_info else None,
+        )
+        out = {
             "version": v,
             "paths": kept,
             "kept_files": len(kept),
             "pruned_files": n_files - len(kept),
         }
+        if shard_info:
+            out["shards_total"] = shard_info["shards_total"]
+            out["shards_opened"] = shard_info["shards_opened"]
+        return out
     import json as _json
+
+    if shard_info is not None:
+        # driver loop over ONLY the surviving shards' rows; files in
+        # pruned shards were never read and count as pruned wholesale
+        kept, scanned = [], 0
+        for part_path in shard_info["paths"]:
+            tbl = _read_manifest_table(part_path)
+            for rp, st, bl in zip(
+                tbl.column("relpath").to_pylist(),
+                tbl.column("stats").to_pylist(),
+                tbl.column("blooms").to_pylist(),
+            ):
+                scanned += 1
+                if _row_survives(st, bl, norm, eq_preds, rp):
+                    kept.append(rp)
+        kept.sort()
+        return {
+            "version": v,
+            "paths": kept,
+            "kept_files": len(kept),
+            "pruned_files": n_files - len(kept),
+            "shards_total": shard_info["shards_total"],
+            "shards_opened": shard_info["shards_opened"],
+        }
 
     res = log._resolve(v)
     stats, blooms = res["stats"], res["blooms"]
@@ -2236,12 +2408,18 @@ def scan_plan(
 
 
 def _scan_plan_distributed(
-    log: SnapshotLog, version: int, norm: dict, eq_preds: dict
+    log: SnapshotLog,
+    version: int,
+    norm: dict,
+    eq_preds: dict,
+    manifest_paths: list[str] | None = None,
 ) -> list[str]:
     """Prune on EXECUTORS: mapInPandas over the manifest DataFrame
     evaluates the same _row_survives predicate per row and emits only
     surviving relpaths. Predicate dicts ship in the closure (small);
-    manifest payloads never leave the executors."""
+    manifest payloads never leave the executors. `manifest_paths`
+    (shard_manifest) restricts the scan to the surviving shard part
+    files — pruned shards are never opened."""
 
     def gen(batches):
         import pandas as pd
@@ -2260,11 +2438,13 @@ def _scan_plan_distributed(
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(log.spark)
-    rows = (
-        log.manifest_df(version)
-        .mapInPandas(gen, "relpath string")
-        .collect()
-    )
+    if manifest_paths is not None:
+        src = log.spark.read.schema(MANIFEST_SCHEMA_DDL).parquet(
+            *manifest_paths
+        )
+    else:
+        src = log.manifest_df(version)
+    rows = src.mapInPandas(gen, "relpath string").collect()
     return sorted(r["relpath"] for r in rows)
 
 
