@@ -1251,18 +1251,22 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline asserted in tests/test_llm.py
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN variant: k-means coarse quantizer (per-label means
-    refined with 2 distributed Lloyd's iterations) + n_probe=6-of-10
+    refined with 2 distributed Lloyd's iterations) + n_probe=9-of-10
     probing + exact rerank (see functions/similarity.ivf_topk).
-    n_probe is sized for the ISOTROPIC fixture vectors — the IVF
-    worst case, where true neighbors spread uniformly across lists so
-    recall ~ n_probe/n_lists (recall@10 >= 0.8 recorded per round in
-    RECALL_r{N}.json); clustered production embeddings reach the same
-    recall with far fewer probes."""
+    n_probe=9 is the DEFAULT operating point since r12: RECALL_r11's
+    dial curve measured 0.98 recall at the SAME latency as the old
+    n_probe=6/0.84 point (2.03 s vs 2.08 s at sf0.1 — the rerank
+    dominates, probing more lists is nearly free), so the product
+    default is the >=0.9-recall point. The high probe FRACTION is an
+    artifact of the ISOTROPIC fixture (the IVF worst case: neighbors
+    spread uniformly, recall ~ n_probe/n_lists); clustered production
+    embeddings use n_lists ~ sqrt(N) and reach the same recall at a
+    small fraction."""
     from hbase_compact_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb.filter(F.col("vec_id") < 5), emb, k=10, n_probe=6, refine_iters=2
+        emb.filter(F.col("vec_id") < 5), emb, k=10, n_probe=9, refine_iters=2
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1283,16 +1287,19 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization + ADC scan + exact
     rerank (see functions/similarity.pq_topk): the memory-bound 100 TB
     path — each corpus vector is searched through 8 four-bit codes
-    instead of 64 floats. rerank_factor=40 (top k*40 ADC candidates
-    per query re-scored exactly) is sized for the isotropic fixtures,
-    where 4-bit ADC ordering is at its noisiest (recall@10 >= 0.8
-    recorded per round in RECALL_r{N}.json); the rerank pool stays a
-    tiny corpus fraction at scale."""
+    instead of 64 floats. rerank_factor=80 (top k*80 ADC candidates
+    per query re-scored exactly) is the DEFAULT operating point since
+    r12: RECALL_r11's dial curve measured 0.96 recall at the same
+    latency as the old factor-40/0.84 point (2.15 s vs 2.18 s at
+    sf0.1 — the ADC scan dominates, a larger rerank pool is nearly
+    free), so the product default is the >=0.9-recall point. The pool
+    stays a tiny corpus fraction at scale (800 of N candidates per
+    query); isotropic fixtures are 4-bit ADC's noisiest case."""
     from hbase_compact_spark.functions.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = pq_topk(
-        emb.filter(F.col("vec_id") < 5), emb, k=10, rerank_factor=40
+        emb.filter(F.col("vec_id") < 5), emb, k=10, rerank_factor=80
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

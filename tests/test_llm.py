@@ -516,7 +516,8 @@ def test_pq_recall_vs_exact(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.7, f"PQ recall@10 too low: {recall}"
+    # rerank_factor=80 default since r12 (the >=0.9 operating point)
+    assert recall >= 0.9, f"PQ recall@10 too low: {recall}"
 
 
 def test_pq_codes_compact_and_deterministic(spark):
@@ -1201,13 +1202,15 @@ def test_ivf_index_incremental_maintenance_and_drift_gate(spark, tmp_path):
 
 
 def test_ann_high_recall_operating_points(spark):
-    """VERDICT r10 task 6: the 0.9-recall operating points named in
-    RECALL_r11's dial curves hold as floors — ivf n_probe=9 and pq
-    rerank_factor=80 each recover >= 0.9 of the exact top-10 on the
-    isotropic fixtures (their worst case; measured 0.98 / 1.0 at
-    sf0.001 and 0.98 / 0.96 at sf0.1). The registered queries keep
-    the cheaper defaults; these settings are the documented dial
-    positions for recall-critical callers."""
+    """The 0.9-recall operating points named in RECALL_r11's dial
+    curves hold as floors — ivf n_probe=9 and pq rerank_factor=80
+    each recover >= 0.9 of the exact top-10 on the isotropic fixtures
+    (their worst case; measured 0.98 / 1.0 at sf0.001 and 0.98 / 0.96
+    at sf0.1). Since r12 these ARE the registered ann_ivf / ann_pq
+    defaults (VERDICT r11 task 5: the dial curves showed the 0.9
+    points cost nothing — rerank/ADC dominate, extra probes are
+    free), so the registered queries are asserted at the same floor
+    below."""
     from pyspark.sql import functions as F
 
     from hbase_compact_spark.functions.similarity import ivf_topk, pq_topk
@@ -1230,3 +1233,14 @@ def test_ann_high_recall_operating_points(spark):
         for r in pq_topk(q, emb, k=10, rerank_factor=80).collect()
     }
     assert len(exact & pq) / len(exact) >= 0.9
+    # the REGISTERED queries now run at these operating points
+    reg_ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.ann_ivf(spark, sf).collect()
+    }
+    assert len(exact & reg_ivf) / len(exact) >= 0.9
+    reg_pq = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.ann_pq(spark, sf).collect()
+    }
+    assert len(exact & reg_pq) / len(exact) >= 0.9

@@ -399,6 +399,67 @@ def bench3_rocksdb(queries: list[str] | None = None,
     print("merged rocksdb_variants into", out_path)
 
 
+def bench_provider_ab(rnd: int | None = None) -> None:
+    """Default-path (RocksDB via run_bounded heavy_state) vs a forced
+    HDFS-provider session override for the two state-heaviest
+    queries, at three scale points — the per-box data point the
+    provider-default decision tracks (r10's box favored RocksDB 2.5x
+    at sf10, r11's favored HDFS 1.3x; judge asked for a third)."""
+    import __spark_entry__ as entrymod
+    from hbase_compact_spark import registry
+    from hbase_compact_spark.streaming.tumbling import (
+        HDFS_PROVIDER,
+        state_store_provider,
+    )
+
+    if rnd is None:
+        rnd = 1
+    spark = _spark()
+    qs = entrymod.queries()
+    names = ["stream_session", "stream_stateful_totals"]
+    points = [("sf0.1", SRC_SF, 3), ("sf1", TARGETS["sf1"][1], 3),
+              ("sf10", TARGETS["sf10"][1], 2)]
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _run(name, sf_dir, runs):
+        ts = []
+        for _ in range(runs):
+            registry.clear_session_caches()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[len(ts) // 2] if runs >= 3 else ts[-1], 3)
+
+    out: dict[str, dict] = {n: {} for n in names}
+    for label, sf_dir, runs in points:
+        for name in names:
+            default_s = _run(name, sf_dir, runs)  # heavy_state default
+            with state_store_provider(spark, HDFS_PROVIDER):
+                hdfs_s = _run(name, sf_dir, runs)
+            out[name][label] = {
+                "default_rocksdb": default_s,
+                "forced_hdfs": hdfs_s,
+            }
+            print("provider_ab", name, label, out[name][label], flush=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload["provider_ab"] = {
+        "what": ("heavy stateful queries on the DEFAULT code path "
+                 "(RocksDB via run_bounded heavy_state) vs an explicit "
+                 "HDFS-provider session override; result parity pinned "
+                 "in test_daemon_streaming.py"),
+        "points": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged provider_ab into", out_path)
+
+
 def bench_index_maintenance(rnd: int | None = None) -> None:
     """Rebuild-vs-increment cost of the persistent IVF index (VERDICT
     r9 task 5's 'Done' clause): at each scale point, time (a) a FULL
@@ -669,5 +730,7 @@ if __name__ == "__main__":
         bench_recovery_rocksdb(int(sys.argv[2]))
     elif cmd == "bench_mor":
         bench_mor_maintenance(int(sys.argv[2]))
+    elif cmd == "bench_provider_ab":
+        bench_provider_ab(int(sys.argv[2]))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
