@@ -117,15 +117,16 @@ class PartitionField(NamedTuple):
 
 
 _TRANSFORM_RE = re.compile(
-    r"^(days|hours|months|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"^(years|days|hours|months|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
 
 # time-granularity transforms share one code path: the dir value is a
 # prefix of the ISO timestamp rendering, so lexicographic order IS
 # time order at every granularity and the same range-derivation rule
-# applies (months=7 chars 'yyyy-MM', days=10, hours=13 'yyyy-MM-dd HH')
-_TIME_TRANSFORMS = {"months": 7, "days": 10, "hours": 13}
+# applies (years=4 chars 'yyyy', months=7 'yyyy-MM', days=10,
+# hours=13 'yyyy-MM-dd HH')
+_TIME_TRANSFORMS = {"years": 4, "months": 7, "days": 10, "hours": 13}
 
 
 def parse_partition_field(raw: str) -> PartitionField:
@@ -139,8 +140,8 @@ def parse_partition_field(raw: str) -> PartitionField:
     if not m:
         raise ValueError(
             f"unparseable partition transform {raw!r} — expected "
-            "'col', 'months(col)', 'days(col)', 'hours(col)', "
-            "'bucket(N, col)' or 'truncate(W, col)'"
+            "'col', 'years(col)', 'months(col)', 'days(col)', "
+            "'hours(col)', 'bucket(N, col)' or 'truncate(W, col)'"
         )
     tr, param, col = m.group(1), m.group(2), m.group(3)
     if tr in _TIME_TRANSFORMS:
@@ -167,27 +168,42 @@ def _partition_field_expr(df: DataFrame, fld: PartitionField):
     if fld.transform in _TIME_TRANSFORMS:
         # session tz is UTC engine-wide; ISO prefixes render so that
         # lexicographic order IS time order at every granularity
-        fmt = {"months": "yyyy-MM", "days": "yyyy-MM-dd",
-               "hours": "yyyy-MM-dd HH"}[fld.transform]
+        fmt = {"years": "yyyy", "months": "yyyy-MM",
+               "days": "yyyy-MM-dd", "hours": "yyyy-MM-dd HH"}[
+            fld.transform
+        ]
         return F.date_format(src.cast("timestamp"), fmt)
     if fld.transform == "bucket":
         return F.pmod(F.crc32(src.cast("string")), F.lit(fld.param)).cast(
             "string"
         )
     # truncate: prefix for strings, floor-to-multiple for integers
-    # (pmod keeps negatives correct: -7 trunc 4 -> -8, like Iceberg)
-    if isinstance(df.schema[fld.source].dataType, StringType):
+    # (pmod keeps negatives correct: -7 trunc 4 -> -8, like Iceberg);
+    # decimals floor in UNSCALED units (Iceberg's TruncateDecimal:
+    # step = W * 10^-scale, so truncate(50, decimal(9,2)) buckets by
+    # 0.50) — the rendered dir value keeps the column scale
+    from pyspark.sql.types import DecimalType
+
+    dt = df.schema[fld.source].dataType
+    if isinstance(dt, StringType):
         return F.substring(src, 1, fld.param)
+    if isinstance(dt, DecimalType):
+        import decimal as _dec
+
+        step = _dec.Decimal(fld.param).scaleb(-dt.scale)
+        return (src - F.pmod(src, F.lit(step))).cast(dt).cast("string")
     return (src - F.pmod(src, F.lit(fld.param))).cast("string")
 
 
-def _transform_bound(fld: PartitionField, value):
+def _transform_bound(fld: PartitionField, value, scale: int | None = None):
     """Driver-side transform of ONE predicate bound into the field's
     path-value domain, or None when the bound's type cannot be
     transformed soundly (the derived predicate is then simply not
     added — pruning stays conservative). days/truncate are monotonic,
     so transformed range bounds stay valid range bounds; bucket is
-    not monotonic and is only ever called for equality probes."""
+    not monotonic and is only ever called for equality probes.
+    `scale` is the source column's decimal scale (needed to render a
+    truncated Decimal bound exactly like Spark's string cast)."""
     import datetime
 
     if value is None:
@@ -242,12 +258,32 @@ def _transform_bound(fld: PartitionField, value):
             return None
         return str(zlib.crc32(str(value).encode("utf-8")) % fld.param)
     if fld.transform == "truncate":
+        import decimal as _dec
+
         if isinstance(value, str):
             return value[: fld.param]
         if isinstance(value, bool):
             return None
         if isinstance(value, int):
             return value - (value % fld.param)
+        if isinstance(value, _dec.Decimal) and scale is not None:
+            # only derive when the probe is representable at the
+            # column scale — otherwise the rendering (and the row
+            # match itself) is cast-dependent; stay conservative
+            exp = -value.as_tuple().exponent
+            if exp > scale:
+                return None
+            step = _dec.Decimal(fld.param).scaleb(-scale)
+            # Decimal % is C-style (sign of dividend); Spark's pmod
+            # floors — normalize so negatives bucket identically.
+            # Return the DECIMAL, not its string: decimal renderings
+            # are not lexicographically ordered ('10.50' sorts inside
+            # ['1.00','1.50']), so the path comparator must compare
+            # numerically (_path_value_disjoint parses the dir value)
+            r = value % step
+            if r < 0:
+                r += step
+            return (value - r).quantize(_dec.Decimal(1).scaleb(-scale))
         return None
     return str(value)  # identity
 
@@ -265,19 +301,56 @@ def _spec_derived_predicates(
     spec = partition_spec_of(log, version)
     if not spec:
         return {}
+
+    def _decimal_scale(source: str) -> int | None:
+        # truncate-on-decimal needs the COLUMN scale to compute the
+        # truncation step; declared schema first, parquet footer of
+        # one snapshot file as the fallback (tables that never
+        # declared a schema blob)
+        from pyspark.sql.types import DecimalType, StructType
+
+        blob = log.read(version).get("schema")
+        if blob:
+            try:
+                struct = StructType.fromJson(blob["fields"])
+                dt = struct[source].dataType
+            except (KeyError, TypeError, ValueError):
+                return None
+            return dt.scale if isinstance(dt, DecimalType) else None
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rel = log.files(version)[0][0]
+            arrow = pq.read_schema(
+                posixpath.join(_uri_path(log.table_root), rel)
+            )
+            f = arrow.field(source)
+            if pa.types.is_decimal(f.type):
+                return f.type.scale
+        except Exception:
+            return None
+        return None
+
     out: dict[str, tuple] = {}
     for raw in spec["partition_by"]:
         fld = parse_partition_field(raw)
         if fld.transform == "identity" or fld.source not in norm:
             continue
         lo, hi = norm[fld.source]
+        scale = (
+            _decimal_scale(fld.source)
+            if fld.transform == "truncate"
+            else None
+        )
         if fld.transform == "bucket":
             if lo is not None and lo == hi:  # equality only
                 b = _transform_bound(fld, lo)
                 if b is not None:
                     out[fld.name] = (b, b)
             continue
-        dlo, dhi = _transform_bound(fld, lo), _transform_bound(fld, hi)
+        dlo = _transform_bound(fld, lo, scale)
+        dhi = _transform_bound(fld, hi, scale)
         if dlo is not None or dhi is not None:
             out[fld.name] = (dlo, dhi)
     return out
@@ -303,11 +376,20 @@ def _path_value_disjoint(raw: str, lo, hi) -> bool:
     misses [lo, hi]. The path stores strings; compare in the bound's
     own domain (numeric bounds -> numeric compare) and keep the file
     on any conversion failure — pruning must stay conservative."""
+    import decimal as _dec2
+
     bound = lo if lo is not None else hi
     if bound is None:
         return False
     if isinstance(bound, bool) or isinstance(bound, str):
         val: object = raw
+    elif isinstance(bound, _dec2.Decimal):
+        # decimal dir values compare NUMERICALLY — their string
+        # renderings are not lexicographically ordered
+        try:
+            val = _dec2.Decimal(raw)
+        except _dec2.InvalidOperation:
+            return False
     elif isinstance(bound, (int, float)):
         # int bounds compare in int space first: float(raw) rounds
         # int64 path values above 2^53, which could falsely prune the
@@ -1630,6 +1712,7 @@ def evolve_partitioning(
         )
     from pyspark.sql.types import (
         DateType,
+        DecimalType,
         IntegralType,
         StringType,
         StructType,
@@ -1654,10 +1737,10 @@ def evolve_partitioning(
                 f"{fld.source!r} is {dt.simpleString()}"
             )
         if fld.transform == "truncate" and not isinstance(
-            dt, (StringType, IntegralType)
+            dt, (StringType, IntegralType, DecimalType)
         ):
             raise ValueError(
-                f"truncate() needs a string/integer source, "
+                f"truncate() needs a string/integer/decimal source, "
                 f"{fld.source!r} is {dt.simpleString()}"
             )
         if fld.transform == "bucket" and not isinstance(
@@ -4559,6 +4642,64 @@ def table_partitions_meta(
         F.sum(F.col("eq_pending").cast("long")).cast("long").alias(
             "n_eq_pending_files"
         ),
+    )
+
+
+def table_manifests_meta(
+    spark: SparkSession, table_root: str, version: int | str | None = None
+) -> DataFrame:
+    """Iceberg's `table$manifests` METADATA TABLE: one row per
+    manifest part file of a snapshot — name, on-disk size, and (for
+    shard_manifest versions) the shard's recorded key bounds, file
+    count, and the stats-missing always-keep flag. This is the
+    operator view of the TWO-LEVEL metadata layer: which shards
+    exist, what key range each covers, which ones a given predicate
+    would open. O(shards) driver work — the shard index lives in the
+    version JSON; only the filesystem listing of the manifest dir is
+    consulted for sizes. Zero data files opened."""
+    log = SnapshotLog(spark, table_root)
+    if isinstance(version, str):
+        version = log.resolve_ref(version)
+    v = log.latest() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    snap = log.read(v)
+    name = snap.get("manifest")
+    rows: list[tuple] = []
+    sharding = snap.get("manifest_shards") or {}
+    parts_meta = sharding.get("parts") or {}
+    by = sharding.get("by")
+    if name:
+        local = log._manifest_local(name)
+        import os as _os
+
+        if _os.path.isdir(local):
+            entries = [
+                (p, _os.path.getsize(_os.path.join(local, p)))
+                for p in sorted(_os.listdir(local))
+                if p.endswith(".parquet")
+            ]
+        else:
+            entries = [(posixpath.basename(local), _os.path.getsize(local))]
+        for part, size in entries:
+            meta = parts_meta.get(part)
+            rows.append(
+                (
+                    name,
+                    part,
+                    int(size),
+                    by,
+                    str(meta[0]) if meta and meta[0] is not None else None,
+                    str(meta[1]) if meta and meta[1] is not None else None,
+                    bool(meta[2]) if meta else None,
+                    int(meta[3]) if meta else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "manifest string, part string, size_bytes long, shard_by string, "
+        "bound_lo string, bound_hi string, always_kept boolean, "
+        "n_files long",
     )
 
 

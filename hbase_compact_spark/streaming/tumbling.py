@@ -61,7 +61,17 @@ _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 # default on-heap provider super-linear on stream_session's second
 # decade (sf1→sf10 11.7× for 10× data) while RocksDB held 5.9× —
 # the scale-safe backend is now the default code path, not an opt-in
-# variant. Opt out (or redirect) via HCS_HEAVY_STATE_PROVIDER:
+# variant.
+#
+# POLICY (three-box A/B, SCALE_r10..r12 provider_ab): the SIGN of the
+# RocksDB-vs-HDFS latency delta is box-dependent — r10's box measured
+# RocksDB 2.5× faster at sf10, r11's and r12's measured HDFS ≤1.4×
+# faster. The default optimizes the failure mode, not the median:
+# on-heap state OOM-kills the executor once state exceeds heap (fatal
+# at 100 TB), while RocksDB's worst measured cost is a bounded ≤1.4×.
+# Deployments whose heavy state provably fits on-heap calibrate per
+# box with HCS_HEAVY_STATE_PROVIDER=hdfs or an explicit session
+# providerClass. Opt out (or redirect) via HCS_HEAVY_STATE_PROVIDER:
 # "default" keeps the session's provider, anything else is used as
 # the provider class verbatim. An EXPLICIT session-level provider
 # (state_store_provider context manager / user conf) always wins —

@@ -257,3 +257,36 @@ def test_append_after_shard_drops_stale_index(spark, tmp_path):
     plan = scan_plan(spark, root, {"k": (100, 109)}, v3)
     # the stats-less appendee is conservatively kept alongside file 10
     assert set(plan["paths"]) == {"part-00010.parquet", "late.parquet"}
+
+
+def test_table_manifests_meta(sharded_log, spark):
+    """table$manifests: one row per manifest part with the shard
+    bounds/counts from the version JSON — the operator view of the
+    two-level layer; unsharded versions list parts with null bounds."""
+    from hbase_compact_spark.compaction.snapshots import (
+        table_manifests_meta,
+    )
+
+    log, v, v2 = sharded_log
+    df = table_manifests_meta(spark, log.table_root, v2)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["shard_by"] == "k" for r in rows)
+    assert sum(r["n_files"] for r in rows) == N_FILES
+    assert all(
+        r["bound_lo"] is not None and not r["always_kept"] for r in rows
+    )
+    assert all(r["size_bytes"] > 0 for r in rows)
+    # shards tile the key domain in order
+    spans = sorted(
+        (int(r["bound_lo"]), int(r["bound_hi"])) for r in rows
+    )
+    assert spans[0][0] == 0
+    assert spans[-1][1] == N_FILES * ROWS_PER_FILE - 1
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # disjoint, ordered
+    # the pre-shard version: parts listed, bounds null
+    df1 = table_manifests_meta(spark, log.table_root, v)
+    r1 = df1.collect()
+    assert len(r1) >= 1
+    assert all(r["bound_lo"] is None and r["n_files"] is None for r in r1)

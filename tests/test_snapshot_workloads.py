@@ -2207,3 +2207,95 @@ def test_merge_full_applies_and_retires_pending_mor(spark, tmp_path):
     assert [r["val"] for r in got.filter("id = 22").collect()] == [9999.0]
     assert got.filter("id BETWEEN 20 AND 24 AND id <> 22").count() == 0
     assert got.count() == 100 - 5 + 1
+
+
+def test_years_transform_layout_and_pruning(spark, tmp_path):
+    """years(ts): appends land under `_hp_ts_year=yyyy` dirs, a raw-ts
+    range scan opens only matching year dirs, read exact — completes
+    the Iceberg time-transform family (years/months/days/hours)."""
+    import datetime
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(48).selectExpr(
+        "id",
+        "timestampadd(MONTH, CAST(id AS INT), timestamp'2020-01-15 12:00:00') AS ts",
+    )
+    df.filter("id < 12").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["years(ts)"])
+    S.append_partitioned(spark, root, df.filter("id >= 12"))
+    log = SnapshotLog(spark, root)
+    years = {
+        p.split("_hp_ts_year=", 1)[1].split("/")[0]
+        for p, _ in log.files(log.latest())
+        if "_hp_ts_year=" in p
+    }
+    assert years == {"2021", "2022", "2023"}
+    lo = datetime.datetime(2022, 1, 1)
+    hi = datetime.datetime(2022, 12, 31, 23, 59)
+    plan = scan_plan(spark, root, {"ts": (lo, hi)})
+    kept = {
+        p.split("_hp_ts_year=", 1)[1].split("/")[0]
+        for p in plan["paths"]
+        if "_hp_ts_year=" in p
+    }
+    assert kept == {"2022"}
+    got = S.read_table_where(spark, root, {"ts": (lo, hi)})
+    assert got.count() == 12  # the 12 months of 2022
+    # parity: driver bound == JVM rendering
+    fld = S.parse_partition_field("years(ts)")
+    assert S._transform_bound(fld, datetime.datetime(2022, 3, 1)) == "2022"
+
+
+def test_truncate_decimal_transform_parity_and_pruning(spark, tmp_path):
+    """truncate(W, decimal): floors in UNSCALED units (Iceberg's
+    TruncateDecimal — truncate(50, decimal(9,2)) buckets by 0.50),
+    negatives floor like pmod, and the driver-side bound renders
+    byte-identically to Spark's string cast at the COLUMN scale."""
+    import decimal
+
+    import hbase_compact_spark.compaction.snapshots as S
+
+    root = str(tmp_path / "t")
+    df = spark.range(-40, 200).selectExpr(
+        "id", "CAST(id * 0.07 AS DECIMAL(9,2)) AS d"
+    )
+    df.filter("id < 0").coalesce(1).write.parquet(root)
+    S.evolve_partitioning(spark, root, ["truncate(50, d)"])
+    S.append_partitioned(spark, root, df.filter("id >= 0"))
+    log = SnapshotLog(spark, root)
+    # JVM/driver value parity over every row
+    fld = S.parse_partition_field("truncate(50, d)")
+    rows = (
+        df.select(
+            "d", S._partition_field_expr(df, fld).alias("jvm")
+        )
+        .collect()
+    )
+    for r in rows:
+        want = S._transform_bound(fld, r["d"], scale=2)
+        assert str(want) == r["jvm"], (r["d"], want, r["jvm"])
+    # range probe prunes to the covering 0.50-buckets
+    probe = {"d": (decimal.Decimal("1.00"), decimal.Decimal("1.99"))}
+    plan = scan_plan(spark, root, probe)
+    kept = {
+        p.split("_hp_d_trunc50=", 1)[1].split("/")[0]
+        for p in plan["paths"]
+        if "_hp_d_trunc50=" in p
+    }
+    assert kept == {"1.00", "1.50"}
+    got = S.read_table_where(spark, root, probe)
+    want_ids = [
+        r["id"]
+        for r in df.filter(
+            "d >= CAST(1.00 AS DECIMAL(9,2)) AND d <= CAST(1.99 AS DECIMAL(9,2))"
+        ).collect()
+    ]
+    assert sorted(r["id"] for r in got.collect()) == sorted(want_ids)
+    # a probe finer than the column scale refuses to derive (no wrong
+    # prune), rows still exact through the in-plan filter
+    fine = S._transform_bound(
+        fld, decimal.Decimal("1.005"), scale=2
+    )
+    assert fine is None

@@ -460,6 +460,154 @@ def bench_provider_ab(rnd: int | None = None) -> None:
     print("merged provider_ab into", out_path)
 
 
+def bench_tail(rnd: int | None = None) -> None:
+    """stream_table_tail O(delta) evidence: at two table scales, time
+    (a) a full tail from scratch (serves the whole table) and (b) a
+    checkpoint-resumed tail after ONE fixed-size append (serves only
+    the delta). The full tail grows with the table; the delta batch
+    must stay ~flat — per-trigger cost is O(delta files), not
+    O(table)."""
+    import shutil
+    import tempfile
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        append_partitioned,
+    )
+    from hbase_compact_spark.streaming.table_tail import tail_stream
+    from hbase_compact_spark.tables import load_table
+
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    out: dict[str, dict] = {}
+    delta_rows = 20_000
+    for label, sf_dir in [("sf0.1", SRC_SF), ("sf1", TARGETS["sf1"][1])]:
+        base = tempfile.mkdtemp(prefix=f"hcs_tailbench_{label}_")
+        root = os.path.join(base, "t")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        n_total = ev.count()
+        ev.repartition(32).write.parquet(root)
+        SnapshotLog(spark, root).bootstrap()
+        ckpt = os.path.join(base, "ckpt")
+
+        def _drain() -> float:
+            t0 = time.perf_counter()
+            q = (
+                tail_stream(spark, root)
+                .writeStream.format("noop")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(600)
+            return round(time.perf_counter() - t0, 3)
+
+        full_s = _drain()
+        delta = ev.limit(delta_rows).selectExpr(
+            "event_id + 1000000000 AS event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        append_partitioned(spark, root, delta)
+        delta_s = _drain()
+        out[label] = {
+            "rows_total": int(n_total),
+            "full_tail_s": full_s,
+            "delta_rows": delta_rows,
+            "delta_tail_s": delta_s,
+        }
+        print("tail", label, out[label], flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload["table_tail"] = {
+        "what": ("snapshot-tail per-trigger cost: full drain (whole "
+                 "table) vs checkpoint-resumed drain of one fixed "
+                 "20k-row append - the delta batch must stay ~flat as "
+                 "the table grows 10x (O(delta files), not O(table))"),
+        "points": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged table_tail into", out_path)
+
+
+def bench_shard_planning(rnd: int | None = None) -> None:
+    """shard_manifest planning-cost evidence: synthetic manifests of
+    10^4 and 10^5 file entries (pure metadata, disjoint key ranges),
+    a narrow 2-file range probe timed unsharded vs sharded (32
+    shards). The sharded plan opens only the covering shard, so
+    planning latency drops and stays ~flat with file count at fixed
+    selectivity."""
+    import shutil
+    import tempfile
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        scan_plan,
+        shard_manifest,
+    )
+
+    spark = _spark()
+    out: dict[str, dict] = {}
+    for n_files in (10_000, 100_000):
+        base = tempfile.mkdtemp(prefix=f"hcs_shardbench_{n_files}_")
+        root = os.path.join(base, "t")
+        os.makedirs(root, exist_ok=True)
+        log = SnapshotLog(spark, root)
+        files = [(f"part-{i:06d}.parquet", 1024) for i in range(n_files)]
+        stats = {
+            rel: {"rows": 100, "cols": {"k": [i * 100, i * 100 + 99]}}
+            for i, (rel, _) in enumerate(files)
+        }
+        v1 = log.commit(files, op="synthetic", stats=stats)
+        v2 = shard_manifest(spark, root, "k", shards=32)
+        lo = (n_files // 2) * 100 + 50
+        probe = {"k": (lo, lo + 149)}  # spans exactly 2 files
+
+        def _median(version):
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                plan = scan_plan(spark, root, probe, version)
+                ts.append(time.perf_counter() - t0)
+                assert plan["kept_files"] == 2, plan["kept_files"]
+            return round(sorted(ts)[2], 4)
+
+        flat_s = _median(v1)
+        shard_plan = scan_plan(spark, root, probe, v2)
+        sharded_s = _median(v2)
+        out[str(n_files)] = {
+            "flat_plan_s": flat_s,
+            "sharded_plan_s": sharded_s,
+            "shards_opened": shard_plan["shards_opened"],
+            "shards_total": shard_plan["shards_total"],
+        }
+        print("shard_planning", n_files, out[str(n_files)], flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    payload = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload["shard_planning"] = {
+        "what": ("scan_plan latency for a 2-file range probe over "
+                 "synthetic manifests, flat vs 32-way sharded "
+                 "(median of 5): sharded planning opens only the "
+                 "covering shard and stays ~flat with file count"),
+        "points": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("merged shard_planning into", out_path)
+
+
 def bench_index_maintenance(rnd: int | None = None) -> None:
     """Rebuild-vs-increment cost of the persistent IVF index (VERDICT
     r9 task 5's 'Done' clause): at each scale point, time (a) a FULL
@@ -732,5 +880,9 @@ if __name__ == "__main__":
         bench_mor_maintenance(int(sys.argv[2]))
     elif cmd == "bench_provider_ab":
         bench_provider_ab(int(sys.argv[2]))
+    elif cmd == "bench_tail":
+        bench_tail(int(sys.argv[2]))
+    elif cmd == "bench_shard_planning":
+        bench_shard_planning(int(sys.argv[2]))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
