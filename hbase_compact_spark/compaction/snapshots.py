@@ -2423,7 +2423,16 @@ def scan_plan(
             ],
         }
 
-    if n_files > DISTRIBUTED_PRUNE_THRESHOLD:
+    # the driver-vs-distributed decision sizes the rows the driver
+    # would actually touch: with a shard index, that is the KEPT
+    # shards' file count, not the table's — a selective probe over a
+    # 10^6-file table stays a cheap driver loop over one shard
+    effective_n = (
+        sum(sharding["parts"][posixpath.basename(p)][3] for p in shard_info["paths"])
+        if shard_info is not None
+        else n_files
+    )
+    if effective_n > DISTRIBUTED_PRUNE_THRESHOLD:
         kept = _scan_plan_distributed(
             log,
             v,

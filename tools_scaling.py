@@ -479,9 +479,25 @@ def bench_tail(rnd: int | None = None) -> None:
 
     spark = _spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the python data-source worker pool on a throwaway table so
+    # the first timed drain measures the tail, not process startup
+    warm_base = tempfile.mkdtemp(prefix="hcs_tailwarm_")
+    warm_root = os.path.join(warm_base, "t")
+    spark.range(100).write.parquet(warm_root)
+    SnapshotLog(spark, warm_root).bootstrap()
+    wq = (
+        tail_stream(spark, warm_root)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(warm_base, "ckpt"))
+        .start()
+    )
+    wq.awaitTermination(120)
+    shutil.rmtree(warm_base, ignore_errors=True)
     out: dict[str, dict] = {}
     delta_rows = 20_000
-    for label, sf_dir in [("sf0.1", SRC_SF), ("sf1", TARGETS["sf1"][1])]:
+    for label, sf_dir in [("sf0.1", SRC_SF), ("sf1", TARGETS["sf1"][1]),
+                          ("sf10", TARGETS["sf10"][1])]:
         base = tempfile.mkdtemp(prefix=f"hcs_tailbench_{label}_")
         root = os.path.join(base, "t")
         ev = load_table(spark, sf_dir, "events").select(
