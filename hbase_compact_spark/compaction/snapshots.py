@@ -4339,10 +4339,8 @@ def _snapshot_merge_full_once(
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
-        n_matched_keys = matched_keys.count()
     else:
         matched_keys = keys_df.limit(0)
-        n_matched_keys = 0
     if insert_unmatched and n_source:
         inserts = source_df.join(
             matched_keys, on=key_cols, how="left_anti"

@@ -346,7 +346,7 @@ def tail_schema(spark: SparkSession, table_root: str):
     """The tail's row schema: the snapshot's declared schema (or
     parquet inference over the latest version's first file) plus the
     `_tail_version` attribution column."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from hbase_compact_spark.compaction.snapshots import SnapshotLog
 
@@ -372,7 +372,7 @@ def tail_schema(spark: SparkSession, table_root: str):
                 if name not in schema.names:
                     schema = StructType(
                         list(schema.fields)
-                        + [StructField(name, LongType())]
+                        + [StructField(name, StringType())]
                     )
     return StructType(
         list(schema.fields) + [StructField(TAIL_VERSION_COL, LongType())]

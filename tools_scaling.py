@@ -263,6 +263,11 @@ HEAVY3 = [
     "snapshot_mor_upsert_scan",
     # r11 addition: the transform-spec pruned read (days+bucket layout)
     "snapshot_transform_scan",
+    # r12 additions: the full-clause-matrix MERGE and the snapshot-log
+    # streaming tail (the per-trigger O(delta) claim has its own
+    # table_tail section; this row tracks the end-to-end query)
+    "snapshot_merge_full",
+    "stream_table_tail",
 ]
 
 
