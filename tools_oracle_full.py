@@ -43,6 +43,7 @@ _REPO = str(Path(__file__).resolve().parent)
 _FORCED_WIPE_TAGS = (
     "clusterlabels",
     "merge_scan",
+    "merge_full",
     "mor_delete_scan",
     "eqdelete_scan",
     "mor_upsert_scan",
@@ -253,7 +254,8 @@ def main() -> None:
             "dedup_clusters,dedup_canonical,"
             "snapshot_merge_scan,snapshot_cdc_scan,"
             "dedup_semantic,snapshot_mor_delete_scan,"
-            "snapshot_eqdelete_scan,snapshot_mor_upsert_scan"
+            "snapshot_eqdelete_scan,snapshot_mor_upsert_scan,"
+            "snapshot_merge_full"
         )
         rc = subprocess.run(
             [

@@ -320,15 +320,22 @@ def bench3(queries: list[str] | None = None, rnd: int | None = None) -> None:
         row["decade2"] = round(row["sf10"] / max(row["sf1"], 1e-9), 2)
         out[name] = row
         print(name, row, flush=True)
-    payload = {
-        "points": {"sf0.1": "median-of-3", "sf1": "median-of-3",
-                   "sf10": "warm (2nd of 2 runs)"},
-        "rows": {"lineitem": {"sf0.1": "600k", "sf1": "6M", "sf10": "60M"},
-                 "events": {"sf0.1": "100k", "sf1": "1M", "sf10": "10M"},
-                 "documents": {"sf0.1": "5k", "sf1": "50k", "sf10": "500k"}},
-        "queries": out,
-    }
     out_path = str(Path(__file__).parent / f"SCALE_r{rnd:02d}.json")
+    # MERGE into any existing round artifact: a subset re-run must
+    # update its rows, never clobber the other sections (provider_ab,
+    # shard_planning, ...) or the full sweep's other query rows
+    payload: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+    payload["points"] = {"sf0.1": "median-of-3", "sf1": "median-of-3",
+                         "sf10": "warm (2nd of 2 runs)"}
+    payload["rows"] = {
+        "lineitem": {"sf0.1": "600k", "sf1": "6M", "sf10": "60M"},
+        "events": {"sf0.1": "100k", "sf1": "1M", "sf10": "10M"},
+        "documents": {"sf0.1": "5k", "sf1": "50k", "sf10": "500k"},
+    }
+    payload.setdefault("queries", {}).update(out)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print("wrote", out_path)
