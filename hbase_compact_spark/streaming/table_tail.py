@@ -47,7 +47,19 @@ from pyspark.sql.datasource import (
 )
 
 TAIL_VERSION_COL = "_tail_version"
+CHANGE_TYPE_COL = "_change_type"
 FORMAT_NAME = "snapshot_tail"
+
+# mode="cdc" additionally serves row-LEVEL changes through the
+# merge-on-read lifecycle: positional/equality MOR deletes and MOR
+# upserts emit their removed rows as _change_type='delete' (computed
+# executor-side with pyarrow from the entry parquets), compactions
+# emit NOTHING (they apply already-emitted logical deletes — the
+# read_changes contract), and only the COW rewrite class below still
+# refuses (a row-level diff of rewritten partitions needs a join the
+# per-file executor read cannot express; consume read_changes for
+# that range and resume past it).
+_CDC_REFUSE = frozenset({"delete", "merge", "rollback"})
 
 # Python data-source PLANNER workers run outside the driver process
 # and do not see sys.path additions or addPyFile shipments, so this
@@ -115,6 +127,19 @@ class _TailLog:
         ) as f:
             return json.load(f)
 
+    def delete_files(self, version: int) -> list[tuple[str, int]]:
+        """[(entry name, n)] of the snapshot's pending MOR delete
+        entries (the version JSON's delete_files list); [] for
+        version 0 / a version that does not exist (the cursor floor
+        before the first commit)."""
+        if version <= 0:
+            return []
+        try:
+            snap = self.read(version)
+        except FileNotFoundError:
+            return []
+        return [(e[0], int(e[1])) for e in snap.get("delete_files") or []]
+
     def files(self, version: int) -> list[tuple[str, int]]:
         """(relpath, size) of a snapshot — the same column-pruned
         manifest read SnapshotLog.files performs (names+sizes only on
@@ -156,6 +181,31 @@ class _TailFilePartition(InputPartition):
         self.version = version
 
 
+class _CdcDeletePartition(InputPartition):
+    """CDC mode: the rows one MOR delete entry removes from ONE data
+    file (kind='pos': physical positions from the entry parquet;
+    kind='eq': key matches against the file's rows still LIVE before
+    this version — `priors` carries the earlier pending entries
+    scoped to this file so already-dead rows never re-emit). All
+    paths absolute; the executor reads only pyarrow."""
+
+    def __init__(
+        self,
+        kind: str,
+        data_path: str,
+        relpath: str,
+        entry_path: str,
+        priors: list,
+        version: int,
+    ):
+        self.kind = kind
+        self.data_path = data_path
+        self.relpath = relpath
+        self.entry_path = entry_path
+        self.priors = priors
+        self.version = version
+
+
 def _path_partition_values(relpath: str) -> dict[str, str]:
     """{column: raw value} from hive-style `k=v` dir components —
     legacy hive layouts keep partition values ONLY in the path, so
@@ -184,6 +234,9 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         self._from_version = int(options.get("from_version", 0) or 0)
         raw = options.get("max_versions_per_batch")
         self._max_versions = int(raw) if raw else None
+        self._mode = options.get("mode", "append")
+        if self._mode not in ("append", "cdc"):
+            raise ValueError(f"snapshot_tail mode must be append|cdc, got {self._mode!r}")
         self._log = _TailLog(self._root)
 
     # ------------------------------------------------------- offsets
@@ -202,17 +255,26 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         start = max(self._from_version, self._last_committed())
         end = start
         served = 0
+        refuse = (
+            _CDC_REFUSE if self._mode == "cdc" else _ROW_CHANGING_OPS
+        )
         for v in range(start + 1, latest + 1):
             op = self._log.read(v).get("op", "")
-            if op in _ROW_CHANGING_OPS:
+            if op in refuse:
                 if end == start:
                     raise ValueError(
-                        f"snapshot tail at v{start} cannot cross the "
-                        f"{op!r} commit v{v}: a file-level tail would "
-                        "re-emit rewritten rows or miss deletions. "
-                        "Consume read_changes for that range and "
-                        "resume the tail with from_version>="
-                        f"{v}."
+                        f"snapshot tail ({self._mode}) at v{start} "
+                        f"cannot cross the {op!r} commit v{v}: "
+                        + (
+                            "a COW rewrite's row-level diff needs a "
+                            "join the per-file executor read cannot "
+                            "express"
+                            if self._mode == "cdc"
+                            else "a file-level tail would re-emit "
+                            "rewritten rows or miss deletions"
+                        )
+                        + ". Consume read_changes for that range and "
+                        f"resume the tail with from_version>={v}."
                     )
                 break
             end = v
@@ -244,22 +306,97 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         prev = {p for p, _ in self.files_at(s)}
         for v in range(s + 1, e + 1):
+            op = self._log.read(v).get("op", "")
             cur = self._log.files(v)
-            for relpath, _size in cur:
-                if relpath not in prev:
-                    out.append(
-                        _TailFilePartition(
-                            posixpath.join(
-                                _local_path(self._root), relpath
-                            ),
-                            relpath,
-                            v,
+            emit_inserts = True
+            if self._mode == "cdc":
+                if op == "compact":
+                    # a compact only applies already-emitted logical
+                    # deletes and repacks carried rows — no row-level
+                    # change (read_changes' contract)
+                    emit_inserts = False
+                out.extend(self._cdc_delete_partitions(v))
+            if emit_inserts:
+                for relpath, _size in cur:
+                    if relpath not in prev:
+                        out.append(
+                            _TailFilePartition(
+                                posixpath.join(
+                                    _local_path(self._root), relpath
+                                ),
+                                relpath,
+                                v,
+                            )
                         )
-                    )
             prev = {p for p, _ in cur}
         # an empty range still needs one no-op partition: Spark
         # requires at least one partition per planned batch
         return out or [_TailFilePartition("", "", -1)]
+
+    def _cdc_delete_partitions(self, v: int) -> list[InputPartition]:
+        """Partitions for the MOR delete entries version v INTRODUCED:
+        one per (entry, affected data file). Planning reads only entry
+        metadata (the positional entry's column-pruned relpath list,
+        the equality entry's scope file list) — bounded by delete-set
+        size, never table size. `priors` = the entries already pending
+        BEFORE v that touch the same file, so the equality emission
+        can mask rows that were logically dead already."""
+        import pyarrow.parquet as pq
+
+        deletes_dir = posixpath.join(
+            self._log.log_dir, "deletes"
+        )
+        prev_names = {n for n, _ in self._log.delete_files(v - 1)}
+        new_names = [
+            n
+            for n, _ in self._log.delete_files(v)
+            if n not in prev_names
+        ]
+        if not new_names:
+            return []
+
+        def _entry_files(name: str) -> set[str]:
+            # the data relpaths an entry touches (metadata-only read)
+            if name.startswith("e-"):
+                tbl = pq.read_table(
+                    posixpath.join(deletes_dir, name, "scope"),
+                    columns=["relpath"],
+                )
+            else:
+                tbl = pq.read_table(
+                    posixpath.join(deletes_dir, name),
+                    columns=["relpath"],
+                )
+            return set(tbl.column("relpath").to_pylist())
+
+        prior_touch: list[tuple[str, set[str]]] = [
+            (n, _entry_files(n)) for n in sorted(prev_names)
+        ]
+        out: list[InputPartition] = []
+        root = _local_path(self._root)
+        for name in new_names:
+            kind = "eq" if name.startswith("e-") else "pos"
+            entry_path = posixpath.join(deletes_dir, name)
+            for relpath in sorted(_entry_files(name)):
+                priors = [
+                    {
+                        "kind": "eq" if pn.startswith("e-") else "pos",
+                        "path": posixpath.join(deletes_dir, pn),
+                    }
+                    for pn, touched in prior_touch
+                    if relpath in touched
+                ]
+                out.append(
+                    _CdcDeletePartition(
+                        kind,
+                        posixpath.join(root, relpath),
+                        relpath,
+                        entry_path,
+                        priors,
+                        v,
+                    )
+                )
+        return out
 
     def files_at(self, version: int) -> list[tuple[str, int]]:
         if version <= 0:
@@ -276,23 +413,38 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         return self._log.files(version)
 
     # ---------------------------------------------------------- read
-    def read(self, partition: _TailFilePartition):
+    def read(self, partition):
+        if isinstance(partition, _CdcDeletePartition):
+            yield from self._read_cdc_delete(partition)
+            return
         if partition.version < 0:
             return
-        import pyarrow as pa
         import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        yield from self._project(
+            tbl,
+            _path_partition_values(partition.relpath),
+            partition.version,
+            "insert",
+        )
+
+    def _project(self, tbl, pathvals, version: int, change_type: str):
+        """Arrow table -> RecordBatches in the declared tail schema:
+        data columns cast, hive path values filled, evolution-missing
+        columns NULL, plus the _tail_version (and, in cdc mode, the
+        _change_type) attribution columns."""
+        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        tbl = pq.read_table(partition.abs_path)
         n = tbl.num_rows
-        pathvals = _path_partition_values(partition.relpath)
         cols = []
         for field in target:
             if field.name == TAIL_VERSION_COL:
-                cols.append(
-                    pa.array([partition.version] * n, pa.int64())
-                )
+                cols.append(pa.array([version] * n, pa.int64()))
+            elif field.name == CHANGE_TYPE_COL:
+                cols.append(pa.array([change_type] * n, pa.string()))
             elif field.name in tbl.column_names:
                 cols.append(tbl.column(field.name).cast(field.type))
             elif field.name in pathvals:
@@ -306,6 +458,77 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         out = pa.table(cols, schema=target)
         yield from out.combine_chunks().to_batches(
             max_chunksize=1 << 16
+        )
+
+    def _read_cdc_delete(self, p: _CdcDeletePartition):
+        """Emit the rows one MOR delete entry removes from one data
+        file as _change_type='delete'. Positional entries name
+        physical row indexes directly; equality entries match keys
+        against the rows still LIVE before this version (prior
+        pending entries scoped to this file are masked out first, so
+        an already-dead row never re-emits). NULL key components
+        never match — SQL equality, same as the batch reader."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(p.data_path)
+        n = tbl.num_rows
+        if p.kind == "pos":
+            ent = pq.read_table(p.entry_path).to_pandas()
+            positions = sorted(
+                int(x)
+                for x in ent.loc[ent["relpath"] == p.relpath, "pos"]
+            )
+            sel = tbl.take(pa.array(positions, pa.int64()))
+        else:
+            keys = (
+                pq.read_table(posixpath.join(p.entry_path, "keys"))
+                .to_pandas()
+                .dropna()
+                .drop_duplicates()
+            )
+            key_cols = list(keys.columns)
+
+            def _matches(key_df) -> "np.ndarray":
+                pdf = tbl.select(list(key_df.columns)).to_pandas()
+                hit = (
+                    pdf.merge(
+                        key_df.assign(__hit=1),
+                        on=list(key_df.columns),
+                        how="left",
+                    )["__hit"]
+                    .notna()
+                    .to_numpy()
+                )
+                # pandas merge matches NaN==NaN; SQL equality must not
+                null_rows = pdf.isna().any(axis=1).to_numpy()
+                return hit & ~null_rows
+
+            alive = np.ones(n, dtype=bool)
+            for prior in p.priors:
+                if prior["kind"] == "pos":
+                    pe = pq.read_table(prior["path"]).to_pandas()
+                    pos = pe.loc[
+                        pe["relpath"] == p.relpath, "pos"
+                    ].to_numpy(dtype="int64")
+                    alive[pos] = False
+                else:
+                    pk = (
+                        pq.read_table(
+                            posixpath.join(prior["path"], "keys")
+                        )
+                        .to_pandas()
+                        .dropna()
+                        .drop_duplicates()
+                    )
+                    alive &= ~_matches(pk)
+            sel = tbl.filter(pa.array(_matches(keys) & alive))
+        yield from self._project(
+            sel,
+            _path_partition_values(p.relpath),
+            p.version,
+            "delete",
         )
 
     def commit(self, end: dict) -> None:
@@ -342,10 +565,11 @@ class SnapshotTailDataSource(DataSource):
         return SnapshotTailStreamReader(schema, self.options)
 
 
-def tail_schema(spark: SparkSession, table_root: str):
+def tail_schema(spark: SparkSession, table_root: str, mode: str = "append"):
     """The tail's row schema: the snapshot's declared schema (or
     parquet inference over the latest version's first file) plus the
-    `_tail_version` attribution column."""
+    `_tail_version` attribution column (and `_change_type` in cdc
+    mode)."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from hbase_compact_spark.compaction.snapshots import SnapshotLog
@@ -374,9 +598,10 @@ def tail_schema(spark: SparkSession, table_root: str):
                         list(schema.fields)
                         + [StructField(name, StringType())]
                     )
-    return StructType(
-        list(schema.fields) + [StructField(TAIL_VERSION_COL, LongType())]
-    )
+    extra = [StructField(TAIL_VERSION_COL, LongType())]
+    if mode == "cdc":
+        extra.insert(0, StructField(CHANGE_TYPE_COL, StringType()))
+    return StructType(list(schema.fields) + extra)
 
 
 def tail_stream(
@@ -385,6 +610,7 @@ def tail_stream(
     *,
     from_version: int = 0,
     max_versions_per_batch: int | None = None,
+    mode: str = "append",
 ) -> DataFrame:
     """The table's append tail as a streaming DataFrame. Registers
     the data source on the session (idempotent) and wires the
@@ -406,9 +632,10 @@ def tail_stream(
     spark.dataSource.register(SnapshotTailDataSource)
     reader = (
         spark.readStream.format(FORMAT_NAME)
-        .schema(tail_schema(spark, table_root))
+        .schema(tail_schema(spark, table_root, mode))
         .option("path", table_root)
         .option("from_version", str(from_version))
+        .option("mode", mode)
     )
     if max_versions_per_batch:
         reader = reader.option(

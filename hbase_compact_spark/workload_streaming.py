@@ -1391,3 +1391,148 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return result
+
+
+# --------------------------------------------------------------------
+# stream_table_cdc — the tail's mode="cdc": stream the ROW-LEVEL
+# changelog of a snapshot table through the merge-on-read lifecycle
+# (appends, positional + equality MOR deletes, MOR upserts; compaction
+# emits nothing — it applies already-emitted logical deletes). The
+# staging deliberately overlaps the v3 range delete with v4's upsert
+# keys, so the oracle hash also proves the prior-entry masking: a row
+# deleted at v3 must NOT re-emit as the pre-image of v4's upsert.
+CDC_DEL_HI = 300     # v3: MOR-delete event_id <= this
+CDC_UPD_MOD = 9      # v4: upsert keys event_id % 9 == 1 (subset of slice B)
+_CDC_TAG = "table_cdc"
+
+
+def cdc_root(spark: SparkSession, sf_dir: str) -> str:
+    """v1 bootstrap = slice A (event_id%3==0), v2 append = slice B
+    (%3==1), v3 positional MOR delete of event_id<=CDC_DEL_HI, v4 MOR
+    upsert of the %9==1 keys (value+1000, event_type 'U')."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        append_partitioned,
+        snapshot_delete,
+        snapshot_upsert_mor,
+    )
+    from hbase_compact_spark.tables import load_table
+    from hbase_compact_spark.workload_compaction import _memo_root
+
+    def _ready(lg) -> bool:
+        v = lg.latest()
+        return v is not None and v >= 4 and lg.read(v).get("op") == "mor_upsert"
+
+    root, log, ok = _memo_root(
+        spark, sf_dir, _CDC_TAG, _ready, src_table="events"
+    )
+    if ok:
+        return root
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(root)
+    SnapshotLog(spark, root).bootstrap()                       # v1
+    append_partitioned(spark, root, ev.filter(F.col("event_id") % 3 == 1))  # v2
+    snapshot_delete(
+        spark, root, {"event_id": (None, CDC_DEL_HI)}, mode="mor"
+    )                                                          # v3
+    batch = ev.filter(F.col("event_id") % CDC_UPD_MOD == 1).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit("U").alias("event_type"),
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    snapshot_upsert_mor(spark, root, batch, ["event_id"])      # v4
+    return root
+
+
+@query(
+    "stream_table_cdc",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'insert' AS change_type, CAST(1 AS BIGINT) AS change_version
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'insert', 2 FROM events WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'delete', 3
+    FROM events
+    WHERE event_id % 3 IN (0, 1) AND event_id <= {CDC_DEL_HI}
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'delete', 4
+    FROM events
+    WHERE event_id % {CDC_UPD_MOD} = 1 AND event_id > {CDC_DEL_HI}
+    UNION ALL
+    SELECT event_id, user_id, 'U' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 1000.0 AS DOUBLE) AS value,
+           'insert', 4
+    FROM events WHERE event_id % {CDC_UPD_MOD} = 1
+    """,
+)
+def stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the staged table's ROW-LEVEL changelog with the CDC tail
+    (streaming/table_tail.py mode='cdc'): inserts from appended
+    files, deletes computed executor-side from the MOR entry parquets
+    (positional positions; equality keys matched against rows still
+    live BEFORE the entry's version), every row stamped with the
+    delivering commit. The oracle re-derives all five branches from
+    the staging arithmetic — including that v3's range delete masks
+    those keys out of v4's pre-image delete (prior-entry masking) —
+    so the hash proves exact changelog semantics, not just net state.
+    The reference's poll-for-changes loop (QHBaseCompact.java:62-73)
+    is the 1-table ancestor of this changelog consumer."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hbase_compact_spark.streaming.table_tail import tail_stream
+
+    root = cdc_root(spark, sf_dir)
+    out = tail_stream(spark, root, mode="cdc").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        F.col("_change_type").alias("change_type"),
+        F.col("_tail_version").alias("change_version"),
+    )
+    base = tempfile.mkdtemp(prefix=f"hcs_cdc_run_{_uuid.uuid4().hex[:8]}_")
+    sink_dir = posixpath.join(base, "out")
+
+    def _sink(bdf: DataFrame, bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            posixpath.join(sink_dir, f"b{bid:05d}")
+        )
+
+    q = (
+        out.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", posixpath.join(base, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError("stream_table_cdc drain did not finish in 600 s")
+    result = spark.read.parquet(posixpath.join(sink_dir, "b*")).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return result

@@ -227,3 +227,118 @@ def test_expired_cursor_refuses_silent_replay(spark, tmp_path):
     rdr = T.SnapshotTailStreamReader(schema, {"path": root})
     with pytest.raises(ValueError, match="no longer a committed"):
         rdr.partitions({"version": 99}, {"version": 100})
+
+
+def _run_cdc(spark, root, ckpt, out_dir, **kw):
+    from hbase_compact_spark.streaming.table_tail import tail_stream
+
+    def sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{bid:05d}")
+        )
+
+    q = (
+        tail_stream(spark, root, mode="cdc", **kw)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(300), "cdc run did not finish in 300 s"
+
+
+def test_cdc_tail_lifecycle_and_restart(spark, tmp_path):
+    """CDC mode end-to-end: appends emit inserts, MOR deletes emit
+    their removed rows, upserts emit pre-image deletes + inserts,
+    compaction emits NOTHING, and a checkpoint-resumed run serves
+    only the versions after the cursor (continuation THROUGH the
+    compaction a plain append tail refuses)."""
+    root = _staged_table(spark, tmp_path, n_appends=1)  # v1, v2
+    S.snapshot_delete(spark, root, {"id": (3, 5)}, mode="mor")  # v3
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    _run_cdc(spark, root, ckpt, out)
+    got1 = spark.read.parquet(os.path.join(out, "b*"))
+    assert got1.filter("_change_type = 'insert'").count() == 30
+    assert sorted(
+        r["id"] for r in got1.filter("_change_type = 'delete'").collect()
+    ) == [3, 4, 5]
+    # compact + upsert + append land AFTER the cursor
+    S.snapshot_compact(spark, root, target_bytes=1 << 30)  # v4: silent
+    batch = spark.createDataFrame([(7, 777), (50, 500)], "id long, v long")
+    S.snapshot_upsert_mor(spark, root, batch, ["id"])      # v5
+    _run_cdc(spark, root, ckpt, out)
+    got2 = spark.read.parquet(os.path.join(out, "b*"))
+    new = got2.join(got1, ["id", "v", "_change_type", "_tail_version"], "left_anti")
+    rows = {
+        (r["id"], r["_change_type"], r["_tail_version"])
+        for r in new.collect()
+    }
+    assert rows == {
+        (7, "delete", 5),   # pre-image from the compacted file
+        (7, "insert", 5),
+        (50, "insert", 5),
+    }
+    # replaying inserts-minus-deletes reproduces the live table
+    import collections
+
+    net = collections.Counter()
+    for r in got2.collect():
+        net[(r["id"], r["v"])] += (
+            1 if r["_change_type"] == "insert" else -1
+        )
+    live = {
+        (r["id"], r["v"])
+        for r in S.read_table_at(spark, root).collect()
+    }
+    assert {k for k, c in net.items() if c > 0} == live
+
+
+def test_cdc_tail_matches_read_changes_on_overlapping_upserts(
+    spark, tmp_path
+):
+    """Two upserts of the SAME key: the second's pre-image delete must
+    be the FIRST upsert's row (the original is masked by the prior
+    entry), exactly what batch read_changes emits for that version
+    range — multiset equality between the streamed changelog slice
+    and the batch changelog."""
+    root = _staged_table(spark, tmp_path, n_appends=0)  # v1 only
+    b1 = spark.createDataFrame([(2, 200)], "id long, v long")
+    S.snapshot_upsert_mor(spark, root, b1, ["id"])  # v2
+    b2 = spark.createDataFrame([(2, 2000)], "id long, v long")
+    S.snapshot_upsert_mor(spark, root, b2, ["id"])  # v3
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    _run_cdc(spark, root, ckpt, out)
+    got = spark.read.parquet(os.path.join(out, "b*"))
+    v3 = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in got.filter("_tail_version = 3").collect()
+    }
+    assert v3 == {(2, 200, "delete"), (2, 2000, "insert")}
+    batch_changes = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in S.read_changes(spark, root, 2, 3).collect()
+    }
+    assert v3 == batch_changes
+    # and version 2's pre-image is the ORIGINAL row
+    v2 = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in got.filter("_tail_version = 2").collect()
+    }
+    assert v2 == {(2, 4, "delete"), (2, 200, "insert")}
+
+
+def test_cdc_tail_refuses_cow_rewrites(spark, tmp_path):
+    """COW delete/merge change rows without MOR entries — the CDC
+    tail must refuse them like the append tail refuses all rewrites,
+    pointing at read_changes for the gap."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = _staged_table(spark, tmp_path, n_appends=1)
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    _run_cdc(spark, root, ckpt, out)
+    S.snapshot_delete(spark, root, {"id": (0, 2)})  # COW
+    with pytest.raises(StreamingQueryException, match="cannot cross"):
+        _run_cdc(spark, root, ckpt, out)
