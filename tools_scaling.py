@@ -268,6 +268,7 @@ HEAVY3 = [
     # table_tail section; this row tracks the end-to-end query)
     "snapshot_merge_full",
     "stream_table_tail",
+    "stream_table_cdc",
 ]
 
 
