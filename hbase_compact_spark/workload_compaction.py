@@ -2473,3 +2473,72 @@ def snapshot_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_at(spark, root).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# --------------------------------------------------------------------
+# snapshot_manifests_meta — the `table$manifests` metadata table over
+# a SHARDED manifest (shard_manifest, the r12 two-level layer): one
+# row per manifest shard with its recorded key bounds and file count.
+_MM_TAG = "manifests_meta"
+
+
+def manifests_meta_root(spark: SparkSession, sf_dir: str) -> str:
+    """orders range-partitioned into 8 stats-annotated files, manifest
+    re-encoded as 4 bound-recorded shards."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+        shard_manifest,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and lg.read(v).get("op") == "shard-manifest"
+            and bool(lg.read(v).get("manifest_shards"))
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, _MM_TAG, _ready)
+    if ok:
+        return root
+    (
+        _orders_slim(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    annotate_stats(spark, root, cols=["o_orderkey"])
+    shard_manifest(spark, root, "o_orderkey", shards=4)
+    return root
+
+
+@query("snapshot_manifests_meta")  # rows-only: shard part names are
+# uuid-random and range-partitioner bounds are sample-dependent, so
+# the exact rows are not SQL-derivable; invariants (bounds tile the
+# key domain in order, counts sum to the file total, O(shards) index)
+# are pinned in tests/test_manifests.py::test_table_manifests_meta
+def snapshot_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table$manifests` over the two-level metadata layer
+    (shard_manifest): one row per manifest shard — name, on-disk
+    size, shard key bounds, file count, always-kept flag — the
+    operator view of WHICH shards a predicate would open. Planning
+    for this table is O(shards) driver work off the version JSON;
+    zero data files opened. Completes the metadata-table family
+    (table$files / table$partitions / table$history /
+    table$manifests) the way Iceberg exposes it."""
+    from hbase_compact_spark.compaction.snapshots import (
+        table_manifests_meta,
+    )
+
+    root = manifests_meta_root(spark, sf_dir)
+    df = table_manifests_meta(spark, root)
+    return df.select(
+        "part",
+        "shard_by",
+        F.col("bound_lo").cast("long").alias("lo"),
+        F.col("bound_hi").cast("long").alias("hi"),
+        "always_kept",
+        "n_files",
+    ).orderBy("lo")
