@@ -52,6 +52,9 @@ SNAPSHOT_DIR = "_snapshots"
 MANIFEST_SUBDIR = "manifests"
 REFS_SUBDIR = "refs"
 DELETES_SUBDIR = "deletes"
+# row-level changelog artifacts of COW rewrite commits (Delta CDF's
+# _change_data move): `_snapshots/changes/c-<uuid>/{deletes,inserts}`
+CHANGES_SUBDIR = "changes"
 # delete-entry kind is the name prefix: `d-` positional parquet
 # files, `e-` equality-delete dirs (keys/ + scope/ parquet subdirs)
 EQ_DELETE_PREFIX = "e-"
@@ -195,7 +198,12 @@ def _partition_field_expr(df: DataFrame, fld: PartitionField):
     return (src - F.pmod(src, F.lit(fld.param))).cast("string")
 
 
-def _transform_bound(fld: PartitionField, value, scale: int | None = None):
+def _transform_bound(
+    fld: PartitionField,
+    value,
+    scale: int | None = None,
+    source_type: str | None = None,
+):
     """Driver-side transform of ONE predicate bound into the field's
     path-value domain, or None when the bound's type cannot be
     transformed soundly (the derived predicate is then simply not
@@ -203,7 +211,19 @@ def _transform_bound(fld: PartitionField, value, scale: int | None = None):
     so transformed range bounds stay valid range bounds; bucket is
     not monotonic and is only ever called for equality probes.
     `scale` is the source column's decimal scale (needed to render a
-    truncated Decimal bound exactly like Spark's string cast)."""
+    truncated Decimal bound exactly like Spark's string cast).
+
+    `source_type` ("string" | "int" | "decimal" | None=unknown) is
+    the COLUMN's kind: truncate only derives when the probe can be
+    carried into the column's own truncation domain. The r13 fuzz
+    suite (tests/test_transform_prune_fuzz.py) found the cross-domain
+    hole this closes: an INT probe on a truncate(50, decimal(9,2))
+    column used to floor in integer units (1 → 0) while the dirs
+    floor in 0.50 steps ('0.50', '1.00'), silently pruning in-range
+    files; likewise an int probe against string-prefix dirs compares
+    lexicographically against the wrong domain. Unknown column kind
+    with a probe of a DIFFERENT python type than the rendering
+    assumes now refuses instead of guessing."""
     import datetime
 
     if value is None:
@@ -260,12 +280,28 @@ def _transform_bound(fld: PartitionField, value, scale: int | None = None):
     if fld.transform == "truncate":
         import decimal as _dec
 
-        if isinstance(value, str):
-            return value[: fld.param]
         if isinstance(value, bool):
             return None
-        if isinstance(value, int):
-            return value - (value % fld.param)
+        if isinstance(value, str):
+            # prefix truncation lives in the STRING domain only: an
+            # int-column dir ('200') compared against a string bound
+            # sorts lexicographically, not numerically
+            return (
+                value[: fld.param]
+                if source_type in (None, "string")
+                else None
+            )
+        if isinstance(value, int) and source_type == "decimal":
+            # carry the int probe into the column's decimal step
+            # domain (1 on truncate(50, dec(9,2)) buckets at '1.00',
+            # not integer-floor 0)
+            value = _dec.Decimal(value)
+        elif isinstance(value, int):
+            return (
+                value - (value % fld.param)
+                if source_type in (None, "int")
+                else None
+            )
         if isinstance(value, _dec.Decimal) and scale is not None:
             # only derive when the probe is representable at the
             # column scale — otherwise the rendering (and the row
@@ -302,12 +338,23 @@ def _spec_derived_predicates(
     if not spec:
         return {}
 
-    def _decimal_scale(source: str) -> int | None:
-        # truncate-on-decimal needs the COLUMN scale to compute the
-        # truncation step; declared schema first, parquet footer of
-        # one snapshot file as the fallback (tables that never
-        # declared a schema blob)
-        from pyspark.sql.types import DecimalType, StructType
+    def _source_type(source: str) -> tuple[str | None, int | None]:
+        # (column kind, decimal scale): the truncate/bucket derivation
+        # is only sound when the probe can be carried into the
+        # column's OWN value domain (r13 fuzz finding — see
+        # _transform_bound), so the kind gates it. Declared schema
+        # first, parquet footer of one snapshot file as the fallback
+        # (tables that never declared a schema blob); unknown kind =
+        # None = derive only for same-python-type probes.
+        from pyspark.sql.types import (
+            ByteType,
+            DecimalType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+            StructType,
+        )
 
         blob = log.read(version).get("schema")
         if blob:
@@ -315,8 +362,14 @@ def _spec_derived_predicates(
                 struct = StructType.fromJson(blob["fields"])
                 dt = struct[source].dataType
             except (KeyError, TypeError, ValueError):
-                return None
-            return dt.scale if isinstance(dt, DecimalType) else None
+                return None, None
+            if isinstance(dt, StringType):
+                return "string", None
+            if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+                return "int", None
+            if isinstance(dt, DecimalType):
+                return "decimal", dt.scale
+            return None, None
         try:
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -325,12 +378,16 @@ def _spec_derived_predicates(
             arrow = pq.read_schema(
                 posixpath.join(_uri_path(log.table_root), rel)
             )
-            f = arrow.field(source)
-            if pa.types.is_decimal(f.type):
-                return f.type.scale
+            t = arrow.field(source).type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return "string", None
+            if pa.types.is_integer(t):
+                return "int", None
+            if pa.types.is_decimal(t):
+                return "decimal", t.scale
         except Exception:
-            return None
-        return None
+            return None, None
+        return None, None
 
     out: dict[str, tuple] = {}
     for raw in spec["partition_by"]:
@@ -338,19 +395,30 @@ def _spec_derived_predicates(
         if fld.transform == "identity" or fld.source not in norm:
             continue
         lo, hi = norm[fld.source]
-        scale = (
-            _decimal_scale(fld.source)
-            if fld.transform == "truncate"
-            else None
-        )
+        kind = scale = None
+        if fld.transform in ("truncate", "bucket"):
+            kind, scale = _source_type(fld.source)
         if fld.transform == "bucket":
             if lo is not None and lo == hi:  # equality only
-                b = _transform_bound(fld, lo)
-                if b is not None:
-                    out[fld.name] = (b, b)
+                # same cross-domain guard as truncate: an int probe
+                # against a STRING column matches non-canonical rows
+                # ('0251' = 251 after cast) whose bucket dir is NOT
+                # crc32('251') — derive only same-domain probes
+                probe_kind = (
+                    "string"
+                    if isinstance(lo, str)
+                    else "int"
+                    if isinstance(lo, (int, float))
+                    and not isinstance(lo, bool)
+                    else None
+                )
+                if kind is None or probe_kind == kind:
+                    b = _transform_bound(fld, lo)
+                    if b is not None:
+                        out[fld.name] = (b, b)
             continue
-        dlo = _transform_bound(fld, lo, scale)
-        dhi = _transform_bound(fld, hi, scale)
+        dlo = _transform_bound(fld, lo, scale, source_type=kind)
+        dhi = _transform_bound(fld, hi, scale, source_type=kind)
         if dlo is not None or dhi is not None:
             out[fld.name] = (dlo, dhi)
     return out
@@ -1003,6 +1071,147 @@ class SnapshotLog:
         return self.commit(
             None, op=op, parent=parent, schema=schema, manifest=name
         )
+
+class PureSnapshotLog:
+    """READ-ONLY duck-type of SnapshotLog over the local filesystem —
+    no SparkSession, no JVM gateway. This is what lets snapshot-log
+    PLANNING run inside a Python data-source worker
+    (sources/snapshot_table.py): the worker has no py4j bridge, but
+    version JSONs, refs, manifests, and delete-entry metadata are all
+    plain files, so every read accessor the pruning path touches
+    (read/files/_resolve/schema/resolve_ref/delete_files/
+    _manifest_local) is reproducible with json + pyarrow alone.
+    Same local-path assumption as SnapshotLog._manifest_local and the
+    streaming tail's _TailLog; an object-store deployment routes
+    through a pyarrow filesystem. `spark` is None by contract — code
+    shared with SnapshotLog (scan_plan) branches on it to skip
+    Spark-only strategies (the distributed manifest scan)."""
+
+    spark = None
+
+    def __init__(self, table_root: str):
+        self.table_root = table_root
+        self._local_root = _uri_path(table_root)
+        self.log_dir = posixpath.join(table_root, SNAPSHOT_DIR)
+        self._local_log = posixpath.join(self._local_root, SNAPSHOT_DIR)
+
+    # ---------------------------------------------------------- reads
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self._local_log)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        )
+
+    def latest(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read(self, version: int) -> dict:
+        import json as _json
+
+        with open(
+            posixpath.join(self._local_log, f"v{version:012d}.json")
+        ) as f:
+            return _json.load(f)
+
+    @property
+    def refs_dir(self) -> str:
+        return posixpath.join(self.log_dir, REFS_SUBDIR)
+
+    def refs(self) -> dict[str, dict]:
+        import json as _json
+
+        d = posixpath.join(self._local_log, REFS_SUBDIR)
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for name in names:
+            if name.endswith(".json") and not name.startswith("_tmp-"):
+                with open(posixpath.join(d, name)) as f:
+                    out[name[:-5]] = _json.load(f)
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise FileNotFoundError(
+                f"no ref {name!r} under {self.refs_dir} "
+                f"(have: {sorted(self.refs())})"
+            )
+        return int(ref["version"])
+
+    @property
+    def deletes_dir(self) -> str:
+        return posixpath.join(self.log_dir, DELETES_SUBDIR)
+
+    def delete_files(self, version: int | None = None) -> list[tuple[str, int]]:
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return [
+            (str(n), int(r)) for n, r in self.read(v).get("delete_files") or []
+        ]
+
+    @property
+    def manifest_dir(self) -> str:
+        return posixpath.join(self.log_dir, MANIFEST_SUBDIR)
+
+    def _manifest_local(self, name: str) -> str:
+        return posixpath.join(self._local_log, MANIFEST_SUBDIR, name)
+
+    def _resolve(self, version: int) -> dict:
+        snap = self.read(version)
+        name = snap.get("manifest")
+        if name:
+            return _load_manifest(self._manifest_local(name))
+        return {
+            "files": sorted(
+                (f[0], int(f[1])) for f in snap.get("files") or []
+            ),
+            "stats": snap.get("stats") or {},
+            "blooms": snap.get("blooms") or {},
+        }
+
+    def files(self, version: int | None = None) -> list[tuple[str, int]]:
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        snap = self.read(v)
+        name = snap.get("manifest")
+        if name:
+            return list(_load_manifest_files(self._manifest_local(name)))
+        return sorted((f[0], int(f[1])) for f in snap.get("files") or [])
+
+    def stats(self, version: int | None = None) -> dict[str, dict]:
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return self._resolve(v)["stats"]
+
+    def blooms(self, version: int | None = None) -> dict[str, dict]:
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        return self._resolve(v)["blooms"]
+
+    def schema(self, version: int | None = None):
+        from pyspark.sql.types import StructType
+
+        v = self.latest() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots under {self.log_dir}")
+        blob = self.read(v).get("schema")
+        if not blob:
+            return None, []
+        return StructType.fromJson(blob["fields"]), list(blob["partition_cols"])
+
 
 def read_table_at(
     spark: SparkSession, table_root: str, version: int | str | None = None
@@ -2087,8 +2296,21 @@ def shard_manifest(
     land in shards flagged always-kept — pruning stays conservative.
     Later commits write fresh unsharded manifests (bounds would be
     stale); re-shard periodically like Iceberg rewrite_manifests.
-    Commits op='shard-manifest' with the SAME file set."""
+    Commits op='shard-manifest' with the SAME file set.
+
+    The split is DETERMINISTIC (r13): files rank by (stats lo, raw
+    stats string, relpath) through the two-phase distributed
+    row_number (functions/ranking.py — no single-partition window, no
+    sampling) and shard k is ntile bucket k of that total order,
+    written as `shard-<k>.parquet`. Content-keyed names and bounds
+    make table$manifests oracle-derivable (snapshot_manifests_meta)
+    and re-shards reproducible run-to-run."""
     import json as _json
+
+    from hbase_compact_spark.functions.ranking import (
+        ntile_expr,
+        with_global_row_number,
+    )
 
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
@@ -2103,27 +2325,35 @@ def shard_manifest(
     aug = src.withColumn("_k_num", key_s.cast("double")).withColumn(
         "_k_str", key_s
     )
+    ranked = with_global_row_number(
+        aug,
+        [F.col("_k_num").asc_nulls_first(), "_k_str", "relpath"],
+        name="_rn",
+        count_name="_n",
+    )
+    sharded = ranked.withColumn(
+        "_shard", ntile_expr(F.col("_rn"), F.col("_n"), shards) - 1
+    ).select("relpath", "size", "stats", "blooms", "_shard")
     name = f"m-{uuid.uuid4().hex[:12]}"
     dest = posixpath.join(log.manifest_dir, name)
-    (
-        aug.repartitionByRange(
-            shards, F.col("_k_num").asc_nulls_first(), F.col("_k_str")
-        )
-        .drop("_k_num", "_k_str")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
+    dest_local = log._manifest_local(name)
+    os.makedirs(dest_local, exist_ok=True)
 
-    # per-shard bounds from the SAME stats payload scan_plan compares
-    # against (native JSON types preserved — double aggs would round
-    # int64 bounds past 2^53 and could prune a matching shard).
-    # Distributed: one applyInPandas over the re-read shards, O(shards)
-    # rows to the driver.
-    def _part_meta(pdf):
+    # one deterministic part file per shard, written executor-side
+    # (bounded by files_per_shard rows per group), with the shard's
+    # [lo, hi] bounds computed in the same pass from the SAME stats
+    # payload scan_plan compares against (native JSON types preserved
+    # — double aggs would round int64 bounds past 2^53 and could
+    # prune a matching shard). O(shards) meta rows to the driver.
+    def _write_shard(pdf):
         import json as _j
 
         import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
 
+        sid = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("relpath")  # reproducible shard bytes
         los, his = [], []
         unbounded = False
         for s in pdf["stats"]:
@@ -2141,20 +2371,26 @@ def shard_manifest(
             unbounded or not los,
             int(len(pdf)),
         ]
-        return _pd.DataFrame(
-            {"part": [pdf["_part"].iloc[0]], "meta": [_j.dumps(meta)]}
+        part = f"shard-{sid:05d}.parquet"
+        tbl = _pa.table(
+            {
+                "relpath": _pa.array(pdf["relpath"], _pa.string()),
+                "size": _pa.array(pdf["size"], _pa.int64()),
+                "stats": _pa.array(pdf["stats"], _pa.string()),
+                "blooms": _pa.array(pdf["blooms"], _pa.string()),
+            }
         )
+        _pq.write_table(tbl, posixpath.join(dest_local, part))
+        return _pd.DataFrame({"part": [part], "meta": [_j.dumps(meta)]})
 
-    rd = (
-        spark.read.schema(MANIFEST_SCHEMA_DDL)
-        .parquet(dest)
-        .withColumn("_part", F.input_file_name())
-    )
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     parts: dict[str, list] = {}
-    for r in rd.groupBy("_part").applyInPandas(
-        _part_meta, "part string, meta string"
+    for r in sharded.groupBy("_shard").applyInPandas(
+        _write_shard, "part string, meta string"
     ).collect():
-        parts[posixpath.basename(r["part"])] = _json.loads(r["meta"])
+        parts[r["part"]] = _json.loads(r["meta"])
     if sum(m[3] for m in parts.values()) != n_files:
         _rm(spark, dest)
         raise RuntimeError(
@@ -2354,7 +2590,7 @@ def _row_survives(
 
 
 def scan_plan(
-    spark: SparkSession,
+    spark: SparkSession | None,
     table_root: str,
     predicates: dict[str, tuple],
     version: int | None = None,
@@ -2370,8 +2606,19 @@ def scan_plan(
     DISTRIBUTED_PRUNE_THRESHOLD files the manifest is scanned as a
     DataFrame and only the SURVIVING relpaths come back to the driver
     — at 10⁶ files the driver holds the kept list (what it must hand
-    to the reader anyway), never the bloom payloads."""
-    log = SnapshotLog(spark, table_root)
+    to the reader anyway), never the bloom payloads.
+
+    `spark=None` plans through PureSnapshotLog with NO SparkSession —
+    the data-source planner-worker entry (sources/snapshot_table.py).
+    The distributed branch is then unavailable and every file count
+    prunes in the local loop; with a shard index the loop still only
+    touches the surviving shards, which is the same planning posture
+    as Iceberg's (driver-side metadata, cost ∝ selectivity)."""
+    log = (
+        SnapshotLog(spark, table_root)
+        if spark is not None
+        else PureSnapshotLog(table_root)
+    )
     if isinstance(version, str):
         version = log.resolve_ref(version)
     v = log.latest() if version is None else version
@@ -2432,7 +2679,7 @@ def scan_plan(
         if shard_info is not None
         else n_files
     )
-    if effective_n > DISTRIBUTED_PRUNE_THRESHOLD:
+    if effective_n > DISTRIBUTED_PRUNE_THRESHOLD and log.spark is not None:
         kept = _scan_plan_distributed(
             log,
             v,
@@ -2648,6 +2895,88 @@ def _rebase_keep_or_raise(
     return [(p, s) for p, s in new_files if p not in replaced]
 
 
+def _write_changelog(
+    spark: SparkSession,
+    log: SnapshotLog,
+    base_version: int,
+    removed: list[str],
+    added_rel: list[str],
+    schema_blob: dict | None,
+) -> tuple[str, int, int]:
+    """Materialize the ROW-LEVEL diff of a COW rewrite as a commit
+    artifact under `_snapshots/changes/c-<uuid>/{deletes,inserts}` —
+    Delta's Change Data Feed move. The frames are exactly
+    read_changes' formula restricted to this rewrite's file diff
+    (removed files read under the BASE version's MOR entries vs the
+    freshly-written added files; carried files contribute nothing by
+    definition), so the artifact is multiset-equal to the batch
+    changelog by construction — pinned in tests/test_table_tail.py.
+    Cost: one exceptAll shuffle over the TOUCHED rows only — O(diff),
+    never O(table) — paid once at commit so every downstream CDC
+    consumer (streaming/table_tail.py mode="cdc") reads the rewrite's
+    changes as plain parquet partitions instead of refusing.
+
+    Returns (artifact name, n_deletes, n_inserts). Rebase-stable: a
+    clean rebase carries the same removed/added sets (overlapping
+    rewrites abort), so the artifact is written once per rewrite."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(schema_blob["fields"]) if schema_blob else None
+    )
+    mor = _mor_info(log, base_version)
+    old_df = (
+        _read_relpaths(spark, log.table_root, sorted(removed), schema, mor=mor)
+        if removed
+        else None
+    )
+    new_df = (
+        _read_relpaths(spark, log.table_root, sorted(added_rel), schema)
+        if added_rel
+        else None
+    )
+    if old_df is None and new_df is None:
+        raise ValueError("changelog of an empty rewrite")
+    if old_df is None:
+        old_df = new_df.limit(0)
+    if new_df is None:
+        new_df = old_df.limit(0)
+    # without a declared schema, layout generations may disagree on
+    # hive path columns — align like read_changes' unionByName does
+    if schema is None:
+        common = [c for c in old_df.columns if c in set(new_df.columns)]
+        old_df, new_df = old_df.select(*common), new_df.select(*common)
+    name = f"c-{uuid.uuid4().hex[:12]}"
+    base = posixpath.join(log.table_root, SNAPSHOT_DIR, CHANGES_SUBDIR, name)
+    deletes = old_df.exceptAll(new_df)
+    inserts = new_df.exceptAll(old_df)
+    deletes.write.mode("overwrite").parquet(posixpath.join(base, "deletes"))
+    inserts.write.mode("overwrite").parquet(posixpath.join(base, "inserts"))
+    n_del = spark.read.parquet(posixpath.join(base, "deletes")).count()
+    n_ins = spark.read.parquet(posixpath.join(base, "inserts")).count()
+    return name, n_del, n_ins
+
+
+def read_changelog(
+    spark: SparkSession, table_root: str, version: int
+) -> DataFrame | None:
+    """The commit-time change artifact of a rewrite version as a
+    DataFrame with `_change_type` ('delete'/'insert'), or None when
+    the version carries none — same shape as read_changes(v-1, v)."""
+    log = SnapshotLog(spark, table_root)
+    entry = log.read(version).get("changelog")
+    if not entry:
+        return None
+    base = posixpath.join(
+        table_root, SNAPSHOT_DIR, CHANGES_SUBDIR, entry[0]
+    )
+    deletes = spark.read.parquet(posixpath.join(base, "deletes"))
+    inserts = spark.read.parquet(posixpath.join(base, "inserts"))
+    return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
+        deletes.withColumn("_change_type", F.lit("delete"))
+    )
+
+
 def _commit_rewrite(
     spark: SparkSession,
     log: SnapshotLog,
@@ -2659,6 +2988,7 @@ def _commit_rewrite(
     schema: dict | None,
     max_retries: int | None = None,
     validate_rebase=None,
+    changelog: bool = False,
 ) -> int:
     """Commit a rewrite (compact / COW delete / merge) with the
     optimistic validate-rebase-retry loop. Each attempt rebuilds the
@@ -2679,12 +3009,27 @@ def _commit_rewrite(
     replaced = {p for p, _ in log.files(base_version)} - {
         p for p, _ in keep
     }
+    changelog_entry = None
+    if changelog and (replaced or added):
+        changelog_entry = list(
+            _write_changelog(
+                spark,
+                log,
+                base_version,
+                sorted(replaced),
+                [p for p, _ in added],
+                schema,
+            )
+        )
     cur, cur_keep = base_version, keep
     for _ in range(retries + 1):
         manifest = _carried_manifest(spark, log, cur, cur_keep, added)
         extra = _retire_delete_entries(
             spark, log, cur, [p for p, _ in cur_keep]
         )
+        if changelog_entry is not None:
+            extra = dict(extra or {})
+            extra["changelog"] = changelog_entry
         try:
             return log.commit(
                 None,
@@ -2715,6 +3060,16 @@ def _commit_rewrite(
                 }
                 validate_rebase(new_latest, appended)
             cur = new_latest
+    if changelog_entry is not None:
+        # the rewrite is abandoned: reclaim its change artifact so
+        # retries never leak changelog dirs into the tree
+        _rm(
+            spark,
+            posixpath.join(
+                log.table_root, SNAPSHOT_DIR, CHANGES_SUBDIR,
+                changelog_entry[0],
+            ),
+        )
     raise SnapshotConflictError(
         f"rewrite commit kept conflicting after {retries} rebases "
         f"under {log.log_dir}"
@@ -3557,6 +3912,7 @@ def _snapshot_delete_cow(
             op="delete",
             schema=log.read(base_version).get("schema"),
             validate_rebase=_veto_appended_matches,
+            changelog=True,
         )
     except SnapshotConflictError:
         # this attempt's rewritten output is about to be re-derived —
@@ -4171,6 +4527,7 @@ def snapshot_merge(
         added=added,
         op="merge",
         schema=snap.get("schema"),
+        changelog=True,
     )
     return {
         "version": v,
@@ -4548,6 +4905,7 @@ def _snapshot_merge_full_once(
             op="merge",
             schema=log.read(base_version).get("schema"),
             validate_rebase=_veto_appended,
+            changelog=True,
         )
     except SnapshotConflictError:
         for p, _s in added:
@@ -4886,9 +5244,20 @@ def expire_snapshots(
     for v in drop_vs:
         # manifests are 1:1 with versions (copy_manifest guarantees it
         # even for metadata-only commits), so a dropped version's
-        # manifest is reclaimable with it
-        manifest = log.read(v).get("manifest")
+        # manifest is reclaimable with it — as is its changelog
+        # artifact (written by exactly one rewrite commit)
+        snap_v = log.read(v)
+        manifest = snap_v.get("manifest")
         if manifest:
             fs.delete(Path(log.manifest_dir, manifest), True)
+        changelog = snap_v.get("changelog")
+        if changelog:
+            fs.delete(
+                Path(
+                    posixpath.join(log.log_dir, CHANGES_SUBDIR),
+                    changelog[0],
+                ),
+                True,
+            )
         fs.delete(Path(log.log_dir, f"v{v:012d}.json"), False)
     return {"expired": len(drop_vs), "deleted_files": deleted}

@@ -756,36 +756,49 @@ def pq_topk(
     lsh_topk (bucketing) and ivf_topk (partition pruning)."""
     cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
     enc = pq_encode(corpus, cb, dims=dims).localCheckpoint(eager=False)
-    qsub = _subvectors(queries, "query_id", dims)
-    dt = qsub.join(F.broadcast(cb), "sub_id").select(
-        "query_id", "sub_id", "code", _l2("sv", "cv").alias("pd")
-    )
-    # flat per-query distance table ordered by (sub_id, code):
-    # index of (sub m, code c) = m * PQ_K + c
-    qt = dt.groupBy("query_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub_id, code, pd))), "
-            "s -> s.pd)"
-        ).alias("dtf")
-    )
+    qt = _adc_query_tables(queries, cb, dims)
     scored = enc.crossJoin(F.broadcast(qt)).where(
         F.col("query_id") != F.col("vec_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.expr(
-            f"aggregate(transform(sequence(0, {PQ_M - 1}), "
-            f"i -> dtf[i * {PQ_K} + codes[i]]), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        ).alias("adc"),
-    )
+    ).select("query_id", "vec_id", _adc_expr().alias("adc"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     cand = (
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= rerank_factor * k)
         .select("query_id", "vec_id")
     )
-    # exact rerank of the candidate pool
+    return _exact_cosine_rerank(cand, queries, corpus, k)
+
+
+def _adc_query_tables(queries: DataFrame, cb: DataFrame, dims: int) -> DataFrame:
+    """(query_id, dtf): the flat per-query ADC distance table ordered
+    by (sub_id, code) — index of (sub m, code c) = m * PQ_K + c."""
+    qsub = _subvectors(queries, "query_id", dims)
+    dt = qsub.join(F.broadcast(cb), "sub_id").select(
+        "query_id", "sub_id", "code", _l2("sv", "cv").alias("pd")
+    )
+    return dt.groupBy("query_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub_id, code, pd))), "
+            "s -> s.pd)"
+        ).alias("dtf")
+    )
+
+
+def _adc_expr() -> Column:
+    """ADC score of a `codes` row against the row's `dtf` table —
+    PQ_M array lookups + adds, pure JVM codegen."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), "
+        f"i -> dtf[i * {PQ_K} + codes[i]]), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _exact_cosine_rerank(
+    cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, vec_id) candidate pool to
+    the final per-query top-k (broadcast queries, corpus-side join)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         as_double_array("embedding").alias("qv"),
@@ -809,6 +822,71 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .drop("_ord")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    *,
+    n_probe: int = 9,
+    rerank_factor: int = 80,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Composed IVF+PQ ANN — the architecture an actual 100 TB vector
+    store runs (FAISS IndexIVFPQ shape, non-residual variant): the
+    coarse quantizer prunes WHICH vectors are scored (a query probes
+    its n_probe nearest of the k-means lists), product-quantized codes
+    decide HOW each surviving vector is scored (PQ_M 4-bit codes + a
+    broadcast per-query ADC table — array lookups in JVM codegen, no
+    floats touched), and only the per-query ADC top rerank_factor*k
+    pool pays exact cosines. Against the single-stage variants:
+    ivf_topk still reads full vectors inside probed lists (RAM-bound
+    at corpus scale), pq_topk still ADC-scans the WHOLE corpus
+    (compute-bound); the composition scans codes of n_probe/n_lists
+    of the corpus — at 10⁹ vectors that is the difference between a
+    cluster-wide float scan and one node's worth of byte lookups. On
+    a list-partitioned corpus layout the list join prunes at the scan
+    (the engine's snapshot tables bucket by list_id for exactly
+    this); recall floors and the probe/rerank dial are measured in
+    RECALL_r13.json and pinned in tests/test_llm.py.
+
+    A (query, vec) pair meets at most once: corpus vectors live in
+    exactly ONE list and a query's probed lists are distinct — no
+    dedup stage (same argument as ivf_topk)."""
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    spark = queries.sparkSession
+    ensure_package_on_executors(spark)
+
+    cent_df = label_centroids(corpus)
+    if refine_iters:
+        cent_df = kmeans_refine(corpus, cent_df, refine_iters)
+    cents = _cent_rows(cent_df)
+    c_lists = _assign_lists_pandas(corpus, "vec_id", "cv2", cents, 1).select(
+        "vec_id", "list_id"
+    )
+    q_lists = _assign_lists_pandas(
+        queries, "query_id", "qv", cents, n_probe
+    ).select("query_id", "list_id")
+
+    cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
+    enc = pq_encode(corpus, cb, dims=dims)
+    coded = enc.join(c_lists, "vec_id").localCheckpoint(eager=False)
+    qt = F.broadcast(q_lists.join(_adc_query_tables(queries, cb, dims), "query_id"))
+    scored = (
+        coded.join(qt, "list_id")  # ADC only INSIDE probed lists
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", _adc_expr().alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank_factor * k)
+        .select("query_id", "vec_id")
+    )
+    return _exact_cosine_rerank(cand, queries, corpus, k)
 
 
 # ---------------------------------------------------------------------------

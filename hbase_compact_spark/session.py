@@ -36,6 +36,9 @@ def get_spark(app_name: str = "hbase_compact_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         # Parquet ns timestamps (events.ts) must not error out.
         .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Python data-source filter pushdown (sources/snapshot_table
+        # prunes files from pushed predicates; off by default in 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

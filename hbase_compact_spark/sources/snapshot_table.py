@@ -1,0 +1,411 @@
+"""Batch DataSource-V2 read path for snapshot-logged tables — the
+front door VERDICT r12 asked for (task 1): plain Spark SQL, not just
+the Python helpers, can query a logged table with pruning intact.
+
+    spark.read.format("snapshot_table").option("path", root).load()
+    CREATE TEMPORARY VIEW t USING snapshot_table OPTIONS (path '...')
+
+The streaming side became a real Spark source in r12
+(streaming/table_tail.py); this is the batch twin, built on the SAME
+planner — `partitions()` calls compaction/snapshots.py:scan_plan
+(spark=None → PureSnapshotLog), so everything the helper read path
+has accrues to SQL for free: stats/bloom/transform-spec pruning,
+two-level sharded manifests (planning cost ∝ selectivity, the 24×
+r12 result), version/ref time travel, and merge-on-read delete
+application.
+
+Scale design:
+- `pushFilters` (Spark 4.1 Python-data-source pushdown) hands the
+  WHERE clause to the planner; supported conjuncts become scan_plan
+  predicates. ALL filters are returned to Spark for re-evaluation,
+  so pruning may be arbitrarily conservative and results stay exact
+  — the same contract as read_table_where (prune by metadata, filter
+  exactly).
+- planning is METADATA-ONLY: version JSON + column-pruned manifest
+  (only surviving shard parts are opened — pinned in
+  tests/test_snapshot_table.py) + delete-entry scope lists. No data
+  file is opened before executors run.
+- one InputPartition per surviving data file; executors read their
+  file directly through Arrow and subtract the pending MOR delete
+  entries scoped to that file LOCALLY (positional indexes + equality
+  keys) — the per-file twin of the batch reader's anti-joins, with
+  no shuffle at all.
+
+Generalizes the reference's scan surface (QHBaseCompact.java:139,149
+— region/file listing feeding the compaction read) into the engine's
+SQL entry point.
+
+The planner worker has no py4j gateway and no SparkSession, but CAN
+import this package (the driver's sys.path propagates; foreign-cwd
+drivers are covered by the package zip `read_table` ships) — so
+unlike the self-contained streaming tail, planning here reuses
+snapshots.py verbatim instead of mirroring it.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+FORMAT_NAME = "snapshot_table"
+
+
+def _local_path(root: str) -> str:
+    if root.startswith("file://"):
+        return root[len("file://"):] or "/"
+    if root.startswith("file:"):
+        return root[len("file:"):]
+    return root
+
+
+def _resolve_version(options: dict) -> tuple[str, int | str | None]:
+    """(table_root, version-or-ref) from reader options. `version`
+    and `ref` are mutually exclusive; absent both, None = latest."""
+    root = options.get("path")
+    if not root:
+        raise ValueError(
+            "snapshot_table requires .option('path', <table root>)"
+        )
+    ver = options.get("version")
+    ref = options.get("ref")
+    if ver is not None and ref is not None:
+        raise ValueError(
+            "snapshot_table: give either version or ref, not both"
+        )
+    if ver is not None:
+        return root, int(ver)
+    return root, ref  # str ref or None
+
+
+def _path_partition_values(relpath: str) -> dict[str, str]:
+    """{column: raw value} of legacy hive `k=v` dirs (percent-decoded;
+    `_hp_` spec dirs are layout — their source columns live inside the
+    files — and NULL-sentinel values are omitted so they project as
+    NULL). Mirrors the helper read path's basePath behavior."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for comp in posixpath.dirname(relpath).split("/"):
+        if "=" in comp and not comp.startswith("_hp_"):
+            k, v = comp.split("=", 1)
+            if v != "__HIVE_DEFAULT_PARTITION__":
+                out[k] = unquote(v)
+    return out
+
+
+class _ScanFilePartition(InputPartition):
+    """One surviving data file: absolute path, manifest relpath, and
+    the pending MOR delete entries SCOPED to this file (planning
+    resolved the scope lists, so the executor applies exactly the
+    entries that may kill its rows and opens nothing else)."""
+
+    def __init__(self, abs_path: str, relpath: str, entries: list):
+        self.abs_path = abs_path
+        self.relpath = relpath
+        self.entries = entries  # [{"kind": "pos"|"eq", "path": abs}]
+
+
+class SnapshotTableReader(DataSourceReader):
+    """Batch planner+reader. Planning = scan_plan over snapshot
+    metadata (no Spark, no data IO); reading = per-file Arrow scan
+    with local MOR subtraction."""
+
+    def __init__(self, schema, options: dict):
+        self._schema = schema
+        self._root, self._version = _resolve_version(options)
+        self._preds: dict[str, tuple] = {}
+
+    # ---------------------------------------------------- pushdown
+    def pushFilters(self, filters):
+        """Fold supported conjuncts into scan_plan's predicate shape
+        (col -> scalar equality | (lo, hi) bounds). EVERY filter is
+        returned for Spark-side re-evaluation — pruning is allowed to
+        be conservative (strict bounds widen to inclusive, unsupported
+        shapes are ignored), the final filter is exact."""
+        eq: dict[str, object] = {}
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+
+        def _tighten(d: dict, col: str, v, take_max: bool) -> None:
+            cur = d.get(col)
+            if cur is None:
+                d[col] = v
+                return
+            try:
+                d[col] = (max if take_max else min)(cur, v)
+            except TypeError:
+                pass  # incomparable duplicate bounds: keep the first
+
+        for f in filters:
+            try:
+                if len(f.attribute) != 1:
+                    continue  # nested fields: no file-level stats
+                col = f.attribute[0]
+                if isinstance(f, (EqualTo, EqualNullSafe)):
+                    if f.value is not None and col not in eq:
+                        eq[col] = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    if f.value is not None:
+                        _tighten(lo, col, f.value, take_max=True)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    if f.value is not None:
+                        _tighten(hi, col, f.value, take_max=False)
+            except (AttributeError, TypeError):
+                continue  # filter shapes without attribute/value
+        for col, v in eq.items():
+            self._preds[col] = v  # scalar: stats range + bloom probe
+        for col in set(lo) | set(hi):
+            if col not in self._preds:
+                self._preds[col] = (lo.get(col), hi.get(col))
+        return filters
+
+    # --------------------------------------------------- planning
+    def plan(self) -> tuple[dict, list]:
+        """(scan_plan result, partitions) — split from partitions()
+        so tests can interrogate the plan (shards_opened, kept_files)
+        in-process with the same code the worker runs."""
+        from hbase_compact_spark.compaction.snapshots import (
+            EQ_DELETE_PREFIX,
+            PureSnapshotLog,
+            scan_plan,
+        )
+
+        log = PureSnapshotLog(self._root)
+        version = self._version
+        if isinstance(version, str):
+            version = log.resolve_ref(version)
+        plan = scan_plan(None, self._root, self._preds, version)
+        v = plan["version"]
+
+        # pending MOR delete entries, scoped: one column-pruned
+        # metadata read per entry (bounded by delete-set size) maps
+        # entry -> touched relpaths, so each file partition carries
+        # exactly the entries that may kill its rows
+        import pyarrow.parquet as pq
+
+        deletes_local = posixpath.join(
+            _local_path(self._root), "_snapshots", "deletes"
+        )
+        entry_touch: list[tuple[dict, set]] = []
+        for name, _n in log.delete_files(v):
+            if name.startswith(EQ_DELETE_PREFIX):
+                touched = set(
+                    pq.read_table(
+                        posixpath.join(deletes_local, name, "scope"),
+                        columns=["relpath"],
+                    )
+                    .column("relpath")
+                    .to_pylist()
+                )
+                ent = {
+                    "kind": "eq",
+                    "path": posixpath.join(deletes_local, name),
+                }
+            else:
+                touched = set(
+                    pq.read_table(
+                        posixpath.join(deletes_local, name),
+                        columns=["relpath"],
+                    )
+                    .column("relpath")
+                    .to_pylist()
+                )
+                ent = {
+                    "kind": "pos",
+                    "path": posixpath.join(deletes_local, name),
+                }
+            entry_touch.append((ent, touched))
+
+        root_local = _local_path(self._root)
+        parts: list[InputPartition] = [
+            _ScanFilePartition(
+                posixpath.join(root_local, rp),
+                rp,
+                [e for e, touched in entry_touch if rp in touched],
+            )
+            for rp in plan["paths"]
+        ]
+        return plan, parts
+
+    def partitions(self):
+        _plan, parts = self.plan()
+        # Spark requires at least one partition; a fully-pruned scan
+        # still answers with the declared schema and zero rows
+        return parts or [_ScanFilePartition("", "", [])]
+
+    # ------------------------------------------------------- read
+    def read(self, partition):
+        if not partition.abs_path:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        n = tbl.num_rows
+        if partition.entries and n:
+            alive = np.ones(n, dtype=bool)
+            for ent in partition.entries:
+                if ent["kind"] == "pos":
+                    pe = pq.read_table(ent["path"]).to_pandas()
+                    pos = pe.loc[
+                        pe["relpath"] == partition.relpath, "pos"
+                    ].to_numpy(dtype="int64")
+                    alive[pos] = False
+                else:
+                    keys = (
+                        pq.read_table(posixpath.join(ent["path"], "keys"))
+                        .to_pandas()
+                        .dropna()  # NULL keys never match (SQL equality)
+                        .drop_duplicates()
+                    )
+                    pdf = tbl.select(list(keys.columns)).to_pandas()
+                    hit = (
+                        pdf.merge(
+                            keys.assign(__hit=1),
+                            on=list(keys.columns),
+                            how="left",
+                        )["__hit"]
+                        .notna()
+                        .to_numpy()
+                    )
+                    # pandas merge matches NaN==NaN; SQL equality must not
+                    null_rows = pdf.isna().any(axis=1).to_numpy()
+                    alive &= ~(hit & ~null_rows)
+            tbl = tbl.filter(pa.array(alive))
+        yield from self._project(tbl, partition.relpath)
+
+    def _project(self, tbl, relpath: str):
+        """Arrow table -> RecordBatches in the declared schema: data
+        columns cast, legacy hive path values filled, evolution-
+        missing columns NULL — read_table_at's per-version schema
+        contract, per file."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        pathvals = _path_partition_values(relpath)
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            elif field.name in pathvals:
+                cols.append(
+                    pa.array([pathvals[field.name]] * n).cast(field.type)
+                )
+            else:
+                cols.append(pa.nulls(n, field.type))
+        out = pa.table(cols, schema=target)
+        yield from out.combine_chunks().to_batches(max_chunksize=1 << 16)
+
+
+def table_schema(table_root: str, version: int | str | None = None):
+    """The table's row schema from snapshot metadata alone (planner-
+    worker safe): the declared (evolved) schema when recorded, else
+    Arrow inference over the snapshot's first file plus legacy hive
+    path columns as strings — the pure twin of the helper readers'
+    fallback ladder."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from hbase_compact_spark.compaction.snapshots import PureSnapshotLog
+
+    log = PureSnapshotLog(table_root)
+    if isinstance(version, str):
+        version = log.resolve_ref(version)
+    v = log.latest() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    schema, _pcols = log.schema(v)
+    if schema is not None:
+        return schema
+    files = log.files(v)
+    if not files:
+        raise ValueError(
+            f"empty table with no declared schema: {table_root}"
+        )
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(
+        pq.read_schema(
+            posixpath.join(_local_path(table_root), files[0][0])
+        )
+    )
+    for comp in posixpath.dirname(files[0][0]).split("/"):
+        if "=" in comp and not comp.startswith("_hp_"):
+            name = comp.split("=", 1)[0]
+            if name not in schema.names:
+                schema = StructType(
+                    list(schema.fields) + [StructField(name, StringType())]
+                )
+    return schema
+
+
+class SnapshotTableDataSource(DataSource):
+    """`spark.read.format("snapshot_table")` / `CREATE TEMPORARY VIEW
+    ... USING snapshot_table` — see module docstring. Options: `path`
+    (table root, required), `version` (time travel) or `ref` (named
+    tag/branch)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        root, version = _resolve_version(self.options)
+        return table_schema(root, version)
+
+    def reader(self, schema):
+        return SnapshotTableReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Make the format available to this session (DataFrame reader AND
+    SQL `USING snapshot_table`). Idempotent. Enables the Python
+    data-source filter-pushdown flag (also set by session.py; runtime-
+    settable) and ships the package zip so executors resolve the read
+    path from any driver cwd."""
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(SnapshotTableDataSource)
+
+
+def read_table(
+    spark: SparkSession,
+    table_root: str,
+    *,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """The logged table as a DataFrame through the registered format
+    (schema resolved driver-side and passed explicitly — one less
+    planner-worker round trip; the SQL `USING` path exercises the
+    worker-side schema())."""
+    register(spark)
+    reader = (
+        spark.read.format(FORMAT_NAME)
+        .schema(table_schema(table_root, ref if ref is not None else version))
+        .option("path", table_root)
+    )
+    if version is not None and ref is not None:
+        raise ValueError("give either version or ref, not both")
+    if version is not None:
+        reader = reader.option("version", str(version))
+    if ref is not None:
+        reader = reader.option("ref", ref)
+    return reader.load()

@@ -27,10 +27,14 @@ Rewrite commits (compact / COW delete / merge / MOR deletes /
 rollback) change rows without an append-shaped file signature, so a
 file-level tail crossing one would re-emit rewritten rows or miss
 deletions. Like `read_incremental` (compaction/snapshots.py), the
-tail REFUSES to cross them: `latestOffset` raises once every version
-before the rewrite has been served. A pipeline that needs row-level
-semantics across rewrites reads `read_changes` for that range and
-resumes the tail past it (`from_version`).
+APPEND tail REFUSES to cross them: `latestOffset` raises once every
+version before the rewrite has been served. The CDC tail
+(`mode="cdc"`) rides through MOR deletes/upserts (entry parquets,
+executor-side) AND through COW delete/merge commits, whose row-level
+diff the writer materialized at commit time (`_write_changelog`,
+Delta-CDF style — served here as plain parquet partitions); only an
+artifact-less rewrite (legacy commit, rollback) still refuses, with
+a `read_changes` + `from_version` resume pointer.
 """
 
 from __future__ import annotations
@@ -55,10 +59,15 @@ FORMAT_NAME = "snapshot_tail"
 # upserts emit their removed rows as _change_type='delete' (computed
 # executor-side with pyarrow from the entry parquets), compactions
 # emit NOTHING (they apply already-emitted logical deletes — the
-# read_changes contract), and only the COW rewrite class below still
-# refuses (a row-level diff of rewritten partitions needs a join the
-# per-file executor read cannot express; consume read_changes for
-# that range and resume past it).
+# read_changes contract). COW rewrite commits (r13) carry their own
+# row-level diff as a commit artifact (`changelog` in the version
+# JSON — _write_changelog's Delta-CDF move, multiset-equal to batch
+# read_changes by construction): the tail serves those versions from
+# the artifact's plain parquet partitions, so a standing changelog
+# pipeline rides straight through the weekly COW merge/delete. Only a
+# rewrite WITHOUT an artifact (legacy commit, or a rollback — whose
+# diff is derivable batch-side but is an operational reset, not a
+# data change) still refuses with a read_changes pointer.
 _CDC_REFUSE = frozenset({"delete", "merge", "rollback"})
 
 # Python data-source PLANNER workers run outside the driver process
@@ -181,6 +190,17 @@ class _TailFilePartition(InputPartition):
         self.version = version
 
 
+class _ChangelogFilePartition(InputPartition):
+    """CDC mode: one part file of a COW rewrite's commit-time change
+    artifact (`_snapshots/changes/c-*/{deletes,inserts}`) — served as
+    a plain Arrow read with the artifact side's _change_type."""
+
+    def __init__(self, abs_path: str, version: int, change_type: str):
+        self.abs_path = abs_path
+        self.version = version
+        self.change_type = change_type
+
+
 class _CdcDeletePartition(InputPartition):
     """CDC mode: the rows one MOR delete entry removes from ONE data
     file (kind='pos': physical positions from the entry parquet;
@@ -259,8 +279,11 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
             _CDC_REFUSE if self._mode == "cdc" else _ROW_CHANGING_OPS
         )
         for v in range(start + 1, latest + 1):
-            op = self._log.read(v).get("op", "")
-            if op in refuse:
+            snap = self._log.read(v)
+            op = snap.get("op", "")
+            if op in refuse and not (
+                self._mode == "cdc" and snap.get("changelog")
+            ):
                 if end == start:
                     raise ValueError(
                         f"snapshot tail ({self._mode}) at v{start} "
@@ -306,16 +329,29 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         out: list[InputPartition] = []
         prev = {p for p, _ in self.files_at(s)}
         for v in range(s + 1, e + 1):
-            op = self._log.read(v).get("op", "")
+            snap = self._log.read(v)
+            op = snap.get("op", "")
             cur = self._log.files(v)
             emit_inserts = True
             if self._mode == "cdc":
-                if op == "compact":
-                    # a compact only applies already-emitted logical
-                    # deletes and repacks carried rows — no row-level
-                    # change (read_changes' contract)
+                changelog = (
+                    snap.get("changelog") if op in _CDC_REFUSE else None
+                )
+                if changelog:
+                    # a COW rewrite with a commit-time change artifact:
+                    # serve THE ARTIFACT and nothing else — the file
+                    # diff would re-emit carried rows, and the entry
+                    # list may hold retirement consolidations whose
+                    # logical deletes were already emitted
+                    out.extend(self._changelog_partitions(changelog[0], v))
                     emit_inserts = False
-                out.extend(self._cdc_delete_partitions(v))
+                else:
+                    if op == "compact":
+                        # a compact only applies already-emitted
+                        # logical deletes and repacks carried rows —
+                        # no row-level change (read_changes' contract)
+                        emit_inserts = False
+                    out.extend(self._cdc_delete_partitions(v))
             if emit_inserts:
                 for relpath, _size in cur:
                     if relpath not in prev:
@@ -332,6 +368,26 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
         # an empty range still needs one no-op partition: Spark
         # requires at least one partition per planned batch
         return out or [_TailFilePartition("", "", -1)]
+
+    def _changelog_partitions(self, name: str, v: int) -> list[InputPartition]:
+        """One partition per part file of the rewrite's change
+        artifact — planning is a directory listing, reading a plain
+        Arrow scan; per-version cost is O(changed rows) exactly like
+        the artifact itself."""
+        base = posixpath.join(self._log.log_dir, "changes", name)
+        out: list[InputPartition] = []
+        for side, ctype in (("inserts", "insert"), ("deletes", "delete")):
+            d = posixpath.join(base, side)
+            try:
+                names = os.listdir(d)
+            except FileNotFoundError:
+                continue
+            out.extend(
+                _ChangelogFilePartition(posixpath.join(d, n), v, ctype)
+                for n in sorted(names)
+                if n.endswith(".parquet")
+            )
+        return out
 
     def _cdc_delete_partitions(self, v: int) -> list[InputPartition]:
         """Partitions for the MOR delete entries version v INTRODUCED:
@@ -414,6 +470,14 @@ class SnapshotTailStreamReader(DataSourceStreamReader):
 
     # ---------------------------------------------------------- read
     def read(self, partition):
+        if isinstance(partition, _ChangelogFilePartition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.abs_path)
+            yield from self._project(
+                tbl, {}, partition.version, partition.change_type
+            )
+            return
         if isinstance(partition, _CdcDeletePartition):
             yield from self._read_cdc_delete(partition)
             return

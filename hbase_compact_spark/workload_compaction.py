@@ -2479,12 +2479,21 @@ def snapshot_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # snapshot_manifests_meta — the `table$manifests` metadata table over
 # a SHARDED manifest (shard_manifest, the r12 two-level layer): one
 # row per manifest shard with its recorded key bounds and file count.
-_MM_TAG = "manifests_meta"
+# r13: the shard sampler is content-keyed (two-phase ntile over the
+# recorded stats, deterministic names) and the fixture slices the key
+# domain arithmetically, so shard names AND bounds are SQL-derivable
+# — the query graduated from rows-only to oracle-checked.
+_MM_TAG = "manifests_meta2"
+_MM_FILES = 8
+_MM_SHARDS = 4
 
 
 def manifests_meta_root(spark: SparkSession, sf_dir: str) -> str:
-    """orders range-partitioned into 8 stats-annotated files, manifest
-    re-encoded as 4 bound-recorded shards."""
+    """orders split into ``_MM_FILES`` files by EQUAL-WIDTH key
+    slices (file i = keys in [i*W, (i+1)*W), W = ceil((max+1)/8) —
+    arithmetic the oracle reproduces), stats-annotated, manifest
+    re-encoded as ``_MM_SHARDS`` deterministic bound-recorded
+    shards."""
     from hbase_compact_spark.compaction.snapshots import (
         SnapshotLog,
         annotate_stats,
@@ -2493,39 +2502,73 @@ def manifests_meta_root(spark: SparkSession, sf_dir: str) -> str:
 
     def _ready(lg: SnapshotLog) -> bool:
         v = lg.latest()
-        return (
-            v is not None
-            and lg.read(v).get("op") == "shard-manifest"
-            and bool(lg.read(v).get("manifest_shards"))
+        if v is None or lg.read(v).get("op") != "shard-manifest":
+            return False
+        sh = lg.read(v).get("manifest_shards") or {}
+        return bool(sh) and all(
+            p.startswith("shard-") for p in sh.get("parts", {})
         )
 
     root, log, ok = _memo_root(spark, sf_dir, _MM_TAG, _ready)
     if ok:
         return root
-    (
-        _orders_slim(spark, sf_dir)
-        .repartitionByRange(8, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite")
-        .parquet(root)
-    )
+    orders = _orders_slim(spark, sf_dir)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    width = (mx + _MM_FILES) // _MM_FILES  # == ceil((mx+1)/_MM_FILES)
+    first = True
+    for i in range(_MM_FILES):
+        sl = orders.filter(
+            (F.col("o_orderkey") >= i * width)
+            & (F.col("o_orderkey") < (i + 1) * width)
+        )
+        if not sl.limit(1).count():
+            continue  # an empty key slice writes no file
+        sl.coalesce(1).write.mode(
+            "overwrite" if first else "append"
+        ).parquet(root)
+        first = False
+    SnapshotLog(spark, root).bootstrap()
     annotate_stats(spark, root, cols=["o_orderkey"])
-    shard_manifest(spark, root, "o_orderkey", shards=4)
+    shard_manifest(spark, root, "o_orderkey", shards=_MM_SHARDS)
     return root
 
 
-@query("snapshot_manifests_meta")  # rows-only: shard part names are
-# uuid-random and range-partitioner bounds are sample-dependent, so
-# the exact rows are not SQL-derivable; invariants (bounds tile the
-# key domain in order, counts sum to the file total, O(shards) index)
-# are pinned in tests/test_manifests.py::test_table_manifests_meta
+@query(
+    "snapshot_manifests_meta",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(CEIL((MAX(o_orderkey) + 1) / {_MM_FILES}.0) AS BIGINT)
+             AS fw
+      FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey // fw AS fid,
+             MIN(o_orderkey) AS flo, MAX(o_orderkey) AS fhi
+      FROM orders, w GROUP BY 1
+    ),
+    s AS (
+      SELECT flo, fhi, NTILE({_MM_SHARDS}) OVER (ORDER BY flo) AS sh
+      FROM f
+    )
+    SELECT printf('shard-%05d.parquet', sh - 1) AS part,
+           'o_orderkey' AS shard_by,
+           MIN(flo) AS lo, MAX(fhi) AS hi,
+           FALSE AS always_kept,
+           COUNT(*) AS n_files
+    FROM s GROUP BY sh
+    """,
+)
 def snapshot_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`table$manifests` over the two-level metadata layer
-    (shard_manifest): one row per manifest shard — name, on-disk
-    size, shard key bounds, file count, always-kept flag — the
-    operator view of WHICH shards a predicate would open. Planning
-    for this table is O(shards) driver work off the version JSON;
-    zero data files opened. Completes the metadata-table family
+    (shard_manifest): one row per manifest shard — name, shard key
+    bounds, file count, always-kept flag — the operator view of WHICH
+    shards a predicate would open. Planning for this table is
+    O(shards) driver work off the version JSON; zero data files
+    opened. The r13 content-keyed sharder (two-phase ntile over the
+    recorded per-file stats, deterministic `shard-<k>` names) makes
+    every output column derivable from the fixture's key arithmetic,
+    so the oracle hash now pins the whole two-level index — names,
+    bounds, tiling, counts. Completes the metadata-table family
     (table$files / table$partitions / table$history /
     table$manifests) the way Iceberg exposes it."""
     from hbase_compact_spark.compaction.snapshots import (
@@ -2540,5 +2583,113 @@ def snapshot_manifests_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bound_lo").cast("long").alias("lo"),
         F.col("bound_hi").cast("long").alias("hi"),
         "always_kept",
-        "n_files",
+        F.col("n_files").cast("long").alias("n_files"),
     ).orderBy("lo")
+
+
+# --------------------------------------------------------------------
+# snapshot_sql_read — the batch DataSource-V2 front door (VERDICT r12
+# task 1): plain Spark SQL over a snapshot-logged table through
+# `CREATE TEMPORARY VIEW ... USING snapshot_table`, with stats pruning
+# driven by Spark's own filter pushdown and time travel via the
+# version/ref reader options.
+SQLR_MOD = 3                 # v1 holds the non-multiple keys only
+SQLR_LO, SQLR_HI = 500, 2499  # pushed predicate (prunes files by stats)
+
+
+def sql_read_root(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a FOUR-version logged table: v1 = the non-multiple
+    o_orderkey rows (8 range files), v2 = stats annotation (tagged
+    `stats`), v3 = the multiples appended, v4 = re-annotation so the
+    LATEST read prunes too."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        return (
+            (lg.latest() or 0) >= 4
+            and "stats" in lg.refs()
+            and bool(lg.stats())
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "sql_read", _ready)
+    if ok:
+        return root
+    orders = _orders_slim(spark, sf_dir)
+    (
+        orders.filter(F.col("o_orderkey") % SQLR_MOD != 0)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    log.bootstrap()                                   # v1
+    annotate_stats(spark, root, cols=["o_orderkey"])  # v2
+    log.set_ref("stats", 2, kind="tag")
+    (
+        orders.filter(F.col("o_orderkey") % SQLR_MOD == 0)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(posixpath.join(root, "append2"))
+    )
+    log.commit_current(op="append", parent=2)         # v3
+    annotate_stats(spark, root, cols=["o_orderkey"])  # v4
+    return root
+
+
+@query(
+    "snapshot_sql_read",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           'ref' AS src
+    FROM orders
+    WHERE o_orderkey % {SQLR_MOD} <> 0
+      AND o_orderkey BETWEEN {SQLR_LO} AND {SQLR_HI}
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           'version' AS src
+    FROM orders
+    WHERE o_orderkey BETWEEN {SQLR_LO} AND {SQLR_HI}
+    """,
+)
+def snapshot_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain `spark.sql` over a snapshot-logged table through the
+    batch DataSource-V2 format (sources/snapshot_table.py): two
+    temporary views — one pinned to the tag `stats` (pre-append
+    state) via the `ref` option, one pinned to the latest version
+    NUMBER via the `version` option — each range-filtered in SQL, so
+    the WHERE clause reaches scan_plan through Spark's Python
+    data-source filter pushdown and provably-disjoint files never
+    enter the scan (plan pins in tests/test_snapshot_table.py,
+    including the sharded-manifest open discipline). Results must
+    equal the arithmetic oracle exactly: the ref view sees only the
+    pre-append (non-multiple) rows, the version view everything."""
+    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+    from hbase_compact_spark.sources.snapshot_table import register
+
+    root = sql_read_root(spark, sf_dir)
+    register(spark)
+    latest = SnapshotLog(spark, root).latest()
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_ref "
+        f"USING snapshot_table OPTIONS (path '{root}', ref 'stats')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_latest "
+        f"USING snapshot_table OPTIONS (path '{root}', version '{latest}')"
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'ref' AS src
+        FROM snap_sql_ref
+        WHERE o_orderkey BETWEEN {SQLR_LO} AND {SQLR_HI}
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'version' AS src
+        FROM snap_sql_latest
+        WHERE o_orderkey BETWEEN {SQLR_LO} AND {SQLR_HI}
+        """
+    )

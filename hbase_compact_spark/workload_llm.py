@@ -1304,6 +1304,32 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@query("ann_ivfpq")  # rows-only: composed ANN candidates; recall vs
+# the exact baseline + determinism pinned in tests/test_llm.py
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ ANN (functions/similarity.ivfpq_topk) — the
+    100 TB vector-store architecture (FAISS IndexIVFPQ shape): the
+    IVF coarse quantizer prunes WHICH vectors are scored (n_probe=9
+    of 10 k-means lists), PQ codes decide HOW (8 four-bit codes + a
+    broadcast ADC table — byte lookups, no floats), exact cosine only
+    for the ADC top rerank_factor*k pool. Both stages sit at their
+    measured >=0.9-recall operating points (RECALL_r13 dial curves);
+    the composition scans n_probe/n_lists of the corpus as CODES —
+    32x less memory traffic than ivf_topk's float re-read and
+    n_probe/n_lists of pq_topk's whole-corpus ADC scan."""
+    from hbase_compact_spark.functions.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        k=10,
+        n_probe=9,
+        rerank_factor=80,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ----------------------------------------------------------------
 # ann_index_incremental — vector-index persistence + incremental
 # maintenance: the build is the expensive artifact at 100 TB; a

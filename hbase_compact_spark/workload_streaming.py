@@ -1401,19 +1401,31 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staging deliberately overlaps the v3 range delete with v4's upsert
 # keys, so the oracle hash also proves the prior-entry masking: a row
 # deleted at v3 must NOT re-emit as the pre-image of v4's upsert.
+# v5 (r13) is a COW snapshot_merge_full mid-stream: the tail rides
+# through it on the commit-time change artifact (_write_changelog) —
+# matched deletes, conditional updates, and the retention clause all
+# hash-checked as pre-image/post-image arithmetic.
 CDC_DEL_HI = 300     # v3: MOR-delete event_id <= this
 CDC_UPD_MOD = 9      # v4: upsert keys event_id % 9 == 1 (subset of slice B)
-_CDC_TAG = "table_cdc"
+CDC_MRG_MOD = 27     # v5: merge source keys event_id % 27 == 10 (⊂ %9==1)
+CDC_MRG_DEL = 54     # v5: matched keys % 54 == 10 DELETE, == 37 UPDATE
+CDC_RET_LO, CDC_RET_HI = 301, 500  # v5: NOT-MATCHED-BY-SOURCE window
+_CDC_TAG = "table_cdc2"
 
 
 def cdc_root(spark: SparkSession, sf_dir: str) -> str:
     """v1 bootstrap = slice A (event_id%3==0), v2 append = slice B
     (%3==1), v3 positional MOR delete of event_id<=CDC_DEL_HI, v4 MOR
-    upsert of the %9==1 keys (value+1000, event_type 'U')."""
+    upsert of the %9==1 keys (value+1000, event_type 'U'), v5 COW
+    snapshot_merge_full: source keys %27==10 (all live as v4 U-rows),
+    %54==10 matched-DELETE, %54==37 matched-UPDATE to ('M',
+    value+5000), plus the retention clause deleting unmatched live
+    rows in [CDC_RET_LO, CDC_RET_HI]."""
     from hbase_compact_spark.compaction.snapshots import (
         SnapshotLog,
         append_partitioned,
         snapshot_delete,
+        snapshot_merge_full,
         snapshot_upsert_mor,
     )
     from hbase_compact_spark.tables import load_table
@@ -1421,7 +1433,12 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
 
     def _ready(lg) -> bool:
         v = lg.latest()
-        return v is not None and v >= 4 and lg.read(v).get("op") == "mor_upsert"
+        return (
+            v is not None
+            and v >= 5
+            and lg.read(v).get("op") == "merge"
+            and bool(lg.read(v).get("changelog"))
+        )
 
     root, log, ok = _memo_root(
         spark, sf_dir, _CDC_TAG, _ready, src_table="events"
@@ -1447,6 +1464,30 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
         (F.col("value") + F.lit(1000.0)).alias("value"),
     )
     snapshot_upsert_mor(spark, root, batch, ["event_id"])      # v4
+    src = ev.filter(F.col("event_id") % CDC_MRG_MOD == 10).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lit("M").alias("event_type"),
+        (F.col("value") + F.lit(5000.0)).alias("value"),
+    )
+    res = snapshot_merge_full(
+        spark,
+        root,
+        src,
+        ["event_id"],
+        update_set={
+            "event_type": "__src_event_type",
+            "value": "__src_value",
+        },
+        delete_condition=f"event_id % {CDC_MRG_DEL} = 10",
+        insert_unmatched=False,
+        unmatched_delete_predicates={
+            "event_id": (CDC_RET_LO, CDC_RET_HI)
+        },
+    )                                                          # v5
+    if not (res["deleted_matched"] and res["updated"] and res["deleted_unmatched"]):
+        raise RuntimeError(f"vacuous CDC merge staging: {res}")
     return root
 
 
@@ -1483,6 +1524,34 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
            CAST(value + 1000.0 AS DOUBLE) AS value,
            'insert', 4
     FROM events WHERE event_id % {CDC_UPD_MOD} = 1
+    UNION ALL
+    SELECT event_id, user_id, 'U' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 1000.0 AS DOUBLE) AS value,
+           'delete', 5
+    FROM events WHERE event_id % {CDC_MRG_MOD} = 10
+    UNION ALL
+    SELECT event_id, user_id, 'U' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 1000.0 AS DOUBLE) AS value,
+           'delete', 5
+    FROM events
+    WHERE event_id % {CDC_UPD_MOD} = 1 AND event_id % {CDC_MRG_MOD} <> 10
+      AND event_id BETWEEN {CDC_RET_LO} AND {CDC_RET_HI}
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'delete', 5
+    FROM events
+    WHERE event_id % 3 IN (0, 1) AND event_id % {CDC_UPD_MOD} <> 1
+      AND event_id BETWEEN {CDC_RET_LO} AND {CDC_RET_HI}
+    UNION ALL
+    SELECT event_id, user_id, 'M' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 5000.0 AS DOUBLE) AS value,
+           'insert', 5
+    FROM events WHERE event_id % {CDC_MRG_DEL} = 37
     """,
 )
 def stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,12 +1560,16 @@ def stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, deletes computed executor-side from the MOR entry parquets
     (positional positions; equality keys matched against rows still
     live BEFORE the entry's version), every row stamped with the
-    delivering commit. The oracle re-derives all five branches from
-    the staging arithmetic — including that v3's range delete masks
-    those keys out of v4's pre-image delete (prior-entry masking) —
-    so the hash proves exact changelog semantics, not just net state.
-    The reference's poll-for-changes loop (QHBaseCompact.java:62-73)
-    is the 1-table ancestor of this changelog consumer."""
+    delivering commit — and (r13) straight THROUGH the v5 COW
+    snapshot_merge_full, served from the rewrite's commit-time change
+    artifact (matched deletes, conditional updates as pre-image
+    delete + post-image insert, retention-clause deletes). The oracle
+    re-derives all nine branches from the staging arithmetic —
+    including that v3's range delete masks those keys out of v4's
+    pre-image delete (prior-entry masking) — so the hash proves exact
+    changelog semantics, not just net state. The reference's
+    poll-for-changes loop (QHBaseCompact.java:62-73) is the 1-table
+    ancestor of this changelog consumer."""
     import shutil
     import tempfile
     import uuid as _uuid

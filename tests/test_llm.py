@@ -1244,3 +1244,44 @@ def test_ann_high_recall_operating_points(spark):
         for r in llm.ann_pq(spark, sf).collect()
     }
     assert len(exact & reg_pq) / len(exact) >= 0.9
+
+
+def test_ann_ivfpq_composed(spark):
+    """Composed IVF+PQ (r13): the registered operating point
+    (n_probe=9, rerank_factor=80) holds the >=0.9 recall floor
+    (measured 0.98 at sf0.001 AND sf0.01 — PQ error inside probed
+    lists washes out in the 80x rerank pool), the search is
+    deterministic run-to-run (seedless k-means + hash-init PQ), and
+    opening every dial (all lists probed, unbounded rerank) recovers
+    the EXACT brute-force answer — the correctness anchor under the
+    approximation."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.functions.similarity import ivfpq_topk
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.similarity_topk(spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    reg = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in llm.ann_ivfpq(spark, sf).collect()
+    )
+    pairs = {(a, b) for a, b, _, _ in reg}
+    assert len(exact & pairs) / len(exact) >= 0.9
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in llm.ann_ivfpq(spark, sf).collect()
+    )
+    assert reg == again, "composed ANN must be deterministic"
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            q, emb, k=10, n_probe=10, rerank_factor=10**6
+        ).collect()
+    }
+    assert full == exact, "full dial must recover the exact answer"

@@ -166,15 +166,32 @@ def test_shard_prune_opens_only_matching_shards(sharded_log, monkeypatch):
         return orig(path, columns)
 
     monkeypatch.setattr(snap_mod, "_read_manifest_table", counting)
-    lo = 4_999 * ROWS_PER_FILE + 50
+    # files 4500/4501 sit inside ONE ntile shard (the deterministic
+    # sharder tiles 10k files into 10 shards of exactly 1000)
+    lo = 4_500 * ROWS_PER_FILE + 50
     hi = lo + ROWS_PER_FILE - 1
     plan = scan_plan(log.spark, log.table_root, {"k": (lo, hi)}, v2)
     assert plan["shards_total"] == 10
     assert plan["shards_opened"] == 1
     assert len(opened) == 1  # exactly one shard part file read
     # identical file-level result to the unsharded plan
-    assert plan["paths"] == ["part-04999.parquet", "part-05000.parquet"]
+    assert plan["paths"] == ["part-04500.parquet", "part-04501.parquet"]
     assert plan["pruned_files"] == N_FILES - 2
+    # deterministic content-keyed sharding: names and bounds are
+    # derivable from the stats alone (r13 — what makes
+    # snapshot_manifests_meta oracle-checkable)
+    sh = log.read(v2)["manifest_shards"]
+    assert sorted(sh["parts"]) == [
+        f"shard-{i:05d}.parquet" for i in range(10)
+    ]
+    for i in range(10):
+        lo_i, hi_i, unb, nf = sh["parts"][f"shard-{i:05d}.parquet"]
+        assert (lo_i, hi_i, unb, nf) == (
+            i * 1000 * ROWS_PER_FILE,
+            (i + 1) * 1000 * ROWS_PER_FILE - 1,
+            False,
+            1000,
+        )
 
 
 def test_shard_prune_distributed_branch_matches(sharded_log, monkeypatch):

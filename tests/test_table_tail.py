@@ -329,16 +329,90 @@ def test_cdc_tail_matches_read_changes_on_overlapping_upserts(
     assert v2 == {(2, 4, "delete"), (2, 200, "insert")}
 
 
-def test_cdc_tail_refuses_cow_rewrites(spark, tmp_path):
-    """COW delete/merge change rows without MOR entries — the CDC
-    tail must refuse them like the append tail refuses all rewrites,
-    pointing at read_changes for the gap."""
+def test_cdc_tail_rides_cow_rewrites_via_changelog(spark, tmp_path):
+    """r13: COW delete and COW merge commits carry their row-level
+    diff as a commit artifact (_write_changelog) — the CDC tail
+    serves those versions FROM the artifact instead of refusing, and
+    each streamed version slice is multiset-equal to batch
+    read_changes across the same range (the VERDICT r12 pin)."""
+    root = _staged_table(spark, tmp_path, n_appends=1)  # v1, v2
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    _run_cdc(spark, root, ckpt, out)                     # cursor at v2
+    S.snapshot_delete(spark, root, {"id": (0, 2)})       # v3: COW delete
+    src = spark.createDataFrame(
+        [(10, -1), (99, 990)], "id long, v long"
+    )
+    S.snapshot_merge(spark, root, src, ["id"])           # v4: COW merge
+    _run_cdc(spark, root, ckpt, out)
+    got = spark.read.parquet(os.path.join(out, "b*"))
+    for v in (3, 4):
+        streamed = sorted(
+            (r["id"], r["v"], r["_change_type"])
+            for r in got.filter(f"_tail_version = {v}").collect()
+        )
+        batch = sorted(
+            (r["id"], r["v"], r["_change_type"])
+            for r in S.read_changes(spark, root, v - 1, v).collect()
+        )
+        assert streamed == batch, f"v{v} slice diverges from read_changes"
+    # the v3 slice is pure deletes; v4 = update pre/post + insert
+    assert sorted(
+        (r["id"], r["_change_type"])
+        for r in got.filter("_tail_version = 3").collect()
+    ) == [(0, "delete"), (1, "delete"), (2, "delete")]
+    assert sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in got.filter("_tail_version = 4").collect()
+    ) == [(10, -1, "insert"), (10, 20, "delete"), (99, 990, "insert")]
+    # replaying inserts-minus-deletes reproduces the live table
+    import collections
+
+    net = collections.Counter()
+    for r in got.collect():
+        net[(r["id"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    live = {
+        (r["id"], r["v"]) for r in S.read_table_at(spark, root).collect()
+    }
+    assert {k for k, c in net.items() if c > 0} == live
+    # the APPEND tail still refuses the rewrite — file-level
+    # semantics (cursor parked right before the COW delete)
+    rdr = T.SnapshotTailStreamReader(
+        T.tail_schema(spark, root), {"path": root, "from_version": "2"}
+    )
+    with pytest.raises(ValueError, match="cannot cross"):
+        rdr.latestOffset()
+
+
+def test_cdc_tail_refuses_artifactless_rewrites(spark, tmp_path):
+    """A rewrite WITHOUT a change artifact (rollback — an operational
+    reset, or any legacy commit) still refuses with the read_changes
+    resume pointer."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     root = _staged_table(spark, tmp_path, n_appends=1)
     ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
     os.makedirs(out, exist_ok=True)
     _run_cdc(spark, root, ckpt, out)
-    S.snapshot_delete(spark, root, {"id": (0, 2)})  # COW
+    S.snapshot_rollback(spark, root, 1)  # op=rollback, no changelog
     with pytest.raises(StreamingQueryException, match="cannot cross"):
         _run_cdc(spark, root, ckpt, out)
+
+
+def test_expire_reclaims_changelog_artifacts(spark, tmp_path):
+    """expire_snapshots drops a dead rewrite version's change
+    artifact with its manifest — changelog dirs never accumulate."""
+    import posixpath
+
+    root = _staged_table(spark, tmp_path, n_appends=1)
+    S.snapshot_delete(spark, root, {"id": (0, 2)})       # v3 + artifact
+    S.append_partitioned(
+        spark, root, spark.range(100, 105).selectExpr("id", "id*2 AS v")
+    )                                                    # v4
+    S.append_partitioned(
+        spark, root, spark.range(105, 110).selectExpr("id", "id*2 AS v")
+    )                                                    # v5
+    changes = posixpath.join(root, "_snapshots", "changes")
+    assert len(os.listdir(changes)) == 1
+    S.expire_snapshots(spark, root, keep_last=2)
+    assert not os.path.exists(changes) or os.listdir(changes) == []

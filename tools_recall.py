@@ -2,7 +2,7 @@
 """ANN recall artifact — `RECALL_r{N}.json`.
 
 recall@10 of each approximate-nearest-neighbor path (ann_lsh, ann_ivf,
-ann_pq) against the EXACT brute-force baseline (similarity_topk) on
+ann_pq, ann_ivfpq) against the EXACT brute-force baseline (similarity_topk) on
 the same fixtures, plus the probe/rerank settings each ran with —
 committed per round so recall is a trendable number the judge can
 re-check, not just a floor asserted inside pytest (the floors in
@@ -88,9 +88,16 @@ def main() -> None:
             "pq_k": sim.PQ_K,
             "rerank": "exact cosine on ADC candidates",
         },
+        "ann_ivfpq": {
+            **_call_params(llm.ann_ivfpq),
+            "n_lists": 10,
+            "pq_m": sim.PQ_M,
+            "pq_k": sim.PQ_K,
+            "rerank": "exact cosine on in-list ADC candidates",
+        },
     }
     results: dict[str, dict] = {}
-    for name in ("ann_lsh", "ann_ivf", "ann_pq"):
+    for name in ("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq"):
         t0 = time.perf_counter()
         approx = {
             (r["query_id"], r["vec_id"])
@@ -110,12 +117,20 @@ def main() -> None:
     # trade-off surface so a user can pick an operating point, not
     # just the registered defaults. n_probe is bounded by n_lists
     # (10 labels); rerank_factor sweeps the ADC-candidate multiplier.
-    from hbase_compact_spark.functions.similarity import ivf_topk, pq_topk
+    from hbase_compact_spark.functions.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
     from hbase_compact_spark.tables import load_table
 
     emb = load_table(spark, args.sf_dir, "embeddings")
     qdf = emb.filter(emb.vec_id < 5)
-    curves: dict[str, list] = {"ann_ivf_n_probe": [], "ann_pq_rerank_factor": []}
+    curves: dict[str, list] = {
+        "ann_ivf_n_probe": [],
+        "ann_pq_rerank_factor": [],
+        "ann_ivfpq_n_probe": [],
+    }
     for n_probe in (1, 2, 4, 6, 8, 9, 10):
         t0 = time.perf_counter()
         approx = {
@@ -146,6 +161,25 @@ def main() -> None:
             }
         )
         print(f"pq rerank_factor={rf}: {curves['ann_pq_rerank_factor'][-1]}", flush=True)
+    # composed dial: sweep the coarse-quantizer probe width at the
+    # registered rerank_factor — the knob an operator actually turns
+    # (rerank already measured flat in the pq curve)
+    for n_probe in (1, 2, 4, 6, 8, 9, 10):
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_topk(
+                qdf, emb, k=10, n_probe=n_probe, rerank_factor=80
+            ).collect()
+        }
+        curves["ann_ivfpq_n_probe"].append(
+            {
+                "n_probe": n_probe,
+                "recall_at_10": round(len(exact & approx) / len(exact), 4),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        )
+        print(f"ivfpq n_probe={n_probe}: {curves['ann_ivfpq_n_probe'][-1]}", flush=True)
 
     payload = {
         "_meta": {
@@ -156,6 +190,7 @@ def main() -> None:
                 "ann_lsh": 0.8,
                 "ann_ivf": "dial + 0.9 at n_probe=9",
                 "ann_pq": "0.7 at rerank_factor=40, 0.9 at 80",
+                "ann_ivfpq": "0.9 at n_probe=9 + rerank_factor=80",
             },
         },
         **results,
