@@ -82,6 +82,56 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+
+    # noise band (VERDICT r12 task 6): re-time a fixed probe set a
+    # second time at the END of the suite — identical code, same
+    # session, minutes apart — and record the second/first-median
+    # ratio distribution. This is the SAME-TREE noise floor measured
+    # inside the artifact itself, so a round-over-round comparison
+    # can tell code regressions from box drift (r12's closing-vs-
+    # control delta was indistinguishable from variance measured on
+    # identical code). Probes span the engine's families (scan, agg,
+    # join, window, text, similarity) and are cheap (<0.5 s each).
+    probe_names = [
+        n
+        for n in (
+            "scan_project", "groupby_stats", "join_equi",
+            "window_running", "topk_order_limit", "token_count",
+            "quality_score", "similarity_topk", "rollup_total",
+            "anomaly_zscore",
+        )
+        if n in timings
+    ]
+    ratios: list[float] = []
+    for name in probe_names:
+        runs2: list[float] = []
+        try:
+            for _ in range(RUNS):
+                registry.clear_session_caches()
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs2.append(time.perf_counter() - t0)
+        except Exception:
+            continue  # the probe is telemetry; never fail the bench
+        second = sorted(runs2)[len(runs2) // 2]
+        if timings[name] > 0:
+            ratios.append(round(second / timings[name], 3))
+    noise_band = None
+    if ratios:
+        rs = sorted(ratios)
+        noise_band = {
+            "probe_queries": len(rs),
+            "ratio_min": rs[0],
+            "ratio_median": rs[len(rs) // 2],
+            "ratio_max": rs[-1],
+            "note": "2nd-pass/1st-pass median ratio per probe query, "
+            "identical code + session — the same-tree noise floor; "
+            "cross-round per-query deltas inside [min, max] are box "
+            "drift, not code",
+        }
+
     # key order matters: the round harness records only the TAIL of
     # this line, so the headline aggregates (value, failures) go LAST
     # — the per-query dict is what gets truncated, not the totals
@@ -94,6 +144,8 @@ def main() -> None:
         "n_queries_timed": len(timings),
         "n_failures": len(failures),
     }
+    if noise_band:
+        out["noise_band"] = noise_band
     if failures:
         # full 200-char messages stay in the line (triage needs the
         # exception text more than it needs per-query timings); the

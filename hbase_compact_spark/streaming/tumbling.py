@@ -12,6 +12,7 @@ stream table.
 from __future__ import annotations
 
 import os
+import posixpath
 import threading
 import uuid
 
@@ -198,6 +199,7 @@ def run_bounded(
     timeout: float = 600.0,
     progress: list | None = None,
     heavy_state: bool = False,
+    sink: str = "memory",
 ) -> DataFrame:
     """Drive a (bounded) streaming aggregation to completion with an
     availableNow trigger into a memory sink and return the result as
@@ -258,13 +260,46 @@ def run_bounded(
     )
     if provider_set:
         spark.conf.set(_PROVIDER_KEY, HEAVY_STATE_PROVIDER)
+    # sink="parquet": a foreachBatch per-batch parquet sink instead
+    # of the memory sink — APPEND-mode drains whose emission is
+    # table-sized (stream_session at the sf10 rehearsal finalizes
+    # millions of sessions) must not round-trip the result through
+    # the DRIVER: the memory sink collects every emitted row there
+    # before the caller redistributes it (the stream_table_tail
+    # lesson — measured 45 s vs 8 s at sf10). Emissions land on
+    # executors, the union reads back distributed. Append-only: a
+    # complete-mode stream re-emits FULL state per trigger, which a
+    # per-batch-dir union would double-count.
+    if sink not in ("memory", "parquet"):
+        raise ValueError(f"run_bounded sink must be memory|parquet: {sink}")
+    if sink == "parquet" and mode != "append":
+        raise ValueError(
+            "run_bounded sink='parquet' unions per-batch emissions — "
+            "only append mode emits each row exactly once"
+        )
+    import shutil
+    import tempfile
+
     name = None
+    sink_base = None
     try:
         name = f"stream_out_{uuid.uuid4().hex[:10]}"
+        if sink == "parquet":
+            sink_base = tempfile.mkdtemp(prefix=f"hcs_bounded_{name}_")
+            out_dir = posixpath.join(sink_base, "out")
+
+            def _sink(bdf: DataFrame, bid: int) -> None:
+                bdf.write.mode("overwrite").parquet(
+                    posixpath.join(out_dir, f"b{bid:05d}")
+                )
+
+            writer = agg.writeStream.foreachBatch(_sink).option(
+                "checkpointLocation", posixpath.join(sink_base, "ckpt")
+            )
+        else:
+            writer = agg.writeStream.format("memory").queryName(name)
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
+            writer.outputMode(mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -297,6 +332,18 @@ def run_bounded(
         # so stale-frame TABLE_OR_VIEW_NOT_FOUND surprises cannot
         # happen, and bench loops still hold one result's blocks at a
         # time (freed when the frame is GC'd).
+        if sink == "parquet":
+            # distributed read-back of the per-batch emissions; an
+            # all-empty drain still returns the agg's schema
+            import glob as _glob
+
+            if _glob.glob(posixpath.join(out_dir, "b*")):
+                out = spark.read.schema(agg.schema).parquet(
+                    posixpath.join(out_dir, "b*")
+                ).localCheckpoint(eager=True)
+            else:
+                out = spark.createDataFrame([], agg.schema)
+            return out
         out = spark.table(name).localCheckpoint(eager=True)
         return out
     finally:
@@ -305,11 +352,15 @@ def run_bounded(
         # full result row set registered on the driver for the session
         # lifetime; the success path's returned frame is already
         # checkpointed and does not depend on the view
-        if name is not None:
+        if name is not None and sink == "memory":
             try:
                 spark.catalog.dropTempView(name)
             except Exception:
                 pass  # view never got registered (start() failed)
+        if sink_base is not None:
+            # the result is already localCheckpoint'ed into executor
+            # blocks; the staging tree (and its checkpoint) can go
+            shutil.rmtree(sink_base, ignore_errors=True)
         if prev is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:

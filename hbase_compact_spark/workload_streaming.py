@@ -458,16 +458,31 @@ def stream_session(
     schema = spark.read.parquet(
         posixpath.join(staging, "batch_00.parquet")
     ).schema
-    # two files per trigger: the four quartile buckets arrive as two
-    # 50/50 micro-batches (enough to exercise cross-batch session
-    # merging + watermark progression), the sentinel pair as a third,
+    staged_bytes = sum(
+        os.path.getsize(posixpath.join(staging, f))
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    # THROUGHPUT-MATCHED micro-batching (VERDICT r12 task 5): at
+    # fixture scale, two files per trigger — the four quartile
+    # buckets arrive as two 50/50 micro-batches (exercising
+    # cross-batch session merging + watermark progression, which the
+    # driver oracle then hash-checks), the sentinel pair as a third,
     # and availableNow's trailing no-data batch runs under the
     # sentinel-advanced watermark to flush the final sessions (the
-    # flush batch's presence is pinned in tests). One file per
-    # trigger works identically, just with more per-batch overhead.
+    # flush batch's presence is pinned in tests). Past the rehearsal
+    # threshold the quartiles coalesce into ONE data batch: merging
+    # millions of open sessions INTO existing state is the dominant
+    # sf10 cost (measured 21.8 s re-merge vs 15.4 s initial ingest
+    # for the same row count), and a production deployment sizes its
+    # trigger to throughput for exactly this reason — tiny batches
+    # churn key-domain state, large ones amortize it. Cross-batch
+    # merge semantics stay pinned at small scale in
+    # tests/test_daemon_streaming.py.
+    files_per_trigger = 2 if staged_bytes < (64 << 20) else 4
     ev = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(staging)
     )
     agg = _session_agg(ev)
@@ -476,18 +491,18 @@ def stream_session(
     # wants few stores, the 10x rehearsal wants real parallelism —
     # measured 5.8 s -> 4.6 s at sf1), the same lever a production
     # deployment sets via shuffle partitions per expected state size
-    staged_bytes = sum(
-        os.path.getsize(posixpath.join(staging, f))
-        for f in os.listdir(staging)
-        if f.endswith(".parquet")
-    )
     n_parts = int(min(32, max(4, staged_bytes // (512 << 10))))
+    # parquet (foreachBatch) sink: the finalized-session emission is
+    # table-sized at rehearsal scale — it must land on executors and
+    # read back distributed, never round-trip the driver (the memory
+    # sink collects every row there; the stream_table_tail lesson)
     out = run_bounded(
         agg,
         mode="append",
         n_partitions=n_parts,
         progress=progress,
         heavy_state=True,
+        sink="parquet",
     )
     # Sentinel guard on the BATCH result, never inside the streaming
     # plan: user_id is a grouping column, so an in-plan WHERE would be
