@@ -1213,18 +1213,64 @@ class PureSnapshotLog:
         return StructType.fromJson(blob["fields"]), list(blob["partition_cols"])
 
 
+def version_as_of(log, ts) -> int:
+    """The LATEST version whose `committed_at` is <= `ts` — Iceberg /
+    Delta `TIMESTAMP AS OF` resolution. `ts` is epoch seconds
+    (int/float), a datetime (aware offsets honored; naive = UTC, the
+    engine-wide session zone), or an ISO-8601 string. Works on both
+    SnapshotLog and PureSnapshotLog (read accessors only), so the
+    batch data source resolves it in the planner worker too.
+    Versions commit in order, so committed_at is non-decreasing and
+    the scan is a tiny O(versions) metadata walk; commits within one
+    second resolve to the latest of them (second-granularity
+    timestamps)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = ts.strip()
+        try:  # reader options arrive stringified: numeric = epoch
+            ts = float(ts)
+        except ValueError:
+            ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()
+    t = float(ts)
+    best = None
+    for v in log.versions():
+        if float(log.read(v).get("committed_at", 0)) <= t:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot committed at or before {ts!r} under "
+            f"{log.log_dir}"
+        )
+    return best
+
+
 def read_table_at(
-    spark: SparkSession, table_root: str, version: int | str | None = None
+    spark: SparkSession,
+    table_root: str,
+    version: int | str | None = None,
+    *,
+    as_of_ts=None,
 ) -> DataFrame:
     """Time travel: read the table exactly as of `version` (default:
     latest committed snapshot; a string resolves as a named ref —
-    tag or branch). Mid-compaction states are unobservable
+    tag or branch) or, via `as_of_ts`, as of a wall-clock instant
+    (the latest snapshot committed at or before it — TIMESTAMP AS
+    OF). Mid-compaction states are unobservable
     by construction — uncommitted files are simply not listed. If the
     snapshot carries an evolved schema, it is applied declaratively:
     files written before an added column project it as NULL, files
     still holding a dropped column lose it — per-version schema, the
     Iceberg contract."""
     log = SnapshotLog(spark, table_root)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("give either version or as_of_ts, not both")
+        version = version_as_of(log, as_of_ts)
     if isinstance(version, str):
         version = log.resolve_ref(version)
     v = log.latest() if version is None else version

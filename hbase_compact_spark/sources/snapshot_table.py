@@ -54,12 +54,17 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
 )
 
 FORMAT_NAME = "snapshot_table"
+# IN-lists longer than this skip pruning (Spark still filters
+# exactly): each value costs one cached-manifest pruning pass at
+# planning, which stops paying for itself on huge literal lists
+IN_PRUNE_MAX = 64
 
 
 def _local_path(root: str) -> str:
@@ -70,23 +75,47 @@ def _local_path(root: str) -> str:
     return root
 
 
-def _resolve_version(options: dict) -> tuple[str, int | str | None]:
-    """(table_root, version-or-ref) from reader options. `version`
-    and `ref` are mutually exclusive; absent both, None = latest."""
+def _resolve_version(options: dict) -> tuple[str, tuple | None]:
+    """(table_root, selector) from reader options. Exactly one of
+    `version` (int), `ref` (named tag/branch) or `timestamp_as_of`
+    (epoch seconds or ISO-8601 — TIMESTAMP AS OF) may be given;
+    absent all, None = latest. The selector resolves against the log
+    in _selected_version (planner-worker safe)."""
     root = options.get("path")
     if not root:
         raise ValueError(
             "snapshot_table requires .option('path', <table root>)"
         )
-    ver = options.get("version")
-    ref = options.get("ref")
-    if ver is not None and ref is not None:
+    given = [
+        (k, options.get(k))
+        for k in ("version", "ref", "timestamp_as_of")
+        if options.get(k) is not None
+    ]
+    if len(given) > 1:
         raise ValueError(
-            "snapshot_table: give either version or ref, not both"
+            "snapshot_table: give one of version / ref / "
+            "timestamp_as_of, not both "
+            + " and ".join(k for k, _ in given)
         )
-    if ver is not None:
-        return root, int(ver)
-    return root, ref  # str ref or None
+    if not given:
+        return root, None
+    k, v = given[0]
+    return root, (k, int(v) if k == "version" else v)
+
+
+def _selected_version(log, selector: tuple | None) -> int | None:
+    """Resolve a (kind, value) selector to a concrete version number
+    using only PureSnapshotLog read accessors."""
+    if selector is None:
+        return None
+    kind, v = selector
+    if kind == "version":
+        return v
+    if kind == "ref":
+        return log.resolve_ref(v)
+    from hbase_compact_spark.compaction.snapshots import version_as_of
+
+    return version_as_of(log, v)
 
 
 def _path_partition_values(relpath: str) -> dict[str, str]:
@@ -124,8 +153,9 @@ class SnapshotTableReader(DataSourceReader):
 
     def __init__(self, schema, options: dict):
         self._schema = schema
-        self._root, self._version = _resolve_version(options)
+        self._root, self._selector = _resolve_version(options)
         self._preds: dict[str, tuple] = {}
+        self._in_preds: dict[str, tuple] = {}
 
     # ---------------------------------------------------- pushdown
     def pushFilters(self, filters):
@@ -162,6 +192,13 @@ class SnapshotTableReader(DataSourceReader):
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
                     if f.value is not None:
                         _tighten(hi, col, f.value, take_max=False)
+                elif isinstance(f, In):
+                    # IN-list: a file survives if ANY value may be
+                    # present (per-value union at planning); bounded
+                    # so planning never loops a giant literal list
+                    vals = tuple(v for v in f.value if v is not None)
+                    if vals and len(vals) <= IN_PRUNE_MAX and col not in self._in_preds:
+                        self._in_preds[col] = vals
             except (AttributeError, TypeError):
                 continue  # filter shapes without attribute/value
         for col, v in eq.items():
@@ -183,11 +220,33 @@ class SnapshotTableReader(DataSourceReader):
         )
 
         log = PureSnapshotLog(self._root)
-        version = self._version
-        if isinstance(version, str):
-            version = log.resolve_ref(version)
+        version = _selected_version(log, self._selector)
         plan = scan_plan(None, self._root, self._preds, version)
         v = plan["version"]
+        if self._in_preds:
+            # IN-list pruning: intersect the range/eq survivors with
+            # the UNION of each IN value's survivors (manifest reads
+            # hit the immutable-manifest cache, so the per-value
+            # passes re-read nothing). A file survives the IN only if
+            # at least one listed value may be present — stats ranges
+            # and bloom probes both apply per value.
+            kept = set(plan["paths"])
+            for col, vals in self._in_preds.items():
+                union: set = set()
+                for val in vals:
+                    union |= set(
+                        scan_plan(None, self._root, {col: val}, v)["paths"]
+                    )
+                kept &= union
+            pruned_total = (
+                plan["kept_files"] + plan["pruned_files"] - len(kept)
+            )
+            plan = dict(
+                plan,
+                paths=sorted(kept),
+                kept_files=len(kept),
+                pruned_files=pruned_total,
+            )
 
         # pending MOR delete entries, scoped: one column-pruned
         # metadata read per entry (bounded by delete-set size) maps
@@ -312,18 +371,21 @@ class SnapshotTableReader(DataSourceReader):
         yield from out.combine_chunks().to_batches(max_chunksize=1 << 16)
 
 
-def table_schema(table_root: str, version: int | str | None = None):
+def table_schema(table_root: str, version=None):
     """The table's row schema from snapshot metadata alone (planner-
     worker safe): the declared (evolved) schema when recorded, else
     Arrow inference over the snapshot's first file plus legacy hive
     path columns as strings — the pure twin of the helper readers'
-    fallback ladder."""
+    fallback ladder. `version` may be an int, a ref name, or a
+    (kind, value) selector from _resolve_version."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     from hbase_compact_spark.compaction.snapshots import PureSnapshotLog
 
     log = PureSnapshotLog(table_root)
-    if isinstance(version, str):
+    if isinstance(version, tuple):
+        version = _selected_version(log, version)
+    elif isinstance(version, str):
         version = log.resolve_ref(version)
     v = log.latest() if version is None else version
     if v is None:
@@ -357,16 +419,18 @@ def table_schema(table_root: str, version: int | str | None = None):
 class SnapshotTableDataSource(DataSource):
     """`spark.read.format("snapshot_table")` / `CREATE TEMPORARY VIEW
     ... USING snapshot_table` — see module docstring. Options: `path`
-    (table root, required), `version` (time travel) or `ref` (named
-    tag/branch)."""
+    (table root, required) plus at most one of `version` (time
+    travel), `ref` (named tag/branch), or `timestamp_as_of` (epoch
+    seconds or ISO-8601 — the latest snapshot committed at or before
+    that instant)."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
     def schema(self):
-        root, version = _resolve_version(self.options)
-        return table_schema(root, version)
+        root, selector = _resolve_version(self.options)
+        return table_schema(root, selector)
 
     def reader(self, schema):
         return SnapshotTableReader(schema, self.options)
@@ -391,21 +455,31 @@ def read_table(
     *,
     version: int | None = None,
     ref: str | None = None,
+    timestamp_as_of=None,
 ) -> DataFrame:
     """The logged table as a DataFrame through the registered format
     (schema resolved driver-side and passed explicitly — one less
     planner-worker round trip; the SQL `USING` path exercises the
     worker-side schema())."""
     register(spark)
+    opts = {
+        "version": str(version) if version is not None else None,
+        "ref": ref,
+        "timestamp_as_of": (
+            str(timestamp_as_of) if timestamp_as_of is not None else None
+        ),
+    }
+    given = {k: v for k, v in opts.items() if v is not None}
+    if len(given) > 1:
+        raise ValueError(
+            "give only one of version / ref / timestamp_as_of"
+        )
+    _root, selector = _resolve_version({"path": table_root, **given})
     reader = (
         spark.read.format(FORMAT_NAME)
-        .schema(table_schema(table_root, ref if ref is not None else version))
+        .schema(table_schema(table_root, selector))
         .option("path", table_root)
     )
-    if version is not None and ref is not None:
-        raise ValueError("give either version or ref, not both")
-    if version is not None:
-        reader = reader.option("version", str(version))
-    if ref is not None:
-        reader = reader.option("ref", ref)
+    for k, v in given.items():
+        reader = reader.option(k, v)
     return reader.load()

@@ -186,6 +186,75 @@ def test_schema_evolution_projects_null(spark, tmp_path):
     assert df.filter(F.col("note").isNull()).count() == 50
 
 
+def test_timestamp_as_of(spark, table, tmp_path):
+    """TIMESTAMP AS OF: the format (and read_table_at) resolve an
+    instant to the latest snapshot committed at or before it —
+    boundary-exact, ISO-string and epoch forms, pre-history refusal.
+    The fixture's committed_at stamps are respaced on disk so the
+    versions are seconds apart (commits in tests land in one
+    second)."""
+    import json
+
+    from hbase_compact_spark.compaction.snapshots import version_as_of
+
+    root, log = table
+    for i, v in enumerate(log.versions()):
+        p = f"{root}/_snapshots/v{v:012d}.json"
+        with open(p) as f:
+            snap = json.load(f)
+        snap["committed_at"] = 1_000_000 + i * 100
+        with open(p, "w") as f:
+            json.dump(snap, f)
+        # the JVM side reads through Hadoop's checksummed local FS —
+        # drop the stale .crc sidecar of the rewritten JSON
+        crc = f"{root}/_snapshots/.v{v:012d}.json.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+    vs = log.versions()
+    assert version_as_of(log, 1_000_000) == vs[0]      # exact boundary
+    assert version_as_of(log, 1_000_199) == vs[1]      # between commits
+    assert version_as_of(log, 2_000_000) == vs[-1]     # future = latest
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(log, 999_999)                    # pre-history
+    # the format reads the as-of state (epoch form), equal to the
+    # explicit-version read; v2 here = the stats annotation commit
+    got = read_table(spark, root, timestamp_as_of=1_000_100)
+    want = read_table_at(spark, root, version=vs[1])
+    assert _rows(got) == _rows(want)
+    # read_table_at's own kwarg + the ISO-string form agree
+    assert _rows(
+        read_table_at(spark, root, as_of_ts="1970-01-12T13:46:40+00:00")
+    ) == _rows(read_table_at(spark, root, version=vs[0]))
+    with pytest.raises(Exception, match="only one|not both"):
+        read_table(spark, root, version=2, timestamp_as_of=1_000_100)
+
+
+def test_in_list_pushdown_prunes(spark, table):
+    """IN-list pushdown: the planner keeps only files that may hold
+    AT LEAST ONE listed value (per-value union over the cached
+    manifest), and the SQL result equals the unpruned filter."""
+    root, _log = table
+    reader = SnapshotTableReader(
+        table_schema(root), {"path": root, "version": "2"}
+    )
+    reader._in_preds = {"k": (10, 650)}
+    plan, parts = reader.plan()
+    # values 10 and 650 live in two different range files of eight
+    assert plan["kept_files"] == 2 and plan["pruned_files"] == 6
+    register(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW snap_in "
+        f"USING snapshot_table OPTIONS (path '{root}', version '2')"
+    )
+    got = spark.sql("SELECT k, v FROM snap_in WHERE k IN (10, 650, 5000)")
+    want = (
+        read_table_at(spark, root, version=2)
+        .filter(F.col("k").isin(10, 650, 5000))
+        .select("k", "v")
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_hive_layout_path_values(spark, tmp_path):
     root = str(tmp_path / "hive")
     spark.range(100).select(

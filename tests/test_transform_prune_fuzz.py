@@ -216,3 +216,32 @@ def test_fuzz_trunc_str_prune(spark, transform_tables, lo, hi):
 @given(lo=st.one_of(st.none(), dec_probe), hi=st.one_of(st.none(), dec_probe))
 def test_fuzz_trunc_dec_prune(spark, transform_tables, lo, hi):
     _assert_prune_exact(spark, transform_tables["trunc_dec"], {"d": (lo, hi)})
+
+
+def test_bucket_cross_domain_probe_stays_conservative(spark, tmp_path):
+    """Deterministic pin for the bucket cross-domain gate: an INT
+    probe against a STRING bucket column must not derive — Spark's
+    equality coerces the string side ('0251' = 251 matches), but
+    crc32('0251') lives in a different bucket than crc32('251'), so
+    a derived prune would silently drop the matching row. Same gate,
+    other direction: a string probe on the INT bucket table derives
+    nothing and stays exact."""
+    root = str(tmp_path / "bx")
+    df = spark.createDataFrame(
+        [(1, "0251"), (2, "251"), (3, "999")], "id long, s string"
+    )
+    df.limit(1).coalesce(1).write.parquet(root)
+    SnapshotLog(spark, root).bootstrap()
+    evolve_partitioning(spark, root, ["bucket(8, s)"])
+    append_partitioned(spark, root, df)
+    got = sorted(
+        r["id"]
+        for r in read_table_where(spark, root, {"s": 251}).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in read_table_at(spark, root)
+        .filter(F.col("s") == F.lit(251))
+        .collect()
+    )
+    assert got == want and 1 in got  # '0251' row survives the prune
