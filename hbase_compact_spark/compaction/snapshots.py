@@ -1212,6 +1212,122 @@ class PureSnapshotLog:
             return None, []
         return StructType.fromJson(blob["fields"]), list(blob["partition_cols"])
 
+    # --------------------------------------------------------- writes
+    # The pure WRITE path exists for one caller: the Python
+    # data-source writer (sources/snapshot_table.py), whose commit()
+    # runs in a Spark-spawned Python worker with no py4j gateway —
+    # the same process class that plans pure reads. Same local-
+    # filesystem contract as the reads; an object-store deployment
+    # routes the file IO through a pyarrow filesystem and replaces
+    # the os.link claim with its conditional-put (if-none-match)
+    # twin. Scale note: the parent-manifest union below is one
+    # pyarrow concat in one worker (~100 bytes/file ⇒ ~100 MB at
+    # 10⁶ files) — it never visits the Spark driver, and a
+    # deployment with a live driver session can route the same
+    # commit through SnapshotLog.commit_append's fully distributed
+    # union instead.
+
+    def manifest_table(self, version: int):
+        """The version's manifest as a pyarrow table in canonical
+        (relpath, size, stats, blooms) shape — shard directories are
+        read whole, legacy inline snapshots are synthesized. This is
+        the carry payload for pure commits: stats/bloom annotations
+        on surviving files ride through untouched."""
+        import json as _json
+
+        import pyarrow as pa
+
+        snap = self.read(version)
+        name = snap.get("manifest")
+        if name:
+            tbl = _read_manifest_table(self._manifest_local(name))
+            return tbl.select(["relpath", "size", "stats", "blooms"])
+        files = sorted((f[0], int(f[1])) for f in snap.get("files") or [])
+        st = snap.get("stats") or {}
+        bl = snap.get("blooms") or {}
+        return pa.table(
+            {
+                "relpath": pa.array([p for p, _ in files], pa.string()),
+                "size": pa.array([s for _, s in files], pa.int64()),
+                "stats": pa.array(
+                    [
+                        _json.dumps(st[p]) if p in st else None
+                        for p, _ in files
+                    ],
+                    pa.string(),
+                ),
+                "blooms": pa.array(
+                    [
+                        _json.dumps(bl[p]) if p in bl else None
+                        for p, _ in files
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def commit_manifest_table(
+        self,
+        tbl,
+        op: str,
+        parent: int | None,
+        *,
+        carry_delete_files: bool = True,
+    ) -> int:
+        """Atomic JVM-free commit: write `tbl` (pyarrow, manifest
+        shape) as a fresh immutable manifest, then claim version
+        parent+1 by hard-linking the payload JSON into place —
+        os.link fails if the name exists, so rename-if-absent
+        semantics match SnapshotLog.commit exactly and a loser of a
+        concurrent race raises SnapshotConflictError instead of
+        silently dropping the winner's files. The parent's declared
+        schema always carries; its pending MOR delete entries carry
+        unless the caller replaced the files they scope
+        (carry_delete_files=False — the overwrite path)."""
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        man_dir = posixpath.join(self._local_log, MANIFEST_SUBDIR)
+        os.makedirs(man_dir, exist_ok=True)
+        name = f"m-{uuid.uuid4().hex[:12]}.parquet"
+        man_local = posixpath.join(man_dir, name)
+        pq.write_table(tbl, man_local)
+        payload = {
+            "op": op,
+            "committed_at": int(time.time()),
+            "manifest": name,
+            "n_files": tbl.num_rows,
+            "total_bytes": int(
+                sum(x.as_py() or 0 for x in tbl.column("size"))
+            ),
+        }
+        psnap = self.read(parent) if parent else {}
+        if psnap.get("schema"):
+            payload["schema"] = psnap["schema"]
+        if carry_delete_files and psnap.get("delete_files"):
+            payload["delete_files"] = psnap["delete_files"]
+        n = (parent or 0) + 1
+        payload["version"] = n
+        payload["parent"] = parent if parent else None
+        tmp = posixpath.join(
+            self._local_log, f"_tmp-{uuid.uuid4().hex[:10]}.json"
+        )
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        dest = posixpath.join(self._local_log, f"v{n:012d}.json")
+        try:
+            os.link(tmp, dest)
+        except FileExistsError:
+            os.unlink(tmp)
+            os.unlink(man_local)
+            raise SnapshotConflictError(
+                f"commit derived from v{parent} but v{n} already "
+                f"exists in {self.log_dir}; re-read and re-derive"
+            )
+        os.unlink(tmp)
+        return n
+
 
 def version_as_of(log, ts) -> int:
     """The LATEST version whose `committed_at` is <= `ts` — Iceberg /
@@ -1607,6 +1723,58 @@ def read_incremental(
     return reader.parquet(*[posixpath.join(table_root, p) for p in added])
 
 
+def _change_sides(
+    spark: SparkSession,
+    log: SnapshotLog,
+    from_version: int,
+    to_v: int,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(removed-side, added-side) frames of the change feed between
+    two versions — read_changes' core, shared with the rollback
+    changelog writer so the commit artifact is multiset-equal to the
+    batch feed by construction. Either side may be None (no files on
+    it). Both sides project with the `to_v` schema; each side reads
+    under ITS version's MOR delete entries, and files whose
+    applicable entries changed between the versions join both sides
+    so the caller's exceptAll cancels surviving rows exactly."""
+    files_from = {p for p, _ in log.files(from_version)}
+    files_to = {p for p, _ in log.files(to_v)}
+    removed = sorted(files_from - files_to)
+    added = sorted(files_to - files_from)
+    schema, _pcols = log.schema(to_v)
+
+    # merge-on-read: a MOR delete changes rows WITHOUT changing the
+    # file set, so the diff must also cover files whose applicable
+    # delete entries changed between the versions; the exceptAll
+    # downstream then emits newly-deleted rows as 'delete' — and a
+    # later compact that merely applies old entries physically emits
+    # nothing (the logical rows never changed).
+    names_from = {n for n, _ in log.delete_files(from_version)}
+    names_to = {n for n, _ in log.delete_files(to_v)}
+    delta_names = sorted(names_from ^ names_to)
+    changed_by_deletes: list[str] = []
+    if delta_names:
+        affected = _mor_affected_relpaths(spark, log, delta_names)
+        changed_by_deletes = sorted(affected & files_from & files_to)
+    mor_from = _mor_info(log, from_version)
+    mor_to = _mor_info(log, to_v)
+
+    def _read(paths: list[str], mor) -> DataFrame | None:
+        if not paths:
+            return None
+        # layout-generation-aware read (same path as read_table_at):
+        # `_hp_` spec files must NOT hive-infer their layout dirs, or
+        # the two sides of the exceptAll disagree on arity
+        return _read_relpaths(
+            spark, log.table_root, paths, schema, mor=mor
+        )
+
+    return (
+        _read(removed + changed_by_deletes, mor_from),
+        _read(added + changed_by_deletes, mor_to),
+    )
+
+
 def read_changes(
     spark: SparkSession,
     table_root: str,
@@ -1637,39 +1805,8 @@ def read_changes(
     to_v = log.latest() if to_version is None else to_version
     if to_v is None or from_version > to_v:
         raise ValueError(f"bad change range {from_version}..{to_v}")
-    files_from = {p for p, _ in log.files(from_version)}
-    files_to = {p for p, _ in log.files(to_v)}
-    removed = sorted(files_from - files_to)
-    added = sorted(files_to - files_from)
     schema, _pcols = log.schema(to_v)
-
-    # merge-on-read: a MOR delete changes rows WITHOUT changing the
-    # file set, so the diff must also cover files whose applicable
-    # delete entries changed between the versions. Each side reads
-    # its files under ITS version's delete set; the exceptAll below
-    # then cancels surviving rows and emits newly-deleted rows as
-    # 'delete' — and a later compact that merely applies old entries
-    # physically emits nothing (the logical rows never changed).
-    names_from = {n for n, _ in log.delete_files(from_version)}
-    names_to = {n for n, _ in log.delete_files(to_v)}
-    delta_names = sorted(names_from ^ names_to)
-    changed_by_deletes: list[str] = []
-    if delta_names:
-        affected = _mor_affected_relpaths(spark, log, delta_names)
-        changed_by_deletes = sorted(affected & files_from & files_to)
-    mor_from = _mor_info(log, from_version)
-    mor_to = _mor_info(log, to_v)
-
-    def _read(paths: list[str], mor) -> DataFrame | None:
-        if not paths:
-            return None
-        # layout-generation-aware read (same path as read_table_at):
-        # `_hp_` spec files must NOT hive-infer their layout dirs, or
-        # the two sides of the exceptAll disagree on arity
-        return _read_relpaths(spark, table_root, paths, schema, mor=mor)
-
-    df_removed = _read(removed + changed_by_deletes, mor_from)
-    df_added = _read(added + changed_by_deletes, mor_to)
+    df_removed, df_added = _change_sides(spark, log, from_version, to_v)
     if df_added is None and df_removed is None:
         # no file changed in the range: empty feed with the snapshot's
         # row schema (same fallback ladder as read_incremental)
@@ -2992,10 +3129,23 @@ def _write_changelog(
     if schema is None:
         common = [c for c in old_df.columns if c in set(new_df.columns)]
         old_df, new_df = old_df.select(*common), new_df.select(*common)
+    return _write_change_frames(
+        spark, log, old_df.exceptAll(new_df), new_df.exceptAll(old_df)
+    )
+
+
+def _write_change_frames(
+    spark: SparkSession,
+    log: SnapshotLog,
+    deletes: DataFrame,
+    inserts: DataFrame,
+) -> tuple[str, int, int]:
+    """Land a change artifact's two sides under
+    `_snapshots/changes/c-<uuid>/{deletes,inserts}` and return
+    (name, n_deletes, n_inserts) — shared by the rewrite and
+    rollback changelog writers."""
     name = f"c-{uuid.uuid4().hex[:12]}"
     base = posixpath.join(log.table_root, SNAPSHOT_DIR, CHANGES_SUBDIR, name)
-    deletes = old_df.exceptAll(new_df)
-    inserts = new_df.exceptAll(old_df)
     deletes.write.mode("overwrite").parquet(posixpath.join(base, "deletes"))
     inserts.write.mode("overwrite").parquet(posixpath.join(base, "inserts"))
     n_del = spark.read.parquet(posixpath.join(base, "deletes")).count()
@@ -3802,11 +3952,22 @@ def snapshot_delete(
     files) — and every reader anti-joins it until `snapshot_compact`
     physically applies and retires the entries. The shape a high-
     churn 100 TB table runs: deletes are cheap at write time, the
-    rewrite cost is deferred to (and amortized by) compaction."""
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    rewrite cost is deferred to (and amortized by) compaction.
+
+    `mode="auto"` (r14) routes through `choose_write_mode`: COW while
+    the pruned rewrite bill fits the budget (or pending pressure
+    demands it), MOR past it — the result carries the decision under
+    `"auto_decision"`."""
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be 'cow', 'mor' or 'auto', got {mode!r}")
     log = SnapshotLog(spark, table_root)
     log.bootstrap()
+    decision = None
+    if mode == "auto":
+        decision = choose_write_mode(
+            spark, table_root, predicates, version=version
+        )
+        mode = decision["mode"]
     base_version = log.latest() if version is None else version
     plan = scan_plan(spark, table_root, predicates, base_version)
     if mode == "mor":
@@ -3819,9 +3980,12 @@ def snapshot_delete(
         # pin says "delete from THIS state", and that state is gone.
         for _ in range(COMMIT_REBASE_RETRIES + 1):
             try:
-                return _snapshot_delete_mor(
+                res = _snapshot_delete_mor(
                     spark, log, table_root, predicates, base_version, plan
                 )
+                if decision is not None:
+                    res["auto_decision"] = decision
+                return res
             except SnapshotConflictError:
                 if version is not None:
                     raise
@@ -3841,9 +4005,12 @@ def snapshot_delete(
     # new latest (bounded retries), exactly like mode='mor'.
     for _ in range(COMMIT_REBASE_RETRIES + 1):
         try:
-            return _snapshot_delete_cow(
+            res = _snapshot_delete_cow(
                 spark, log, table_root, predicates, base_version, plan
             )
+            if decision is not None:
+                res["auto_decision"] = decision
+            return res
         except SnapshotConflictError:
             if version is not None:
                 raise
@@ -4143,11 +4310,47 @@ def snapshot_rollback(
     if manifest is None:  # legacy inline snapshot: re-encode once
         res = log._resolve(to_version)
         manifest = log.write_manifest(res["files"], res["stats"], res["blooms"])
+    # Row-level changelog of the revert (r14): the rollback's diff is
+    # read_changes(latest → target) by construction — the new version
+    # shares the target's file set AND delete set — so materialize it
+    # with the SAME sides formula (_change_sides) as a commit
+    # artifact, exactly like COW rewrites. A standing CDC tail
+    # (streaming/table_tail.py mode="cdc") then rides through the
+    # operational reset instead of refusing: it serves the artifact's
+    # parquet partitions, multiset-equal to the batch feed. Cost is
+    # one exceptAll over the DIFFERING rows only — the metadata-only
+    # commit itself stays O(1) data bytes moved.
+    old_df, new_df = _change_sides(spark, log, latest, to_version)
+    if old_df is None and new_df is None:
+        # nothing differs (e.g. rollback of a no-op range): an empty
+        # artifact dir still lets the tail cross with zero partitions
+        changelog_entry = [f"c-{uuid.uuid4().hex[:12]}", 0, 0]
+        os.makedirs(
+            posixpath.join(
+                _uri_path(table_root), SNAPSHOT_DIR, CHANGES_SUBDIR,
+                changelog_entry[0],
+            ),
+            exist_ok=True,
+        )
+    else:
+        if old_df is None:
+            old_df = new_df.limit(0)
+        if new_df is None:
+            new_df = old_df.limit(0)
+        changelog_entry = list(
+            _write_change_frames(
+                spark,
+                log,
+                old_df.exceptAll(new_df),
+                new_df.exceptAll(old_df),
+            )
+        )
     extra = {
         "delete_files": [
             [n, c] for n, c in (target.get("delete_files") or [])
         ],
         "rolled_back_to": to_version,
+        "changelog": changelog_entry,
     }
     # the spec resolves by walking the PARENT chain, and this commit's
     # parent is the CURRENT head — so a rollback across a partition-
@@ -4178,14 +4381,26 @@ def snapshot_rollback(
             if so_t is not None
             else {"order_id": fresh_oid, "sort_by": []}
         )
-    v = log.commit(
-        None,
-        op="rollback",
-        parent=latest,
-        schema=target.get("schema"),
-        manifest=manifest,
-        extra=extra,
-    )
+    try:
+        v = log.commit(
+            None,
+            op="rollback",
+            parent=latest,
+            schema=target.get("schema"),
+            manifest=manifest,
+            extra=extra,
+        )
+    except SnapshotConflictError:
+        # losing racer: reclaim the change artifact with the manifest
+        # (commit()'s abort removed the latter) — no orphans
+        _rm(
+            spark,
+            posixpath.join(
+                table_root, SNAPSHOT_DIR, CHANGES_SUBDIR,
+                changelog_entry[0],
+            ),
+        )
+        raise
     return {"version": v, "rolled_back_to": to_version, "noop": False}
 
 
@@ -5114,12 +5329,82 @@ def table_manifests_meta(
     )
 
 
+# The reference compacts under a 40 s/GB completion budget
+# (QHBaseCompact.java:170) — the engine reuses that constant as the
+# rewrite-cost scale in the COW-vs-MOR decision below.
+COW_GB_SECONDS = 40.0
+
+
+def choose_write_mode(
+    spark: SparkSession,
+    table_root: str,
+    predicates: dict[str, tuple],
+    *,
+    version: int | None = None,
+    gb_seconds: float = COW_GB_SECONDS,
+    cow_budget_s: float = 60.0,
+    pending_ratio_max: float = 0.05,
+) -> dict:
+    """COW-vs-MOR auto-policy for ONE row-level mutation (VERDICT r13
+    task 6) — METADATA ONLY, nothing scanned. Two signals:
+
+    - the mutation's rewrite bill if taken COW now: the byte sizes of
+      the files scan_plan cannot rule out (stats/bloom/spec pruning —
+      exactly the set _snapshot_delete_cow would read), priced at the
+      reference's 40 s/GB budget (QHBaseCompact.java:170);
+    - the table's standing MOR pressure: pending delete-entry rows
+      per live row (entry counts ride the version JSON; live rows sum
+      from the stats payload when annotated).
+
+    Rule: take the rewrite NOW ('cow', reason='within_budget') while
+    it fits `cow_budget_s` — a small keyed delete rewrites its
+    handful of files and keeps the read path join-free; past the
+    budget, defer ('mor', reason='over_budget' — an O(matches)
+    positional commit, compaction amortizes many mutations into one
+    rewrite). EXCEPT when pending pressure already exceeds
+    `pending_ratio_max`: every reader is then paying more join tax
+    than the rewrite costs, so the decision flips to 'cow' with
+    reason='pending_pressure' (the rewrite retires consumed entries
+    for the files it touches). snapshot_delete(mode='auto') routes
+    through this; the daemon's maintenance probe watches the same
+    ratio (maintain_mor max_pending_ratio)."""
+    log = SnapshotLog(spark, table_root)
+    v = log.latest() if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {table_root}")
+    plan = scan_plan(spark, table_root, predicates, v)
+    sizes = dict(log.files(v))
+    touched_bytes = sum(sizes.get(p, 0) for p in plan["paths"])
+    est_rewrite_s = touched_bytes / (1024.0**3) * gb_seconds
+    pending_rows = sum(int(c) for _, c in log.delete_files(v))
+    stats = log.stats(v)
+    live_rows = sum(int(s.get("rows", 0)) for s in stats.values()) or None
+    ratio = (pending_rows / live_rows) if live_rows else None
+    if ratio is not None and ratio > pending_ratio_max:
+        mode, reason = "cow", "pending_pressure"
+    elif est_rewrite_s <= cow_budget_s:
+        mode, reason = "cow", "within_budget"
+    else:
+        mode, reason = "mor", "over_budget"
+    return {
+        "mode": mode,
+        "reason": reason,
+        "touched_files": len(plan["paths"]),
+        "touched_bytes": int(touched_bytes),
+        "est_rewrite_s": round(est_rewrite_s, 3),
+        "pending_entry_rows": pending_rows,
+        "live_rows": live_rows,
+        "pending_ratio": round(ratio, 6) if ratio is not None else None,
+    }
+
+
 def maintain_mor(
     spark: SparkSession,
     table_root: str,
     *,
     max_pending: int = 8,
     max_age_s: float | None = None,
+    max_pending_ratio: float | None = None,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Automatic MOR maintenance policy (VERDICT r10 task 4): bound
@@ -5131,7 +5416,10 @@ def maintain_mor(
     exceeds `max_pending` entries, or the OLDEST entry has been
     pending longer than `max_age_s` (age = wall time since the commit
     that introduced it, read from the version payloads — metadata
-    only), run `snapshot_compact`, which always rewrites partitions
+    only), or (r14) pending entry ROWS exceed `max_pending_ratio` of
+    the table's live rows (choose_write_mode's pressure signal — the
+    read-tax-dominates threshold), run `snapshot_compact`, which
+    always rewrites partitions
     holding affected files, physically applies the entries, and
     retires them. Below both thresholds this is a metadata-only
     no-op — the probe reads version JSONs, never a manifest row.
@@ -5152,6 +5440,16 @@ def maintain_mor(
     entries = log.delete_files(v)
     n = len(entries)
     trigger = n > max_pending
+    if not trigger and max_pending_ratio is not None and entries:
+        # ratio trigger (r14, the choose_write_mode pressure signal):
+        # pending entry ROWS per live row — entry counts ride the
+        # version payload, live rows sum from the stats payload when
+        # annotated (no stats → no ratio signal, count/age still hold)
+        pending_rows = sum(int(c) for _, c in entries)
+        live = sum(
+            int(s.get("rows", 0)) for s in log.stats(v).values()
+        )
+        trigger = bool(live) and pending_rows / live > max_pending_ratio
     if not trigger and max_age_s is not None and entries:
         live = {name for name, _ in entries}
         first_seen: dict[str, int] = {}

@@ -44,11 +44,14 @@ snapshots.py verbatim instead of mirroring it.
 
 from __future__ import annotations
 
+import os
 import posixpath
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -58,6 +61,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "snapshot_table"
@@ -73,6 +77,31 @@ def _local_path(root: str) -> str:
     if root.startswith("file:"):
         return root[len("file:"):]
     return root
+
+
+def _claim_scan(token: str, fingerprint: str) -> bool:
+    """Bind a pushdown_scan_token to ONE filter fingerprint through
+    the driver-node tempdir (planning always runs on the driver
+    node): the first claim writes the fingerprint atomically
+    (O_CREAT|O_EXCL); later claims succeed only for the SAME
+    fingerprint — re-executions of the same plan may re-prune, a
+    different filter shape on a reused token plans the full file
+    list. Claim files are tiny and bounded by the session's pushed-
+    scan count; they share the tempdir lifecycle."""
+    import hashlib
+    import tempfile
+
+    d = posixpath.join(tempfile.gettempdir(), "hcs_scan_claims")
+    os.makedirs(d, exist_ok=True)
+    path = posixpath.join(d, hashlib.md5(token.encode()).hexdigest())
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, fingerprint.encode())
+        os.close(fd)
+        return True
+    except FileExistsError:
+        with open(path) as f:
+            return f.read() == fingerprint
 
 
 def _resolve_version(options: dict) -> tuple[str, tuple | None]:
@@ -154,6 +183,7 @@ class SnapshotTableReader(DataSourceReader):
     def __init__(self, schema, options: dict):
         self._schema = schema
         self._root, self._selector = _resolve_version(options)
+        self._scan_token = options.get("pushdown_scan_token")
         self._preds: dict[str, tuple] = {}
         self._in_preds: dict[str, tuple] = {}
 
@@ -163,7 +193,32 @@ class SnapshotTableReader(DataSourceReader):
         (col -> scalar equality | (lo, hi) bounds). EVERY filter is
         returned for Spark-side re-evaluation — pruning is allowed to
         be conservative (strict bounds widen to inclusive, unsupported
-        shapes are ignored), the final filter is exact."""
+        shapes are ignored), the final filter is exact.
+
+        PRUNING IS OPT-IN (r14, found by the pushdown fuzz): Spark
+        caches the pushdown-baked read info (reader bytes AND planned
+        partitions) on the table instance
+        (PythonDataSourceV2.setReadInfo), and a later scan of the
+        same relation that pushes nothing — a filterless query on the
+        view, a filterless branch of the same loaded DataFrame, even
+        a different column set — REUSES it wholesale with no Python
+        hook. Measured on this Spark (4.1.2): view → `WHERE k BETWEEN
+        100 AND 110` → plain `count(*)` returned the pruned 125, not
+        1000. No reader-side state discipline can repair a reuse that
+        never calls back, so file pruning only arms when the scan
+        carries a `pushdown_scan_token` option — the caller's
+        declaration that this relation serves ONE filter shape
+        (read_table issues a fresh one per load; single-query SQL
+        views pass their own). partitions() additionally binds the
+        token to the filter fingerprint through _claim_scan, so a
+        reused token with a DIFFERENT shape still plans the full
+        list. Token-less scans (any long-lived view) always plan the
+        full file list — never a dropped row, Spark re-applies every
+        filter either way."""
+        self._preds = {}
+        self._in_preds = {}
+        if not self._scan_token:
+            return filters
         eq: dict[str, object] = {}
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
@@ -299,6 +354,17 @@ class SnapshotTableReader(DataSourceReader):
         return plan, parts
 
     def partitions(self):
+        # token-fingerprint guard (see pushFilters): a token binds to
+        # ONE filter shape — re-executions of the same plan re-prune,
+        # a reused token under a different shape plans the full list
+        if self._preds or self._in_preds:
+            fp = repr((sorted(self._preds.items()),
+                       sorted(self._in_preds.items())))
+            if not self._scan_token or not _claim_scan(
+                self._scan_token, fp
+            ):
+                self._preds = {}
+                self._in_preds = {}
         _plan, parts = self.plan()
         # Spark requires at least one partition; a fully-pruned scan
         # still answers with the declared schema and zero rows
@@ -416,13 +482,178 @@ def table_schema(table_root: str, version=None):
     return schema
 
 
+def _arrow_minmax(tbl) -> dict[str, list]:
+    """{col: [min, max]} of an in-flight Arrow table, restricted to
+    the SAME JSON-stable types _footer_stats keeps (int/float/str, no
+    bool, no timestamps/decimals, non-finite floats skipped) — the
+    write-side twin of the footer pass, so files landed by SQL INSERT
+    prune under scan_plan with no annotate_stats round trip."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: dict[str, list] = {}
+    for i, field in enumerate(tbl.schema):
+        t = field.type
+        if pa.types.is_boolean(t):
+            continue
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+        ):
+            continue
+        col = tbl.column(i)
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None:
+            continue
+        if isinstance(mn, float) and not (
+            math.isfinite(mn) and math.isfinite(mx)
+        ):
+            continue
+        out[field.name] = [mn, mx]
+    return out
+
+
+class _SqlWriteMessage(WriterCommitMessage):
+    """One landed data file (or an empty task): manifest relpath,
+    byte size, and the executor-computed stats payload."""
+
+    def __init__(self, relpath, size, stats_json):
+        self.relpath = relpath
+        self.size = size
+        self.stats_json = stats_json
+
+
+class SnapshotTableWriter(DataSourceArrowWriter):
+    """SQL `INSERT INTO` / `INSERT OVERWRITE` (and
+    `df.write.format("snapshot_table")`) against a snapshot-logged
+    table — the write-side twin of the batch reader, completing the
+    SQL front door (VERDICT r13 task 1). Generalizes the reference's
+    write/commit semantics (QHBaseCompact.java:102-115,167 — the
+    persisted checkpoint and the compaction's atomic table mutation)
+    to the engine's SQL entry point.
+
+    Shape: each task streams its Arrow batches into ONE parquet file
+    under a per-job staging dir (`data-sql/w-<uuid>/`), computing
+    min/max stats from the batches already in memory; the driver-side
+    commit() — a Python worker with no py4j gateway — performs ONE
+    atomic snapshot-log commit through PureSnapshotLog: append =
+    parent manifest ∪ new files (stats/bloom payloads carried, MOR
+    delete entries carried), overwrite = new files only (pending
+    deletes dropped with the files they scoped). A concurrent commit
+    raises SnapshotConflictError — never a silent file drop — and
+    abort() removes the staging dir, so no partial state is ever
+    visible: readers see the old version or the new one, nothing
+    between."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        root, selector = _resolve_version(options)
+        if selector is not None:
+            raise ValueError(
+                "snapshot_table writes go to the table head — drop "
+                "the version/ref/timestamp_as_of option (time-travel "
+                "views are read-only)"
+            )
+        self._root = root
+        self._overwrite = overwrite
+        self._write_dir = f"data-sql/w-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _SqlWriteMessage(None, 0, None)
+        tbl = pa.Table.from_batches(batches)
+        rel = posixpath.join(
+            self._write_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        abs_path = posixpath.join(_local_path(self._root), rel)
+        os.makedirs(posixpath.dirname(abs_path), exist_ok=True)
+        pq.write_table(tbl, abs_path)
+        stats = _json.dumps(
+            {"rows": tbl.num_rows, "cols": _arrow_minmax(tbl)}
+        )
+        return _SqlWriteMessage(rel, os.path.getsize(abs_path), stats)
+
+    def commit(self, messages):
+        import pyarrow as pa
+
+        from hbase_compact_spark.compaction.snapshots import (
+            PureSnapshotLog,
+        )
+
+        log = PureSnapshotLog(self._root)
+        landed = [
+            m for m in messages if m is not None and m.relpath
+        ]
+        added = pa.table(
+            {
+                "relpath": pa.array(
+                    [m.relpath for m in landed], pa.string()
+                ),
+                "size": pa.array(
+                    [int(m.size) for m in landed], pa.int64()
+                ),
+                "stats": pa.array(
+                    [m.stats_json for m in landed], pa.string()
+                ),
+                "blooms": pa.array(
+                    [None for _ in landed], pa.string()
+                ),
+            }
+        )
+        parent = log.latest()
+        try:
+            if self._overwrite or not parent:
+                log.commit_manifest_table(
+                    added,
+                    op="overwrite" if parent else "bootstrap",
+                    parent=parent,
+                    carry_delete_files=False,
+                )
+            else:
+                log.commit_manifest_table(
+                    pa.concat_tables(
+                        [log.manifest_table(parent), added]
+                    ),
+                    op="append",
+                    parent=parent,
+                )
+        except Exception:
+            self._cleanup()
+            raise
+
+    def abort(self, messages):
+        self._cleanup()
+
+    def _cleanup(self):
+        import shutil
+
+        shutil.rmtree(
+            posixpath.join(_local_path(self._root), self._write_dir),
+            ignore_errors=True,
+        )
+
+
 class SnapshotTableDataSource(DataSource):
     """`spark.read.format("snapshot_table")` / `CREATE TEMPORARY VIEW
     ... USING snapshot_table` — see module docstring. Options: `path`
     (table root, required) plus at most one of `version` (time
     travel), `ref` (named tag/branch), or `timestamp_as_of` (epoch
     seconds or ISO-8601 — the latest snapshot committed at or before
-    that instant)."""
+    that instant). Writable: SQL INSERT INTO / INSERT OVERWRITE and
+    `df.write.format("snapshot_table").mode(...)` commit one atomic
+    snapshot version (SnapshotTableWriter)."""
 
     @classmethod
     def name(cls) -> str:
@@ -434,6 +665,9 @@ class SnapshotTableDataSource(DataSource):
 
     def reader(self, schema):
         return SnapshotTableReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return SnapshotTableWriter(self.options, overwrite)
 
 
 def register(spark: SparkSession) -> None:
@@ -456,11 +690,24 @@ def read_table(
     version: int | None = None,
     ref: str | None = None,
     timestamp_as_of=None,
+    prune: bool = False,
 ) -> DataFrame:
     """The logged table as a DataFrame through the registered format
     (schema resolved driver-side and passed explicitly — one less
     planner-worker round trip; the SQL `USING` path exercises the
-    worker-side schema())."""
+    worker-side schema()).
+
+    `prune=True` issues a fresh pushdown_scan_token, arming file
+    pruning for ONE filter shape on this load (see
+    SnapshotTableReader.pushFilters for the Spark read-info-caching
+    hazard that makes pruning opt-in and default-OFF: a filterless
+    branch derived from the SAME pruned load would reuse Spark's
+    cached pruned partitions with no Python hook). With prune=True,
+    run exactly one filter shape per load — re-executions are fine,
+    a different shape on the same token falls back to the full list
+    automatically. Predicate-driven pruned reads with no such
+    contract belong on read_table_where, whose pruning never rides
+    Spark-cached scan state."""
     register(spark)
     opts = {
         "version": str(version) if version is not None else None,
@@ -474,6 +721,8 @@ def read_table(
         raise ValueError(
             "give only one of version / ref / timestamp_as_of"
         )
+    if prune:
+        given["pushdown_scan_token"] = f"rt-{uuid.uuid4().hex}"
     _root, selector = _resolve_version({"path": table_root, **given})
     reader = (
         spark.read.format(FORMAT_NAME)

@@ -265,3 +265,232 @@ def test_hive_layout_path_values(spark, tmp_path):
     assert set(df.columns) == {"k", "region"}
     got = _rows(df.groupBy("region").count().orderBy("region"))
     assert got == [("0", 25), ("1", 25), ("2", 25), ("3", 25)]
+
+
+# ----------------------------------------------------------- writes
+# SQL INSERT INTO / INSERT OVERWRITE through SnapshotTableWriter
+# (r14): one atomic snapshot commit per statement, performed by a
+# JVM-free worker via PureSnapshotLog.commit_manifest_table.
+
+
+def _mkview(spark, root, name="snap_w", **opts):
+    extra = "".join(f", {k} '{v}'" for k, v in opts.items())
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+        f"USING snapshot_table OPTIONS (path '{root}'{extra})"
+    )
+
+
+def test_sql_insert_into_atomic_append(spark, table):
+    root, log = table
+    register(spark)
+    before = log.versions()
+    want_old = _rows(read_table_at(spark, root))
+    _mkview(spark, root)
+    spark.sql(
+        "INSERT INTO snap_w "
+        "SELECT id + 5000 AS k, CAST(99 AS BIGINT) AS g, "
+        "       format_string('new-%04d', id) AS v "
+        "FROM range(50)"
+    )
+    # exactly ONE new version, op append
+    assert log.versions() == before + [before[-1] + 1]
+    snap = log.read(log.latest())
+    assert snap["op"] == "append"
+    # pending MOR delete entries carried through the SQL append —
+    # logically-deleted rows must NOT resurrect
+    assert snap.get("delete_files"), "MOR delete entries dropped"
+    got = _rows(read_table(spark, root))
+    assert len(got) == len(want_old) + 50
+    assert [t for t in got if t[1] == 99][:1] == [(5000, 99, "new-0000")]
+    live = read_table(spark, root)
+    assert live.filter("k < 800 AND k % 97 = 0").count() == 0
+    # landed files carry executor-computed stats in footer format
+    st = log.stats(log.latest())
+    sql_stats = {p: s for p, s in st.items() if p.startswith("data-sql/")}
+    assert sql_stats
+    for s in sql_stats.values():
+        assert s["rows"] > 0 and "k" in s["cols"]
+        lo, hi = s["cols"]["k"]
+        assert 5000 <= lo <= hi <= 5049
+
+
+def test_sql_inserted_files_prune(spark, table):
+    root, log = table
+    register(spark)
+    _mkview(spark, root)
+    spark.sql(
+        "INSERT INTO snap_w SELECT id + 5000 AS k, CAST(1 AS BIGINT) g, "
+        "'x' AS v FROM range(50)"
+    )
+    # a predicate disjoint from the SQL-landed range prunes those
+    # files on their OWN stats (no annotate_stats pass ran)
+    plan = scan_plan(None, root, {"k": (100, 199)})
+    assert not any(p.startswith("data-sql/") for p in plan["paths"])
+    plan2 = scan_plan(None, root, {"k": (5000, 5010)})
+    assert any(p.startswith("data-sql/") for p in plan2["paths"])
+
+
+def test_sql_insert_overwrite_drops_pending_state(spark, table):
+    root, log = table
+    register(spark)
+    v_before = log.latest()
+    _mkview(spark, root)
+    spark.sql(
+        "INSERT OVERWRITE snap_w "
+        "SELECT id AS k, CAST(0 AS BIGINT) g, 'o' AS v FROM range(10)"
+    )
+    v = log.latest()
+    assert v == v_before + 1
+    snap = log.read(v)
+    assert snap["op"] == "overwrite"
+    # replaced files took their pending delete entries with them
+    assert not snap.get("delete_files")
+    assert read_table(spark, root).count() == 10
+    # time travel to the pre-overwrite version is intact
+    assert _rows(read_table(spark, root, version=v_before)) == _rows(
+        read_table_at(spark, root, version=v_before)
+    )
+
+
+def test_view_pins_scan_until_replaced(spark, table):
+    """A USING temp view plans its scan once at first read (Spark
+    refresh semantics) — CREATE OR REPLACE is the documented refresh
+    after an external commit, same class as REFRESH TABLE for
+    parquet. The pin documents the behavior the workload relies on."""
+    root, log = table
+    register(spark)
+    _mkview(spark, root, name="snap_pin")
+    stale = spark.sql("SELECT count(*) c FROM snap_pin").collect()[0].c
+    spark.sql(
+        "INSERT INTO snap_pin SELECT 90000 k, CAST(0 AS BIGINT) g, 'z' v"
+    )
+    assert (
+        spark.sql("SELECT count(*) c FROM snap_pin").collect()[0].c == stale
+    )
+    _mkview(spark, root, name="snap_pin")
+    assert (
+        spark.sql("SELECT count(*) c FROM snap_pin").collect()[0].c
+        == stale + 1
+    )
+
+
+def test_write_refuses_time_travel_views(spark, table):
+    root, log = table
+    register(spark)
+    _mkview(spark, root, name="snap_v1", version="1")
+    with pytest.raises(Exception, match="read-only"):
+        spark.sql(
+            "INSERT INTO snap_v1 SELECT 1 k, CAST(1 AS BIGINT) g, 'a' v"
+        )
+
+
+def test_pure_commit_conflict_raises(spark, table):
+    """The writer's commit derives its manifest union from the parent
+    it read — a commit that lands in between must fail the statement,
+    never silently drop the winner's files."""
+    import pyarrow as pa
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotConflictError,
+    )
+
+    root, log = table
+    pure = PureSnapshotLog(root)
+    parent = pure.latest()
+    tbl = pure.manifest_table(parent)
+    # competing commit claims parent+1 first
+    log.commit_current(op="append", parent=parent)
+    with pytest.raises(SnapshotConflictError):
+        pure.commit_manifest_table(tbl, op="append", parent=parent)
+    # the loser left nothing behind: no half-claimed version JSON
+    assert pure.latest() == parent + 1
+
+
+def test_writer_abort_cleans_staging(spark, table):
+    import pyarrow as pa
+
+    from hbase_compact_spark.sources.snapshot_table import (
+        SnapshotTableWriter,
+    )
+
+    root, log = table
+    v = log.latest()
+    w = SnapshotTableWriter({"path": root}, overwrite=False)
+    batch = pa.record_batch({"k": pa.array([1, 2], pa.int64())})
+    msg = w.write(iter([batch]))
+    staged = os.path.join(root, msg.relpath)
+    assert os.path.exists(staged)
+    w.abort([msg])
+    assert not os.path.exists(os.path.dirname(staged))
+    assert log.latest() == v  # no version claimed
+
+
+def test_dataframe_write_api_and_fresh_bootstrap(spark, tmp_path):
+    """df.write.format("snapshot_table") — mode('overwrite') on an
+    unlogged root bootstraps v1; mode('append') commits v2."""
+    root = str(tmp_path / "fresh")
+    os.makedirs(root)
+    register(spark)
+    df = spark.range(20).selectExpr("id AS k", "id * 2 AS v")
+    df.write.format("snapshot_table").mode("overwrite").option(
+        "path", root
+    ).save()
+    log = SnapshotLog(spark, root)
+    assert log.latest() == 1 and log.read(1)["op"] == "bootstrap"
+    spark.range(20, 30).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "snapshot_table"
+    ).mode("append").option("path", root).save()
+    assert log.latest() == 2
+    assert read_table(spark, root).count() == 30
+
+
+def test_view_pushdown_state_never_leaks_across_queries(spark, table):
+    """r14 fuzz-found, upstream hazard: Spark caches the pushdown-
+    baked scan (reader + planned partitions) on the table instance
+    and REUSES it for any later scan of the same relation that
+    pushes nothing — so file pruning is opt-in per single-shape scan
+    (pushdown_scan_token). Pins: (a) a token-less view never arms
+    pruning — a filterless query after a filtered one still sees
+    every row; (b) a tokened view prunes its one shape end-to-end
+    (partition count = surviving files); (c) a second, different
+    shape on the SAME token falls back to the full list — exact
+    results, never a dropped row."""
+    import uuid as _uuid
+
+    root, log = table
+    register(spark)
+    _mkview(spark, root, name="snap_leak")
+    full = spark.sql("SELECT count(*) c FROM snap_leak").collect()[0].c
+    pruned = spark.sql(
+        "SELECT count(*) c FROM snap_leak WHERE k BETWEEN 100 AND 199"
+    ).collect()[0].c
+    assert 0 < pruned < full
+    assert (
+        spark.sql("SELECT count(*) c FROM snap_leak").collect()[0].c
+        == full
+    ), "filterless query reused a pruned scan — rows dropped"
+
+    tok = f"tok-{_uuid.uuid4().hex}"
+    # pin to version 2 — the stats-annotated pre-append state, where
+    # the [100,199] range lives in exactly ONE of 8 range files
+    _mkview(
+        spark, root, name="snap_tok", version="2", pushdown_scan_token=tok
+    )
+    v2_full = read_table_at(spark, root, version=2).count()
+    got = spark.sql("SELECT k FROM snap_tok WHERE k BETWEEN 100 AND 199")
+    # end-to-end pruning evidence: one input partition per surviving
+    # file
+    assert got.rdd.getNumPartitions() == 1
+    assert got.count() == 100
+    # different shape on the same token: full list, exact result
+    assert (
+        spark.sql("SELECT count(*) c FROM snap_tok WHERE k >= 0")
+        .collect()[0]
+        .c
+        == v2_full
+    )
+    assert (
+        spark.sql("SELECT count(*) c FROM snap_tok").collect()[0].c
+        == v2_full
+    )
