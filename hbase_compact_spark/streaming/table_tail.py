@@ -30,11 +30,12 @@ deletions. Like `read_incremental` (compaction/snapshots.py), the
 APPEND tail REFUSES to cross them: `latestOffset` raises once every
 version before the rewrite has been served. The CDC tail
 (`mode="cdc"`) rides through MOR deletes/upserts (entry parquets,
-executor-side) AND through COW delete/merge commits, whose row-level
-diff the writer materialized at commit time (`_write_changelog`,
+executor-side) AND through COW delete/merge AND rollback commits,
+whose row-level diff the writer materialized at commit time
+(`_write_changelog` / the rollback changelog in snapshot_rollback,
 Delta-CDF style — served here as plain parquet partitions); only an
-artifact-less rewrite (legacy commit, rollback) still refuses, with
-a `read_changes` + `from_version` resume pointer.
+artifact-less rewrite (a legacy pre-artifact commit) still refuses,
+with a `read_changes` + `from_version` resume pointer.
 """
 
 from __future__ import annotations
@@ -59,15 +60,16 @@ FORMAT_NAME = "snapshot_tail"
 # upserts emit their removed rows as _change_type='delete' (computed
 # executor-side with pyarrow from the entry parquets), compactions
 # emit NOTHING (they apply already-emitted logical deletes — the
-# read_changes contract). COW rewrite commits (r13) carry their own
-# row-level diff as a commit artifact (`changelog` in the version
-# JSON — _write_changelog's Delta-CDF move, multiset-equal to batch
+# read_changes contract). COW rewrite commits (r13) and rollback
+# commits (r14) carry their own row-level diff as a commit artifact
+# (`changelog` in the version JSON — _write_changelog's /
+# snapshot_rollback's Delta-CDF move, multiset-equal to batch
 # read_changes by construction): the tail serves those versions from
 # the artifact's plain parquet partitions, so a standing changelog
-# pipeline rides straight through the weekly COW merge/delete. Only a
-# rewrite WITHOUT an artifact (legacy commit, or a rollback — whose
-# diff is derivable batch-side but is an operational reset, not a
-# data change) still refuses with a read_changes pointer.
+# pipeline rides straight through the weekly COW merge/delete AND
+# the occasional operational revert. Only a rewrite WITHOUT an
+# artifact (a legacy pre-artifact commit) still refuses with a
+# read_changes pointer.
 _CDC_REFUSE = frozenset({"delete", "merge", "rollback"})
 
 # Python data-source PLANNER workers run outside the driver process

@@ -270,8 +270,17 @@ def run_bounded(
     # executors, the union reads back distributed. Append-only: a
     # complete-mode stream re-emits FULL state per trigger, which a
     # per-batch-dir union would double-count.
-    if sink not in ("memory", "parquet"):
-        raise ValueError(f"run_bounded sink must be memory|parquet: {sink}")
+    # sink="noop": metrics-only drains (the caller reads ONLY the
+    # progress list — watermark books, state-operator counters).
+    # Emitted rows are discarded executor-side through the noop batch
+    # writer, so an update-mode stream whose group state is
+    # table-sized (stream_late_data at sf10: millions of (window,
+    # user) rows) never round-trips the driver at all. Returns an
+    # empty frame in the agg's schema.
+    if sink not in ("memory", "parquet", "noop"):
+        raise ValueError(
+            f"run_bounded sink must be memory|parquet|noop: {sink}"
+        )
     if sink == "parquet" and mode != "append":
         raise ValueError(
             "run_bounded sink='parquet' unions per-batch emissions — "
@@ -294,6 +303,15 @@ def run_bounded(
                 )
 
             writer = agg.writeStream.foreachBatch(_sink).option(
+                "checkpointLocation", posixpath.join(sink_base, "ckpt")
+            )
+        elif sink == "noop":
+            sink_base = tempfile.mkdtemp(prefix=f"hcs_bounded_{name}_")
+
+            def _discard(bdf: DataFrame, bid: int) -> None:
+                bdf.write.format("noop").mode("overwrite").save()
+
+            writer = agg.writeStream.foreachBatch(_discard).option(
                 "checkpointLocation", posixpath.join(sink_base, "ckpt")
             )
         else:
@@ -332,6 +350,8 @@ def run_bounded(
         # so stale-frame TABLE_OR_VIEW_NOT_FOUND surprises cannot
         # happen, and bench loops still hold one result's blocks at a
         # time (freed when the frame is GC'd).
+        if sink == "noop":
+            return spark.createDataFrame([], agg.schema)
         if sink == "parquet":
             # distributed read-back of the per-batch emissions; an
             # all-empty drain still returns the agg's schema

@@ -1008,7 +1008,13 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     progress: list = []
-    run_bounded(agg, mode="update", n_partitions=4, progress=progress)
+    # sink="noop": this query reads ONLY the progress metrics (the
+    # watermark books) — discarding emissions executor-side keeps the
+    # drain O(metrics) on the driver even when the group state is
+    # table-sized (the sf10 rehearsal's fix, r14)
+    run_bounded(
+        agg, mode="update", n_partitions=4, progress=progress, sink="noop"
+    )
     n_input = sum(int(p["numInputRows"]) for p in progress)
     # UNIT of the metric (pinned in tests): numRowsDroppedByWatermark
     # counts rows reaching the STATE operator, i.e. post-partial-
@@ -1419,13 +1425,16 @@ def stream_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v5 (r13) is a COW snapshot_merge_full mid-stream: the tail rides
 # through it on the commit-time change artifact (_write_changelog) —
 # matched deletes, conditional updates, and the retention clause all
-# hash-checked as pre-image/post-image arithmetic.
+# hash-checked as pre-image/post-image arithmetic. v6 (r14) is a
+# snapshot_rollback BACK to v4 mid-stream: the revert's own commit
+# artifact (read_changes' formula, written in snapshot_rollback)
+# must emit exactly the INVERSE of v5's four merge branches.
 CDC_DEL_HI = 300     # v3: MOR-delete event_id <= this
 CDC_UPD_MOD = 9      # v4: upsert keys event_id % 9 == 1 (subset of slice B)
 CDC_MRG_MOD = 27     # v5: merge source keys event_id % 27 == 10 (⊂ %9==1)
 CDC_MRG_DEL = 54     # v5: matched keys % 54 == 10 DELETE, == 37 UPDATE
 CDC_RET_LO, CDC_RET_HI = 301, 500  # v5: NOT-MATCHED-BY-SOURCE window
-_CDC_TAG = "table_cdc2"
+_CDC_TAG = "table_cdc3"
 
 
 def cdc_root(spark: SparkSession, sf_dir: str) -> str:
@@ -1435,12 +1444,15 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
     snapshot_merge_full: source keys %27==10 (all live as v4 U-rows),
     %54==10 matched-DELETE, %54==37 matched-UPDATE to ('M',
     value+5000), plus the retention clause deleting unmatched live
-    rows in [CDC_RET_LO, CDC_RET_HI]."""
+    rows in [CDC_RET_LO, CDC_RET_HI]; v6 snapshot_rollback to v4 —
+    the operational revert of the merge, carrying its own changelog
+    artifact."""
     from hbase_compact_spark.compaction.snapshots import (
         SnapshotLog,
         append_partitioned,
         snapshot_delete,
         snapshot_merge_full,
+        snapshot_rollback,
         snapshot_upsert_mor,
     )
     from hbase_compact_spark.tables import load_table
@@ -1450,8 +1462,8 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
         v = lg.latest()
         return (
             v is not None
-            and v >= 5
-            and lg.read(v).get("op") == "merge"
+            and v >= 6
+            and lg.read(v).get("op") == "rollback"
             and bool(lg.read(v).get("changelog"))
         )
 
@@ -1503,6 +1515,9 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
     )                                                          # v5
     if not (res["deleted_matched"] and res["updated"] and res["deleted_unmatched"]):
         raise RuntimeError(f"vacuous CDC merge staging: {res}")
+    rb = snapshot_rollback(spark, root, 4)                     # v6
+    if rb.get("noop"):
+        raise RuntimeError(f"vacuous CDC rollback staging: {rb}")
     return root
 
 
@@ -1567,6 +1582,34 @@ def cdc_root(spark: SparkSession, sf_dir: str) -> str:
            CAST(value + 5000.0 AS DOUBLE) AS value,
            'insert', 5
     FROM events WHERE event_id % {CDC_MRG_DEL} = 37
+    UNION ALL
+    SELECT event_id, user_id, 'M' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 5000.0 AS DOUBLE) AS value,
+           'delete', 6
+    FROM events WHERE event_id % {CDC_MRG_DEL} = 37
+    UNION ALL
+    SELECT event_id, user_id, 'U' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 1000.0 AS DOUBLE) AS value,
+           'insert', 6
+    FROM events WHERE event_id % {CDC_MRG_MOD} = 10
+    UNION ALL
+    SELECT event_id, user_id, 'U' AS event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value + 1000.0 AS DOUBLE) AS value,
+           'insert', 6
+    FROM events
+    WHERE event_id % {CDC_UPD_MOD} = 1 AND event_id % {CDC_MRG_MOD} <> 10
+      AND event_id BETWEEN {CDC_RET_LO} AND {CDC_RET_HI}
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(value AS DOUBLE) AS value,
+           'insert', 6
+    FROM events
+    WHERE event_id % 3 IN (0, 1) AND event_id % {CDC_UPD_MOD} <> 1
+      AND event_id BETWEEN {CDC_RET_LO} AND {CDC_RET_HI}
     """,
 )
 def stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,8 +1621,11 @@ def stream_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivering commit — and (r13) straight THROUGH the v5 COW
     snapshot_merge_full, served from the rewrite's commit-time change
     artifact (matched deletes, conditional updates as pre-image
-    delete + post-image insert, retention-clause deletes). The oracle
-    re-derives all nine branches from the staging arithmetic —
+    delete + post-image insert, retention-clause deletes), and (r14)
+    through the v6 snapshot_rollback back to v4, served from the
+    revert's own artifact — its four branches are exactly the INVERSE
+    of v5's merge branches. The oracle
+    re-derives all thirteen branches from the staging arithmetic —
     including that v3's range delete masks those keys out of v4's
     pre-image delete (prior-entry masking) — so the hash proves exact
     changelog semantics, not just net state. The reference's

@@ -384,17 +384,69 @@ def test_cdc_tail_rides_cow_rewrites_via_changelog(spark, tmp_path):
         rdr.latestOffset()
 
 
+def test_cdc_tail_rides_rollback_via_changelog(spark, tmp_path):
+    """r14: snapshot_rollback writes its own change artifact (the
+    revert's diff by read_changes' formula) — the CDC tail rides
+    through the operational reset, and the streamed slice is
+    multiset-equal to batch read_changes across it."""
+    root = _staged_table(spark, tmp_path, n_appends=1)  # v1, v2
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    _run_cdc(spark, root, ckpt, out)                     # cursor at v2
+    S.snapshot_delete(spark, root, {"id": (0, 2)})       # v3: COW delete
+    res = S.snapshot_rollback(spark, root, 2)            # v4: revert it
+    assert not res["noop"]
+    _run_cdc(spark, root, ckpt, out)
+    got = spark.read.parquet(os.path.join(out, "b*"))
+    for v in (3, 4):
+        streamed = sorted(
+            (r["id"], r["v"], r["_change_type"])
+            for r in got.filter(f"_tail_version = {v}").collect()
+        )
+        batch = sorted(
+            (r["id"], r["v"], r["_change_type"])
+            for r in S.read_changes(spark, root, v - 1, v).collect()
+        )
+        assert streamed == batch, f"v{v} slice diverges from read_changes"
+    # the rollback slice is the exact inverse of the delete slice
+    assert sorted(
+        (r["id"], r["_change_type"])
+        for r in got.filter("_tail_version = 4").collect()
+    ) == [(0, "insert"), (1, "insert"), (2, "insert")]
+    # net replay of the full feed reproduces the reverted live table
+    import collections
+
+    net = collections.Counter()
+    for r in got.collect():
+        net[(r["id"], r["v"])] += 1 if r["_change_type"] == "insert" else -1
+    live = {
+        (r["id"], r["v"]) for r in S.read_table_at(spark, root).collect()
+    }
+    assert {k for k, c in net.items() if c > 0} == live
+
+
 def test_cdc_tail_refuses_artifactless_rewrites(spark, tmp_path):
-    """A rewrite WITHOUT a change artifact (rollback — an operational
-    reset, or any legacy commit) still refuses with the read_changes
-    resume pointer."""
+    """A rewrite WITHOUT a change artifact (a legacy pre-artifact
+    commit) still refuses with the read_changes resume pointer.
+    Staged by stripping the changelog key from a rollback's version
+    JSON — exactly what a pre-r14 commit looks like on disk."""
+    import json
+
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     root = _staged_table(spark, tmp_path, n_appends=1)
     ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
     os.makedirs(out, exist_ok=True)
     _run_cdc(spark, root, ckpt, out)
-    S.snapshot_rollback(spark, root, 1)  # op=rollback, no changelog
+    S.snapshot_rollback(spark, root, 1)
+    vpath = os.path.join(root, "_snapshots", "v000000000003.json")
+    snap = json.loads(open(vpath).read())
+    del snap["changelog"]
+    with open(vpath, "w") as f:
+        json.dump(snap, f)
+    crc = os.path.join(root, "_snapshots", ".v000000000003.json.crc")
+    if os.path.exists(crc):  # stale Hadoop-LocalFS checksum sidecar
+        os.remove(crc)
     with pytest.raises(StreamingQueryException, match="cannot cross"):
         _run_cdc(spark, root, ckpt, out)
 
