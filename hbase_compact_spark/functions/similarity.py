@@ -609,6 +609,20 @@ def _pq_assign(S, C, np):
     return np.argsort(d, axis=2, kind="stable")[:, :, 0]
 
 
+def _pq_assign_full(S, C, np):
+    """(codes, qerr) per row: the stable nearest-centroid codes AND
+    the total squared reconstruction error (sum over subspaces of the
+    chosen centroid's L2² distance) — the quantization-quality signal
+    the persistent index's drift gate watches."""
+    d = ((S[:, :, None, :] - C[None]) ** 2).sum(axis=-1)  # (b, M, K)
+    a = np.argsort(d, axis=2, kind="stable")[:, :, 0]
+    b = len(S)
+    qerr = d[
+        np.arange(b)[:, None], np.arange(S.shape[1])[None, :], a
+    ].sum(axis=1)
+    return a, qerr
+
+
 def pq_codebook(
     corpus: DataFrame, dims: int = 64, iters: int = 2
 ) -> DataFrame:
@@ -727,6 +741,56 @@ def pq_encode(corpus: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
     return corpus.select(
         "vec_id", as_double_array("embedding").alias("dv")
     ).mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+
+def pq_encode_packed(
+    corpus: DataFrame, cb: DataFrame, dims: int = 64
+) -> DataFrame:
+    """(vec_id, code, qerr): the PQ_M 4-bit codes BIT-PACKED into one
+    BIGINT (code m lives at bits [4m, 4m+4) — 8 bytes replace 512
+    float bytes for a 64-dim vector, the storage form the persistent
+    index keeps), plus the row's total squared reconstruction error
+    (the drift gate's quantization-quality signal). Same shuffle-free
+    Arrow/numpy scan as pq_encode."""
+    import numpy as np
+    import pandas as pd
+
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(corpus.sparkSession)
+    C = np.zeros((PQ_M, PQ_K, dims // PQ_M))
+    for r in cb.collect():
+        C[int(r["sub_id"]), int(r["code"])] = np.asarray(r["cv"])
+    shifts = 4 * np.arange(PQ_M, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            S = _unit_subvecs(pdf, np)
+            a, qerr = _pq_assign_full(S, C, np)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": (a.astype(np.int64) << shifts).sum(axis=1),
+                    "qerr": qerr,
+                }
+            )
+
+    return corpus.select(
+        "vec_id", as_double_array("embedding").alias("dv")
+    ).mapInPandas(encode, schema="vec_id long, code long, qerr double")
+
+
+def _adc_packed_expr() -> Column:
+    """ADC score of a bit-packed `code` BIGINT against the row's
+    `dtf` table — PQ_M shift-mask-lookup-adds, pure JVM codegen (the
+    packed twin of _adc_expr; no array column is even read)."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {PQ_M - 1}), "
+        f"i -> dtf[i * {PQ_K} + CAST(shiftright(code, i * 4) & 15 AS INT)]), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def pq_topk(
@@ -903,41 +967,62 @@ def ivfpq_topk(
 # retrain when the appended batch's mean assignment cosine falls this
 # far below the base corpus's (the lists no longer describe the data)
 IVF_DRIFT_MARGIN = 0.15
+# ...or when the appended batch's mean PQ reconstruction error rises
+# past this multiple of the base corpus's (the frozen codebook no
+# longer quantizes the incoming data — ADC scores would degrade
+# silently while list assignment still looks healthy)
+PQ_QERR_RATIO = 1.5
 
 
 def build_ivf_index(spark, corpus: DataFrame, index_root: str) -> dict:
     """Full index build: per-label mean centroids (label_centroids —
-    one distributed agg), full-corpus frozen-centroid assignment with
-    scores, both persisted as snapshot-logged tables under
-    `index_root`/cents and `index_root`/assign. Returns
-    {"n_lists", "n_vectors", "mean_score"}."""
+    one distributed agg), a trained PQ codebook (pq_codebook), and
+    the full-corpus search structure — frozen-centroid assignment
+    with scores PLUS each vector's bit-packed PQ code and
+    reconstruction error (pq_encode_packed) — persisted as
+    snapshot-logged tables under `index_root`/{cents,codebook,
+    assign}. The assign table IS the servable index: one BIGINT of
+    codes per vector (64× smaller than the floats for 64 dims), so
+    at 100 TB of embeddings the scan structure fits where raw
+    vectors cannot, and ivfpq_index_topk answers queries without
+    ever re-reading corpus floats outside the final rerank pool.
+    Returns {"n_lists", "n_vectors", "mean_score", "mean_qerr"}."""
     import posixpath
 
     cent_df = label_centroids(corpus)
     cents = _cent_rows(cent_df)
-    assigned = _assign_lists_pandas(
-        corpus, "vec_id", "v", cents, 1, with_score=True
-    ).select("vec_id", "list_id", "score", F.lit("base").alias("src"))
+    cb = pq_codebook(corpus)
+    assigned = (
+        _assign_lists_pandas(corpus, "vec_id", "v", cents, 1, with_score=True)
+        .select("vec_id", "list_id", "score", F.lit("base").alias("src"))
+        .join(pq_encode_packed(corpus, cb), "vec_id")
+    )
     cents_root = posixpath.join(index_root, "cents")
+    cb_root = posixpath.join(index_root, "codebook")
     assign_root = posixpath.join(index_root, "assign")
     cent_df.write.mode("overwrite").parquet(cents_root)
+    cb.write.mode("overwrite").parquet(cb_root)
     assigned.write.mode("overwrite").parquet(assign_root)
-    # snapshot-log both tables (bootstrap = v1) so maintenance commits
-    # are atomic + time-travelable
+    # snapshot-log all three tables (bootstrap = v1) so maintenance
+    # commits are atomic + time-travelable
     from hbase_compact_spark.compaction.snapshots import SnapshotLog
 
     SnapshotLog(spark, cents_root).bootstrap()
+    SnapshotLog(spark, cb_root).bootstrap()
     log = SnapshotLog(spark, assign_root)
     log.bootstrap()
     from hbase_compact_spark.compaction.snapshots import read_table_at
 
     stats = read_table_at(spark, assign_root).agg(
-        F.count("*").alias("n"), F.avg("score").alias("m")
+        F.count("*").alias("n"),
+        F.avg("score").alias("m"),
+        F.avg("qerr").alias("q"),
     ).collect()[0]
     return {
         "n_lists": len(cents),
         "n_vectors": int(stats["n"]),
         "mean_score": float(stats["m"]),
+        "mean_qerr": float(stats["q"]),
     }
 
 
@@ -947,6 +1032,7 @@ def extend_ivf_index(
     index_root: str,
     *,
     drift_margin: float = IVF_DRIFT_MARGIN,
+    qerr_ratio: float = PQ_QERR_RATIO,
 ) -> dict:
     """Incremental index maintenance: assign ONLY `new_vectors`
     against the PERSISTED centroids (loaded from the index's own
@@ -955,11 +1041,19 @@ def extend_ivf_index(
     snapshot commit. Cost is O(|delta|), the dedup_incremental
     discipline — never a re-cluster of the corpus.
 
-    Drift gate: if the delta's mean assignment cosine falls more than
-    `drift_margin` below the index's base mean, the lists no longer
-    describe the incoming data — the function makes NO commit and
-    returns mode='retrain' so the caller rebuilds (build_ivf_index);
-    otherwise mode='incremental' with the appended count."""
+    Drift gates (either trips → NO commit, mode='retrain' so the
+    caller rebuilds with build_ivf_index):
+    - assignment drift: the delta's mean assignment cosine falls more
+      than `drift_margin` below the index's base mean (the lists no
+      longer describe the incoming data);
+    - quantization drift (r14): the delta's mean PQ reconstruction
+      error rises past `qerr_ratio` × the base mean (the FROZEN
+      codebook no longer quantizes the incoming data — ADC scores
+      would degrade silently while list assignment still looks
+      healthy).
+    Both base means come from the PERSISTED index columns — never a
+    corpus rescan. The delta is encoded against the frozen codebook
+    in the same O(|delta|) pass that assigns it."""
     import posixpath
 
     from hbase_compact_spark.compaction.snapshots import (
@@ -968,23 +1062,30 @@ def extend_ivf_index(
     )
 
     cents_root = posixpath.join(index_root, "cents")
+    cb_root = posixpath.join(index_root, "codebook")
     assign_root = posixpath.join(index_root, "assign")
     cents = _cent_rows(read_table_at(spark, cents_root))
-    assigned = _assign_lists_pandas(
-        new_vectors, "vec_id", "v", cents, 1, with_score=True
-    ).select("vec_id", "list_id", "score", F.lit("incr").alias("src"))
-    # one pass over the delta: cache while we take its mean + append.
-    # The base mean comes from the PERSISTED scores (an agg over the
-    # index table, never a corpus rescan).
+    cb = read_table_at(spark, cb_root)
+    assigned = (
+        _assign_lists_pandas(
+            new_vectors, "vec_id", "v", cents, 1, with_score=True
+        )
+        .select("vec_id", "list_id", "score", F.lit("incr").alias("src"))
+        .join(pq_encode_packed(new_vectors, cb), "vec_id")
+    )
+    # one pass over the delta: cache while we take its means + append
     assigned = assigned.localCheckpoint(eager=True)
-    base_mean = (
+    base = (
         read_table_at(spark, assign_root)
         .where(F.col("src") == "base")
-        .agg(F.avg("score"))
-        .collect()[0][0]
+        .agg(F.avg("score").alias("m"), F.avg("qerr").alias("q"))
+        .collect()[0]
     )
+    base_mean, base_qerr = base["m"], base["q"]
     new_stats = assigned.agg(
-        F.avg("score").alias("m"), F.count("*").alias("n")
+        F.avg("score").alias("m"),
+        F.avg("qerr").alias("q"),
+        F.count("*").alias("n"),
     ).collect()[0]
     if not new_stats["n"]:
         # empty delta: nothing to assign or commit — and
@@ -999,8 +1100,20 @@ def extend_ivf_index(
     if base_mean is not None and new_stats["m"] < base_mean - drift_margin:
         return {
             "mode": "retrain",
+            "reason": "assignment_drift",
             "base_mean": float(base_mean),
             "new_mean": float(new_stats["m"]),
+        }
+    if (
+        base_qerr is not None
+        and base_qerr > 0
+        and new_stats["q"] > base_qerr * qerr_ratio
+    ):
+        return {
+            "mode": "retrain",
+            "reason": "quantization_drift",
+            "base_qerr": float(base_qerr),
+            "new_qerr": float(new_stats["q"]),
         }
     append_partitioned(spark, assign_root, assigned)
     return {
@@ -1008,4 +1121,59 @@ def extend_ivf_index(
         "appended": int(new_stats["n"]),
         "base_mean": float(base_mean) if base_mean is not None else None,
         "new_mean": float(new_stats["m"]),
+        "base_qerr": float(base_qerr) if base_qerr is not None else None,
+        "new_qerr": float(new_stats["q"]),
     }
+
+
+def ivfpq_index_topk(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    index_root: str,
+    k: int = 10,
+    *,
+    n_probe: int = 9,
+    rerank_factor: int = 80,
+) -> DataFrame:
+    """ANN top-k served FROM the persistent index — the query path a
+    100 TB deployment actually runs: centroids, codebook, and the
+    bit-packed per-vector codes all come from the index's
+    snapshot-logged tables (build_ivf_index / extend_ivf_index), so
+    the scan side touches 8 BYTES per candidate vector (the packed
+    BIGINT, ADC'd with shift-mask lookups in JVM codegen) and the
+    corpus floats are read ONLY for the per-query top
+    rerank_factor*k rerank pool. Against ivfpq_topk — which
+    re-trains and re-encodes per call — this is O(queries) work over
+    a prebuilt structure: probe n_probe lists, ADC their codes,
+    rerank. `corpus` supplies exact vectors for the rerank (base +
+    any incrementally appended delta)."""
+    import posixpath
+
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+    from hbase_compact_spark.shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    cents = _cent_rows(read_table_at(spark, posixpath.join(index_root, "cents")))
+    cb = read_table_at(spark, posixpath.join(index_root, "codebook"))
+    coded = read_table_at(spark, posixpath.join(index_root, "assign")).select(
+        "vec_id", "list_id", "code"
+    )
+    q_lists = _assign_lists_pandas(
+        queries, "query_id", "qv", cents, n_probe
+    ).select("query_id", "list_id")
+    qt = F.broadcast(
+        q_lists.join(_adc_query_tables(queries, cb, 64), "query_id")
+    )
+    scored = (
+        coded.join(qt, "list_id")  # ADC only INSIDE probed lists
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", _adc_packed_expr().alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= rerank_factor * k)
+        .select("query_id", "vec_id")
+    )
+    return _exact_cosine_rerank(cand, queries, corpus, k)

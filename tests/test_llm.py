@@ -1200,6 +1200,78 @@ def test_ivf_index_incremental_maintenance_and_drift_gate(spark, tmp_path):
     }
     assert alog.latest() == v2
 
+    # r14: PQ codes ride the same commits — every appended row holds
+    # a bit-packed code + reconstruction error, and the delta was
+    # encoded against the FROZEN codebook (bit-parity with a direct
+    # encode; the O(|delta|) claim extends to the search structure)
+    from hbase_compact_spark.functions.similarity import pq_encode_packed
+
+    cb = read_table_at(spark, f"{root}/codebook")
+    want_codes = {
+        (int(r["vec_id"]), int(r["code"]))
+        for r in pq_encode_packed(delta, cb).collect()
+    }
+    incr = read_table_at(spark, f"{root}/assign").where(
+        F.col("src") == "incr"
+    )
+    got_codes = {
+        (int(r["vec_id"]), int(r["code"])) for r in incr.collect()
+    }
+    assert got_codes == want_codes
+    assert incr.where(F.col("qerr").isNull()).count() == 0
+
+    # quantization drift gate: a ratio floor any real delta exceeds
+    # forces the retrain decision (reason=quantization_drift), no
+    # commit — the codebook-staleness guard, independent of the
+    # assignment-cosine gate
+    delta2 = base.limit(20).select(
+        (F.col("vec_id") + 60_000).alias("vec_id"), "embedding", "label"
+    )
+    out2 = extend_ivf_index(spark, delta2, root, qerr_ratio=1e-9)
+    assert out2["mode"] == "retrain", out2
+    assert out2["reason"] == "quantization_drift"
+    assert alog.latest() == v2  # still no commit
+
+
+def test_ann_index_pq_serving_recall(spark):
+    """The persistent index is SERVABLE (r14): ann_index_pq answers
+    from stored centroids + stored bit-packed codes (base AND
+    incrementally appended delta), holds the >=0.9 recall floor
+    against exact brute force over the full corpus, and is
+    deterministic run-to-run."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.functions.similarity import brute_force_topk
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = load_table(spark, sf, "embeddings")
+    union = base.unionByName(
+        base.select(
+            (F.col("vec_id") + llm.ANN_IDX_OFFSET).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+            "label",
+        )
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            base.filter(F.col("vec_id") < 5), union, k=10
+        ).collect()
+    }
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in llm.ann_index_pq(spark, sf).collect()
+    )
+    pairs = {(a, b) for a, b, _, _ in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.9, f"served-index recall@10 too low: {recall}"
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in llm.ann_index_pq(spark, sf).collect()
+    )
+    assert got == again, "served-index search must be deterministic"
+
 
 def test_ann_high_recall_operating_points(spark):
     """The 0.9-recall operating points named in RECALL_r11's dial

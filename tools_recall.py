@@ -113,6 +113,49 @@ def main() -> None:
         }
         print(f"{name:10s} recall@10={recall}", flush=True)
 
+    # ann_index_pq (r14): served FROM the persistent index (stored
+    # centroids + stored bit-packed codes over base + appended delta)
+    # — its exact baseline is brute force over the SAME union corpus
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.tables import load_table as _lt
+
+    base_emb = _lt(spark, args.sf_dir, "embeddings")
+    union_emb = base_emb.unionByName(
+        base_emb.select(
+            (F.col("vec_id") + llm.ANN_IDX_OFFSET).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+            "label",
+        )
+    )
+    exact_union = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(
+            base_emb.filter(F.col("vec_id") < 5), union_emb, k=10
+        ).collect()
+    }
+    t0 = time.perf_counter()
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in llm.ann_index_pq(spark, args.sf_dir).collect()
+    }
+    recall = round(len(exact_union & approx) / len(exact_union), 4)
+    results["ann_index_pq"] = {
+        "recall_at_10": recall,
+        "n_exact_pairs": len(exact_union),
+        "n_approx_pairs": len(approx),
+        "seconds": round(time.perf_counter() - t0, 3),
+        "settings": {
+            **_call_params(llm.ann_index_pq),
+            "n_lists": 10,
+            "pq_m": sim.PQ_M,
+            "pq_k": sim.PQ_K,
+            "storage": "packed 4-bit codes (one BIGINT/vector)",
+            "rerank": "exact cosine on in-list ADC candidates",
+        },
+    }
+    print(f"ann_index_pq recall@10={recall}", flush=True)
+
     # ---- dial curves (VERDICT r10 task 6): the full recall/latency
     # trade-off surface so a user can pick an operating point, not
     # just the registered defaults. n_probe is bounded by n_lists
