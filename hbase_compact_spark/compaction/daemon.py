@@ -19,7 +19,7 @@ testing; production would run unbounded exactly like the reference.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +68,23 @@ class DaemonConfig:
     # applies and retires the chain.
     mor_pending_max: int | None = None
     mor_pending_age_s: float | None = None
+    # r14: ratio trigger (pending delete-entry rows / live rows —
+    # choose_write_mode's read-tax-dominates signal) for the MOR
+    # maintenance probe
+    mor_pending_ratio: float | None = None
+    # r14 (VERDICT r13 task 6): auto_mode=True lets the daemon CHOOSE
+    # the per-table maintenance mode instead of requiring the
+    # operator to set mor_pending_max by hand — a snapshot-logged
+    # table (a `_snapshots` log exists) runs the MOR maintenance
+    # probe under the default count+ratio policy (its committed
+    # manifests must never see the in-place swap rewrite); a plain
+    # directory table runs the in-place executor. The detection is
+    # one existence check per run.
+    auto_mode: bool = False
+    # defaults the auto policy applies when the explicit knobs are
+    # unset (ratio = choose_write_mode's pending_ratio_max default)
+    AUTO_PENDING_MAX = 8
+    AUTO_PENDING_RATIO = 0.05
 
 
 @dataclass
@@ -126,6 +143,27 @@ def run_daemon(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
     `max_cycles` passes over the table, each compacting up to
     `partitions_per_iteration` partitions at a time with the
     reference's pacing structure."""
+    if cfg.auto_mode and cfg.mor_pending_max is None:
+        # per-table mode choice (r14): a snapshot log on disk means a
+        # MOR-lifecycle table — maintenance goes through the probe
+        # (never the in-place swap, which would invalidate committed
+        # manifests); otherwise the classic in-place executor
+        from hbase_compact_spark.compaction.executor import _hadoop_fs
+
+        fs, _hpath, jvm = _hadoop_fs(spark, cfg.table_root)
+        log_path = jvm.org.apache.hadoop.fs.Path(
+            f"{cfg.table_root}/_snapshots"
+        )
+        if fs.exists(log_path):
+            cfg = replace(
+                cfg,
+                mor_pending_max=cfg.AUTO_PENDING_MAX,
+                mor_pending_ratio=(
+                    cfg.mor_pending_ratio
+                    if cfg.mor_pending_ratio is not None
+                    else cfg.AUTO_PENDING_RATIO
+                ),
+            )
     if cfg.mor_pending_max is not None:
         return _run_mor_maintenance(spark, cfg)
     ckpt = CompactionCheckpoint(
@@ -184,6 +222,7 @@ def _run_mor_maintenance(spark: SparkSession, cfg: DaemonConfig) -> DaemonRun:
                 cfg.table_root,
                 max_pending=cfg.mor_pending_max,
                 max_age_s=cfg.mor_pending_age_s,
+                max_pending_ratio=cfg.mor_pending_ratio,
                 target_bytes=cfg.target_bytes,
             )
         )

@@ -124,3 +124,98 @@ def test_maintain_mor_noop_shapes(spark, tmp_path):
     log.bootstrap()
     res2 = S.maintain_mor(spark, root, max_pending=0)
     assert not res2["triggered"] and res2["version"] == log.latest()
+
+
+def test_choose_write_mode_policy(spark, tmp_path):
+    """The COW-vs-MOR auto-policy (r14): a narrow keyed delete whose
+    pruned rewrite bill fits the budget routes COW; a table-wide
+    predicate priced over the budget routes MOR; standing pending
+    pressure past the ratio flips back to COW regardless of bill.
+    snapshot_delete(mode='auto') honors the decision end-to-end."""
+    root = _seed(spark, tmp_path)
+    # narrow predicate → 1 of 3 range files; tiny bytes → within any
+    # sane budget → cow
+    d = S.choose_write_mode(spark, root, {"id": (0, 3)})
+    assert d["mode"] == "cow" and d["reason"] == "within_budget"
+    assert d["touched_files"] == 1 and d["pending_entry_rows"] == 0
+    # same predicate priced with an absurd $/GB and zero budget → mor
+    d2 = S.choose_write_mode(
+        spark, root, {"id": (0, 59)}, gb_seconds=1e12, cow_budget_s=0.0
+    )
+    assert d2["mode"] == "mor" and d2["reason"] == "over_budget"
+    assert d2["touched_files"] == 3
+    # auto delete routes through the decision: over-budget → a MOR
+    # positional commit (zero rewrites), decision attached
+    res = S.snapshot_delete(spark, root, {"id": (10, 11)}, mode="auto")
+    assert res["auto_decision"]["mode"] == "cow"
+    log = SnapshotLog(spark, root)
+    assert log.read(log.latest())["op"] == "delete"  # cow rewrite
+    # build pending pressure: MOR-delete a big slice (entry rows >
+    # 5% of live rows) → the ratio flips the next decision to cow
+    S.snapshot_delete(spark, root, {"id": (20, 40)}, mode="mor")
+    d3 = S.choose_write_mode(
+        spark, root, {"id": (50, 51)}, gb_seconds=1e12, cow_budget_s=0.0
+    )
+    assert d3["mode"] == "cow" and d3["reason"] == "pending_pressure"
+    assert d3["pending_ratio"] > 0.05
+    # and without pressure the same pricing said mor (d2) — the flip
+    # is the ratio's doing, not the bill's
+
+
+def test_maintain_mor_ratio_trigger(spark, tmp_path):
+    """The ratio trigger: pending entry ROWS past max_pending_ratio of
+    live rows compacts even when the chain is short; below it, no-op."""
+    root = _seed(spark, tmp_path)
+    S.snapshot_delete(spark, root, {"id": (5, 6)}, mode="mor")  # 2 rows
+    low = S.maintain_mor(
+        spark, root, max_pending=8, max_pending_ratio=0.10
+    )
+    assert not low["triggered"]  # 2/60 = 3.3% < 10%
+    high = S.maintain_mor(
+        spark, root, max_pending=8, max_pending_ratio=0.01
+    )
+    assert high["triggered"] and high["pending_after"] == 0
+
+
+def test_daemon_auto_mode_chooses_per_table(spark, tmp_path):
+    """auto_mode=True: a snapshot-logged table runs the MOR
+    maintenance probe (maintain_mor result dicts in cycles); a plain
+    directory table runs the in-place executor (CompactionReport)."""
+    from hbase_compact_spark.compaction.executor import CompactionReport
+
+    # snapshot-logged MOR table
+    mor_root = _seed(spark, tmp_path)
+    S.snapshot_delete(spark, mor_root, {"id": (5, 6)}, mode="mor")
+    run = run_daemon(
+        spark,
+        DaemonConfig(
+            table_root=mor_root,
+            auto_mode=True,
+            max_cycles=1,
+            inter_partition_pause_s=0.0,
+            cycle_pause_s=0.0,
+        ),
+    )
+    (cycle,) = run.cycles
+    assert isinstance(cycle, dict) and "pending_after" in cycle
+    # plain directory table (no _snapshots log)
+    plain_root = str(tmp_path / "plain")
+    (
+        spark.range(40)
+        .selectExpr("id", "id % 4 AS part")
+        .write.partitionBy("part")
+        .parquet(plain_root)
+    )
+    run2 = run_daemon(
+        spark,
+        DaemonConfig(
+            table_root=plain_root,
+            auto_mode=True,
+            max_cycles=1,
+            inter_partition_pause_s=0.0,
+            cycle_pause_s=0.0,
+        ),
+    )
+    assert run2.cycles and all(
+        isinstance(c, CompactionReport) for c in run2.cycles
+    )
