@@ -1459,9 +1459,18 @@ def _relpath_expr(spark: SparkSession, table_root: str, path_col):
     fs, root_path, _ = _hadoop_fs(spark, table_root)
     root_abs = _uri_path(str(fs.makeQualified(root_path))).rstrip("/")
     decoded = F.url_decode(F.regexp_replace(path_col, r"\+", "%2B"))
-    scheme_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//[^/]*)?"
-    abs_path = F.regexp_replace(decoded, scheme_re, "")
-    return F.regexp_extract(abs_path, ".*\\Q" + root_abs + "\\E/(.*)$", 1)
+    # anchor with plain string search, not regex (r14: the sf10
+    # profile measured the old scheme-strip + \Q..\E regexp_extract
+    # at ~3 µs/row — 6.3 s of the MOR read tax on a 2M-row file;
+    # locate+substr is ~3× cheaper and the explicit-file-list callers
+    # now avoid per-row mapping entirely via literal tags). The
+    # qualified root's first occurrence in the decoded URI is the
+    # true anchor — scheme and authority cannot contain '/',
+    # so nothing before the path can first-match a '/'-leading root.
+    return decoded.substr(
+        F.locate(root_abs + "/", decoded) + F.lit(len(root_abs) + 1),
+        F.lit(1 << 20),
+    )
 
 
 def _mor_cols(df: DataFrame) -> tuple[str, str]:
@@ -1580,6 +1589,52 @@ def _mor_filter_scan(
     return df.drop(rel, pos)
 
 
+# MOR split-scan gate: past this many entry-affected files the read
+# keeps the single-pass global subtraction (the affected set would
+# otherwise ride the driver); env-overridable so tests force both
+_MOR_SPLIT_MAX_TOUCHED = int(
+    os.environ.get("HCS_MOR_SPLIT_MAX_TOUCHED", 100_000)
+)
+
+# explicit file lists at or below this size tag (relpath, position)
+# with plan-time literals (one frame per file) instead of the per-row
+# URI mapping; env-overridable so tests force the expression branch
+_MOR_LIT_TAG_MAX = int(os.environ.get("HCS_MOR_LIT_TAG_MAX", 64))
+
+
+def _mor_touched_relpaths(spark: SparkSession, pending) -> set[str] | None:
+    """Relpaths any pending delete entry may kill rows in — a bounded
+    read of the entry parquets' relpath/scope columns. None when the
+    set exceeds _MOR_SPLIT_MAX_TOUCHED (caller then subtracts
+    globally rather than shipping the set through the driver)."""
+    cap = _MOR_SPLIT_MAX_TOUCHED
+    out: set[str] = set()
+    if pending.pos is not None:
+        paths, _n = pending.pos
+        rows = (
+            spark.read.parquet(*paths)
+            .select("relpath")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        out |= {r["relpath"] for r in rows}
+        if len(rows) > cap:
+            return None
+    for _name, _keys_path, scope_path, _n in pending.eq:
+        rows = (
+            spark.read.parquet(scope_path)
+            .select("relpath")
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
+        out |= {r["relpath"] for r in rows}
+        if len(out) > cap:
+            return None
+    return out
+
+
 def _read_relpaths(
     spark: SparkSession,
     table_root: str,
@@ -1602,7 +1657,36 @@ def _read_relpaths(
       dirs — mixed-spec generations cannot conflict.
 
     Groups union by name, which is how a table whose partition spec
-    evolved mid-life reads as ONE table with zero rewrites."""
+    evolved mid-life reads as ONE table with zero rewrites.
+
+    MOR cost scoping (r14): pending delete entries can only kill rows
+    in the files they name, so the scan SPLITS — entry-affected files
+    pay the (relpath, position) tagging + anti-joins, every other
+    file reads clean. Measured at the sf10 rehearsal: the global
+    tag+join taxed a 15M-row scan 7.9 s for a 150-entry delete set;
+    scoped, untouched files cost what a plain scan costs. The
+    affected set is a bounded entry-metadata read (the helper-path
+    twin of the DataSource planner's per-file scoping), gated by
+    _MOR_SPLIT_MAX_TOUCHED so a delete chain touching most of the
+    table falls back to the single-pass global subtraction instead
+    of shipping a huge relpath set through the driver."""
+    if mor is not None and not with_positions:
+        touched = _mor_touched_relpaths(spark, mor)
+        if touched is not None:
+            dirty = [p for p in relpaths if p in touched]
+            clean = [p for p in relpaths if p not in touched]
+            if not dirty:
+                mor = None
+            elif clean:
+                dirty_df = _read_relpaths(
+                    spark, table_root, dirty, schema, mor=mor
+                )
+                clean_df = _read_relpaths(
+                    spark, table_root, clean, schema
+                )
+                return clean_df.unionByName(
+                    dirty_df, allowMissingColumns=schema is None
+                )
     groups: dict[frozenset, list[str]] = {}
     for p in relpaths:
         keys = frozenset(
@@ -1625,23 +1709,49 @@ def _read_relpaths(
     rel = pos = None
     if mor is not None or with_positions:
         # merge-on-read: tag every row with its (file relpath, row
-        # position) straight off the scan's hidden _metadata column —
-        # per group, while each frame is still a direct file scan —
-        # then subtract the pending positional delete entries
+        # position) — per group, while each frame is still a direct
+        # file scan — then subtract the pending positional entries
         all_cols = {c for f in frames for c in f.columns}
         rel, pos = "__mor_rel", "__mor_pos"
         while rel in all_cols:
             rel += "_"
         while pos in all_cols:
             pos += "_"
-        frames = [
-            f.select(
-                "*",
-                _relpath_expr(spark, table_root, F.col("_metadata.file_path")).alias(rel),
-                F.col("_metadata.row_index").alias(pos),
-            )
-            for f in frames
-        ]
+        if len(relpaths) <= _MOR_LIT_TAG_MAX:
+            # few files (the usual shape after the touched-file
+            # split): one frame per file, relpath tagged as a
+            # PLAN-TIME literal — zero per-row string work (the sf10
+            # profile measured the per-row URI mapping at 6-8 s per
+            # 2M-row file; a literal costs nothing after constant
+            # folding). row_index off _metadata stays — it is cheap.
+            frames = []
+            for keys in sorted(groups, key=sorted):
+                for p in groups[keys]:
+                    reader = spark.read
+                    if keys:
+                        reader = reader.option("basePath", table_root)
+                    if schema is not None:
+                        reader = reader.schema(schema)
+                    frames.append(
+                        reader.parquet(
+                            posixpath.join(table_root, p)
+                        ).select(
+                            "*",
+                            F.lit(p).alias(rel),
+                            F.col("_metadata.row_index").alias(pos),
+                        )
+                    )
+        else:
+            frames = [
+                f.select(
+                    "*",
+                    _relpath_expr(
+                        spark, table_root, F.col("_metadata.file_path")
+                    ).alias(rel),
+                    F.col("_metadata.row_index").alias(pos),
+                )
+                for f in frames
+            ]
     out = frames[0]
     for d in frames[1:]:
         # without a declared schema a legacy group carries its

@@ -590,6 +590,7 @@ class SnapshotTableWriter(DataSourceArrowWriter):
 
         from hbase_compact_spark.compaction.snapshots import (
             PureSnapshotLog,
+            SnapshotConflictError,
         )
 
         log = PureSnapshotLog(self._root)
@@ -612,23 +613,37 @@ class SnapshotTableWriter(DataSourceArrowWriter):
                 ),
             }
         )
-        parent = log.latest()
+        # losing a commit race is RETRIABLE here: an append's only
+        # parent-derived state is the manifest union (re-derived each
+        # attempt against the new latest — the winner's files are
+        # carried, never dropped), and an overwrite is last-writer-
+        # wins by definition. So concurrent SQL INSERTs serialize
+        # instead of failing — the high-throughput ingest shape.
         try:
-            if self._overwrite or not parent:
-                log.commit_manifest_table(
-                    added,
-                    op="overwrite" if parent else "bootstrap",
-                    parent=parent,
-                    carry_delete_files=False,
-                )
-            else:
-                log.commit_manifest_table(
-                    pa.concat_tables(
-                        [log.manifest_table(parent), added]
-                    ),
-                    op="append",
-                    parent=parent,
-                )
+            for _ in range(10):
+                parent = log.latest()
+                try:
+                    if self._overwrite or not parent:
+                        log.commit_manifest_table(
+                            added,
+                            op="overwrite" if parent else "bootstrap",
+                            parent=parent,
+                            carry_delete_files=False,
+                        )
+                    else:
+                        log.commit_manifest_table(
+                            pa.concat_tables(
+                                [log.manifest_table(parent), added]
+                            ),
+                            op="append",
+                            parent=parent,
+                        )
+                    return
+                except SnapshotConflictError:
+                    continue
+            raise SnapshotConflictError(
+                f"SQL write kept losing commit races under {self._root}"
+            )
         except Exception:
             self._cleanup()
             raise

@@ -494,3 +494,50 @@ def test_view_pushdown_state_never_leaks_across_queries(spark, table):
         spark.sql("SELECT count(*) c FROM snap_tok").collect()[0].c
         == v2_full
     )
+
+
+def test_sql_writer_commit_rebases_across_a_race(spark, table):
+    """A concurrent commit between a SQL write's task phase and its
+    commit phase must not fail the statement: an append's manifest
+    union re-derives against the new latest (the winner's files are
+    carried), so concurrent INSERTs serialize — pinned by staging a
+    competing commit between write() and commit()."""
+    import pyarrow as pa
+
+    from hbase_compact_spark.sources.snapshot_table import (
+        SnapshotTableWriter,
+    )
+
+    root, log = table
+    w = SnapshotTableWriter({"path": root}, overwrite=False)
+    batch = pa.record_batch(
+        {
+            "k": pa.array([70000], pa.int64()),
+            "g": pa.array([0], pa.int64()),
+            "v": pa.array(["race"], pa.string()),
+        }
+    )
+    msg = w.write(iter([batch]))
+    v_before = log.latest()
+    # competing commit claims the next version first (manifest-carry
+    # append — a listing commit like commit_current would slurp the
+    # in-flight staging file and double-count)
+    from hbase_compact_spark.compaction.snapshots import (
+        append_partitioned,
+    )
+
+    append_partitioned(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(80000, 0, "winner")], "k long, g long, v string"
+        ),
+    )
+    w.commit([msg])
+    assert log.latest() == v_before + 2
+    final = read_table(spark, root)
+    assert final.filter("k = 70000").count() == 1
+    # the winner's state survived the rebase too
+    assert set(p for p, _ in log.files(v_before + 1)) <= set(
+        p for p, _ in log.files(log.latest())
+    )
