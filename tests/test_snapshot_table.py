@@ -541,3 +541,38 @@ def test_sql_writer_commit_rebases_across_a_race(spark, table):
     assert set(p for p, _ in log.files(v_before + 1)) <= set(
         p for p, _ in log.files(log.latest())
     )
+
+
+def test_sql_insert_into_hive_partitioned_table(spark, tmp_path):
+    """SQL INSERT INTO a hive-layout logged table: the bootstrap
+    generation's partition values live in paths, the SQL-landed
+    files carry them as real data columns — both the DataSource view
+    and the helper read union the generations into one table with
+    every partition value intact."""
+    root = str(tmp_path / "hive")
+    (
+        spark.range(40)
+        .selectExpr("id AS k", "CAST(id % 2 AS STRING) AS region")
+        .write.partitionBy("region")
+        .parquet(root)
+    )
+    log = SnapshotLog(spark, root)
+    log.bootstrap()
+    register(spark)
+    _mkview(spark, root, name="snap_hive")
+    spark.sql(
+        "INSERT INTO snap_hive "
+        "SELECT id + 1000 AS k, '9' AS region FROM range(5)"
+    )
+    _mkview(spark, root, name="snap_hive")
+    got = spark.sql(
+        "SELECT region, count(*) AS n FROM snap_hive GROUP BY region"
+    ).collect()
+    assert {(r["region"], r["n"]) for r in got} == {
+        ("0", 20),
+        ("1", 20),
+        ("9", 5),
+    }
+    helper = read_table_at(spark, root)
+    assert helper.filter("region = '9'").count() == 5
+    assert helper.count() == 45
