@@ -1608,31 +1608,28 @@ def _mor_touched_relpaths(spark: SparkSession, pending) -> set[str] | None:
     set exceeds _MOR_SPLIT_MAX_TOUCHED (caller then subtracts
     globally rather than shipping the set through the driver)."""
     cap = _MOR_SPLIT_MAX_TOUCHED
-    out: set[str] = set()
+    if cap <= 0:
+        return None
+    paths: list[str] = []
     if pending.pos is not None:
-        paths, _n = pending.pos
-        rows = (
-            spark.read.parquet(*paths)
-            .select("relpath")
-            .distinct()
-            .limit(cap + 1)
-            .collect()
-        )
-        out |= {r["relpath"] for r in rows}
-        if len(rows) > cap:
-            return None
-    for _name, _keys_path, scope_path, _n in pending.eq:
-        rows = (
-            spark.read.parquet(scope_path)
-            .select("relpath")
-            .distinct()
-            .limit(cap + 1)
-            .collect()
-        )
-        out |= {r["relpath"] for r in rows}
-        if len(out) > cap:
-            return None
-    return out
+        paths += pending.pos[0]
+    paths += [scope for _n, _k, scope, _c in pending.eq]
+    if not paths:
+        return set()
+    # ONE schema-pruned job over every entry parquet: positional
+    # entries and eq scope files share the relpath column, and the
+    # explicit one-column schema makes their differing full schemas
+    # irrelevant
+    rows = (
+        spark.read.schema("relpath string")
+        .parquet(*paths)
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return {r["relpath"] for r in rows}
 
 
 def _read_relpaths(
