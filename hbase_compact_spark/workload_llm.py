@@ -1471,7 +1471,13 @@ def ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         k=10,
         n_probe=9,
-        rerank_factor=80,
+        # deeper exact-rerank pool than ann_ivfpq's 80: the served
+        # corpus is base+delta (2x) and the delta's codes come from
+        # the FROZEN base codebook, so ADC ranks its vectors with
+        # more quantization error — rf=160 buys the error back with
+        # exact cosines (measured dial at sf0.1: rf 80 -> 0.80
+        # recall, rf 160 -> 0.98, plateau beyond)
+        rerank_factor=160,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
