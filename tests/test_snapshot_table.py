@@ -576,3 +576,52 @@ def test_sql_insert_into_hive_partitioned_table(spark, tmp_path):
     helper = read_table_at(spark, root)
     assert helper.filter("region = '9'").count() == 5
     assert helper.count() == 45
+
+
+def test_sql_write_type_roundtrip(spark, tmp_path):
+    """INSERT INTO carries the full type surface through the Arrow
+    writer: decimal, date, timestamp, array, struct, and NULLs all
+    read back exactly (helper read AND SQL view)."""
+    root = str(tmp_path / "typed")
+    df = spark.sql(
+        """
+        SELECT id AS k,
+               CAST(id * 1.5 AS DECIMAL(12, 2)) AS price,
+               DATE_ADD(DATE '2024-01-01', CAST(id AS INT)) AS d,
+               TIMESTAMP '2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0, id) AS ts,
+               ARRAY(id, id * 2) AS arr,
+               NAMED_STRUCT('a', id, 'b', CAST(id AS STRING)) AS st,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS STRING) END AS s
+        FROM range(20)
+        """
+    )
+    df.write.parquet(root)
+    log = SnapshotLog(spark, root)
+    log.bootstrap()
+    register(spark)
+    _mkview(spark, root, name="snap_typed")
+    spark.sql(
+        """
+        INSERT INTO snap_typed
+        SELECT id + 100 AS k,
+               CAST(id * 2.5 AS DECIMAL(12, 2)) AS price,
+               DATE_ADD(DATE '2025-01-01', CAST(id AS INT)) AS d,
+               TIMESTAMP '2025-06-01 00:00:00' AS ts,
+               ARRAY(id) AS arr,
+               NAMED_STRUCT('a', id + 1, 'b', 'x') AS st,
+               CAST(NULL AS STRING) AS s
+        FROM range(3)
+        """
+    )
+    _mkview(spark, root, name="snap_typed")
+    want = sorted(
+        map(repr, spark.sql("SELECT * FROM snap_typed").collect())
+    )
+    helper = sorted(map(repr, read_table_at(spark, root).collect()))
+    assert want == helper
+    assert len(want) == 23
+    new = spark.sql("SELECT * FROM snap_typed WHERE k >= 100").collect()
+    assert len(new) == 3
+    r = sorted(new, key=lambda r: r["k"])[0]
+    assert str(r["price"]) == "0.00" and r["arr"] == [0]
+    assert r["st"]["a"] == 1 and r["s"] is None
