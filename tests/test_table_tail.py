@@ -468,3 +468,37 @@ def test_expire_reclaims_changelog_artifacts(spark, tmp_path):
     assert len(os.listdir(changes)) == 1
     S.expire_snapshots(spark, root, keep_last=2)
     assert not os.path.exists(changes) or os.listdir(changes) == []
+
+
+def test_rollback_changelog_across_schema_evolution(spark, tmp_path):
+    """Rollback across an ADD COLUMN: the revert's changelog projects
+    both sides with the TARGET version's schema (read_changes'
+    per-version contract), so the feed is exact even though the
+    rolled-back generation's files carry the extra column. Batch
+    read_changes and the version JSON's artifact counts agree."""
+    root = _staged_table(spark, tmp_path, n_appends=0)       # v1: 20 rows
+    S.evolve_schema(spark, root, add_columns={"note": "string"})  # v2
+    S.append_partitioned(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(100, 200, "x"), (101, 202, "y")],
+            "id long, v long, note string",
+        ),
+    )                                                        # v3
+    res = S.snapshot_rollback(spark, root, 2)                # v4 -> v2
+    assert not res["noop"]
+    log = S.SnapshotLog(spark, root)
+    snap = log.read(4)
+    name, n_del, n_ins = snap["changelog"]
+    # the revert deletes the two appended rows, inserts nothing
+    assert (n_del, n_ins) == (2, 0)
+    feed = S.read_changes(spark, root, 3, 4).collect()
+    assert sorted(
+        (r["id"], r["v"], r["note"], r["_change_type"]) for r in feed
+    ) == [(100, 200, "x", "delete"), (101, 202, "y", "delete")]
+    # live table equals the rollback target exactly (note all NULL)
+    live = S.read_table_at(spark, root)
+    assert live.columns == ["id", "v", "note"]
+    assert live.count() == 20
+    assert live.filter("note IS NOT NULL").count() == 0
