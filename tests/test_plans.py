@@ -426,17 +426,57 @@ def test_mor_delete_scan_read_is_broadcast_anti_join(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
 
 
+def _assert_scoped_marker_plan(p: str) -> None:
+    """Shared pin for the scoped equality-delete read shape (eqdelete
+    + MOR upsert) after the r14 split-scan change: entry-UNTOUCHED
+    files read clean and union on top; the entry-affected scan joins
+    its KEYS marker as a BroadcastHashJoin and its SCOPE marker as
+    either a BroadcastHashJoin (multi-file scope, keyed on relpath)
+    or — when the scope is a single file so the relpath reduces to a
+    plan-time literal and no join key remains — a keyless LeftOuter
+    BroadcastNestedLoopJoin whose build side is the ≤1-row
+    IdentityBroadcastMode broadcast projecting ONLY the constant
+    scope flag (`true AS __eq_s*`). A BNLJ over anything else (data
+    columns, the keys side) is still forbidden, as are sort-merge
+    and cartesian anywhere in the final plan."""
+    final = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final  # the keys marker join
+    assert "AS __eq_k" in final
+    n_bnlj = final.count("BroadcastNestedLoopJoin")
+    if n_bnlj:
+        import re
+
+        lines = final.splitlines()
+        for line in lines:
+            if "BroadcastNestedLoopJoin" in line:
+                assert "BuildRight, LeftOuter" in line, line
+        # every BNLJ's build must be an IdentityBroadcastMode exchange
+        # whose immediate child projects JUST the constant scope
+        # marker — assert on the build subtree, not the whole string
+        idx = [
+            i
+            for i, line in enumerate(lines)
+            if "BroadcastExchange IdentityBroadcastMode" in line
+        ]
+        assert len(idx) == n_bnlj, final
+        for i in idx:
+            child = lines[i + 1]
+            assert re.search(
+                r"Project \[true AS __eq_s_*#\d+\]", child
+            ), f"BNLJ build side is not the scope marker:\n{child}"
+
+
 def test_eqdelete_scan_read_is_broadcast_marker_joins(spark):
-    """The equality-delete read's 100 TB contract: keys and scope
-    each join as a BROADCAST left join against the single data scan
-    (no shuffle of the 100 TB side, no split-union double scan), and
-    nothing degenerates to a sort-merge or cartesian."""
+    """The equality-delete read's 100 TB contract: the data side is
+    never shuffled or sort-merged; keys join as a broadcast hash
+    join; the scope marker broadcasts — degenerating to a ≤1-row
+    nested-loop marker ONLY in the single-file-scope case (see
+    _assert_scoped_marker_plan)."""
     df = _Q["snapshot_eqdelete_scan"](spark, SF_DIR)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("BroadcastHashJoin") >= 2  # keys + scope markers
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    _assert_scoped_marker_plan(p)
 
 
 def test_mor_upsert_scan_read_shape(spark):
@@ -446,8 +486,7 @@ def test_mor_upsert_scan_read_shape(spark):
     df = _Q["snapshot_mor_upsert_scan"](spark, SF_DIR)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    _assert_scoped_marker_plan(p)
 
 
 def test_transform_scan_witness_is_broadcast_not_single_partition(spark):
