@@ -1273,6 +1273,7 @@ class PureSnapshotLog:
         parent: int | None,
         *,
         carry_delete_files: bool = True,
+        schema_blob: dict | None = None,
     ) -> int:
         """Atomic JVM-free commit: write `tbl` (pyarrow, manifest
         shape) as a fresh immutable manifest, then claim version
@@ -1305,6 +1306,11 @@ class PureSnapshotLog:
         psnap = self.read(parent) if parent else {}
         if psnap.get("schema"):
             payload["schema"] = psnap["schema"]
+        elif schema_blob:
+            # writer-declared schema (the SQL writer knows the INSERT
+            # schema) — what keeps a ZERO-file commit readable as an
+            # empty table instead of an unreadable dead end
+            payload["schema"] = schema_blob
         if carry_delete_files and psnap.get("delete_files"):
             payload["delete_files"] = psnap["delete_files"]
         n = (parent or 0) + 1
@@ -1391,9 +1397,16 @@ def read_table_at(
         version = log.resolve_ref(version)
     v = log.latest() if version is None else version
     relpaths = [p for p, _ in log.files(v)]
-    if not relpaths:
-        raise FileNotFoundError(f"snapshot lists no files under {table_root}")
     schema, _pcols = log.schema(v)
+    if not relpaths:
+        # a zero-file snapshot (INSERT OVERWRITE of an empty SELECT,
+        # or a delete that removed every row) is a legitimate state:
+        # with a declared schema it reads as an EMPTY table, same as
+        # Iceberg/Delta — only a schemaless empty snapshot is
+        # unreadable
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(f"snapshot lists no files under {table_root}")
     return _read_relpaths(
         spark, table_root, relpaths, schema, mor=_mor_info(log, v)
     )

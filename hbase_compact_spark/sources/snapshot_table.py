@@ -520,14 +520,162 @@ def _arrow_minmax(tbl) -> dict[str, list]:
     return out
 
 
-class _SqlWriteMessage(WriterCommitMessage):
-    """One landed data file (or an empty task): manifest relpath,
-    byte size, and the executor-computed stats payload."""
+def _hive_escape(v: str) -> str:
+    """Percent-encode a partition VALUE for use in a `_hp_k=v` dir
+    name. Spark's hive writer escapes a narrower char set, but both
+    encodings percent-DECODE to the same value (`_path_partition_
+    values` unquotes), so pruning and projection see identical
+    values regardless of which writer landed the file."""
+    from urllib.parse import quote
 
-    def __init__(self, relpath, size, stats_json):
-        self.relpath = relpath
-        self.size = size
-        self.stats_json = stats_json
+    return quote(v, safe="")
+
+
+def _ts_render(v) -> str:
+    """Spark `cast(timestamp as string)` twin: session zone is UTC
+    engine-wide; fraction rendered only when non-zero, trailing
+    zeros trimmed ('.123000' -> '.123') — exactly the JVM cast."""
+    import datetime
+
+    if v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc)
+    s = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        s += (".%06d" % v.microsecond).rstrip("0")
+    return s
+
+
+class _UnsupportedRender(Exception):
+    """A spec source type whose Spark string rendering this pure
+    twin cannot reproduce exactly (float/binary/...)."""
+
+
+def _identity_render(v, t) -> str:
+    """Spark `cast(col as string)` of ONE value — must stay
+    value-identical to the JVM cast for every type it accepts, or
+    path-derived pruning of SQL-landed files would prune wrong.
+    Types whose JVM rendering is not reproducible bit-exactly
+    (float 1.0E8, binary) raise, and the writer falls back to flat
+    layout for the whole write — correct, just not path-prunable."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return v
+    if pa.types.is_integer(t):
+        return str(v)
+    if pa.types.is_boolean(t):
+        return "true" if v else "false"
+    if pa.types.is_date(t):
+        return v.isoformat()
+    if pa.types.is_timestamp(t):
+        return _ts_render(v)
+    if pa.types.is_decimal(t):
+        return str(v)  # arrow keeps the column scale; str is plain
+    raise _UnsupportedRender(str(t))
+
+
+def _transform_render(fld, v, t) -> str | None:
+    """One spec-field VALUE for one row — the pure-Python twin of
+    snapshots._partition_field_expr, value-identical by construction
+    (same crc32 bucket function, same pmod truncate arithmetic, same
+    ISO time prefixes). None = NULL (the hive sentinel dir)."""
+    import datetime
+    import decimal
+    import zlib
+
+    import pyarrow as pa
+
+    if v is None:
+        return None
+    if fld.transform == "identity":
+        return _identity_render(v, t)
+    if fld.transform in ("years", "months", "days", "hours"):
+        n = {"years": 4, "months": 7, "days": 10, "hours": 13}[
+            fld.transform
+        ]
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc)
+            return v.strftime("%Y-%m-%d %H:%M:%S")[:n]
+        return (v.strftime("%Y-%m-%d") + " 00:00:00")[:n]
+    if fld.transform == "bucket":
+        s = v if isinstance(v, str) else str(v)
+        return str(zlib.crc32(s.encode("utf-8")) % fld.param)
+    # truncate
+    if isinstance(v, str):
+        return v[: fld.param]
+    if isinstance(v, decimal.Decimal):
+        scale = t.scale
+        step = decimal.Decimal(fld.param).scaleb(-scale)
+        r = v % step
+        if r < 0:  # Decimal % follows the dividend sign; pmod doesn't
+            r += step
+        q = decimal.Decimal(1).scaleb(-scale)
+        return str((v - r).quantize(q))
+    return str(v - (v % fld.param))  # int % is already pmod for W>0
+
+
+def _spec_dir_prefixes(tbl, fields) -> list[str] | None:
+    """Per-row `_hp_a=1/_hp_b=x` layout dir prefix for an Arrow
+    table under the partition spec, or None when a source type's
+    rendering is not reproducible (caller lands flat). NULL values
+    land under the hive sentinel dir exactly like the helper path's
+    Spark partitionBy write."""
+    from hbase_compact_spark.compaction.snapshots import (
+        _HIVE_NULL_DIR,
+        PARTITION_DIR_PREFIX,
+    )
+
+    cols = []
+    for fld in fields:
+        if fld.source not in tbl.column_names:
+            return None
+        col = tbl.column(fld.source)
+        t = col.type
+        vals = col.to_pylist()
+        try:
+            rendered = [_transform_render(fld, v, t) for v in vals]
+        except _UnsupportedRender:
+            return None
+        prefix = PARTITION_DIR_PREFIX + fld.name + "="
+        cols.append(
+            [
+                prefix
+                + (_HIVE_NULL_DIR if r is None else _hive_escape(r))
+                for r in rendered
+            ]
+        )
+    return ["/".join(parts) for parts in zip(*cols)]
+
+
+def _sorted_by(tbl, sort_by: list[str] | None):
+    """Sort an in-flight Arrow table by the table's declared sort
+    order (ascending, nulls first — Spark's sortWithinPartitions
+    default). Missing columns = passthrough, same contract as
+    snapshots._apply_sort_order."""
+    if not sort_by:
+        return tbl
+    if any(c not in tbl.column_names for c in sort_by):
+        return tbl
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(c, "ascending") for c in sort_by],
+        null_placement="at_start",
+    )
+    return tbl.take(idx)
+
+
+class _SqlWriteMessage(WriterCommitMessage):
+    """One task's landed data files (possibly none): a list of
+    (manifest relpath, byte size, executor-computed stats JSON)."""
+
+    def __init__(self, files):
+        self.files = files  # list[(relpath, size, stats_json)]
 
 
 class SnapshotTableWriter(DataSourceArrowWriter):
@@ -552,8 +700,17 @@ class SnapshotTableWriter(DataSourceArrowWriter):
     visible: readers see the old version or the new one, nothing
     between."""
 
-    def __init__(self, options: dict, overwrite: bool):
+    def __init__(self, options: dict, overwrite: bool, schema=None):
         root, selector = _resolve_version(options)
+        # the INSERT's Spark schema — persisted on the commit when the
+        # parent chain never declared one, so even a ZERO-file
+        # overwrite (INSERT OVERWRITE of an empty SELECT) stays
+        # readable as an empty table
+        self._schema_blob = (
+            {"fields": schema.jsonValue(), "partition_cols": []}
+            if schema is not None
+            else None
+        )
         if selector is not None:
             raise ValueError(
                 "snapshot_table writes go to the table head — drop "
@@ -563,6 +720,35 @@ class SnapshotTableWriter(DataSourceArrowWriter):
         self._root = root
         self._overwrite = overwrite
         self._write_dir = f"data-sql/w-{uuid.uuid4().hex[:12]}"
+        # layout contract (VERDICT r14 task 2): SQL-landed files must
+        # honor the table's declared partition spec + sort order just
+        # like append_partitioned/_apply_sort_order do on the helper
+        # path, so SQL ingest arrives path-prunable and
+        # stats-clustered instead of waiting for a compaction to
+        # migrate it. Resolved here (planning runs on the driver
+        # node, PureSnapshotLog needs only the filesystem) and
+        # shipped to the tasks on self.
+        from hbase_compact_spark.compaction.snapshots import (
+            PureSnapshotLog,
+            parse_partition_field,
+            partition_spec_of,
+            sort_order_of,
+        )
+
+        self._spec_fields = None
+        self._sort_by = None
+        log = PureSnapshotLog(root)
+        v = log.latest()
+        if v:
+            spec = partition_spec_of(log, v)
+            if spec:
+                self._spec_fields = [
+                    parse_partition_field(r)
+                    for r in spec["partition_by"]
+                ]
+            order = sort_order_of(log, v)
+            if order and order["sort_by"]:
+                self._sort_by = list(order["sort_by"])
 
     def write(self, iterator):
         import json as _json
@@ -572,18 +758,47 @@ class SnapshotTableWriter(DataSourceArrowWriter):
 
         batches = [b for b in iterator if b.num_rows]
         if not batches:
-            return _SqlWriteMessage(None, 0, None)
+            return _SqlWriteMessage([])
         tbl = pa.Table.from_batches(batches)
-        rel = posixpath.join(
-            self._write_dir, f"part-{uuid.uuid4().hex[:12]}.parquet"
-        )
-        abs_path = posixpath.join(_local_path(self._root), rel)
-        os.makedirs(posixpath.dirname(abs_path), exist_ok=True)
-        pq.write_table(tbl, abs_path)
-        stats = _json.dumps(
-            {"rows": tbl.num_rows, "cols": _arrow_minmax(tbl)}
-        )
-        return _SqlWriteMessage(rel, os.path.getsize(abs_path), stats)
+
+        # split this task's rows by layout dir (one file per
+        # partition value; flat fallback when there is no spec or a
+        # source type's rendering is not reproducible)
+        groups: list[tuple[str, object]]
+        if self._spec_fields:
+            prefixes = _spec_dir_prefixes(tbl, self._spec_fields)
+        else:
+            prefixes = None
+        if prefixes is None:
+            groups = [(self._write_dir, tbl)]
+        else:
+            by_dir: dict[str, list[int]] = {}
+            for i, d in enumerate(prefixes):
+                by_dir.setdefault(d, []).append(i)
+            groups = [
+                (d, tbl.take(idx)) for d, idx in sorted(by_dir.items())
+            ]
+
+        files = []
+        for dir_rel, sub in groups:
+            # within-file sort under the declared order: cross-task
+            # range disjointness can't be forced from inside a
+            # DataSource writer (no requiredDistribution hook in the
+            # Python API), but an INSERT ... SELECT ... ORDER BY
+            # feeds tasks disjoint ranges, and per-file sorting
+            # tightens min/max either way
+            sub = _sorted_by(sub, self._sort_by)
+            rel = posixpath.join(
+                dir_rel, f"part-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            abs_path = posixpath.join(_local_path(self._root), rel)
+            os.makedirs(posixpath.dirname(abs_path), exist_ok=True)
+            pq.write_table(sub, abs_path)
+            stats = _json.dumps(
+                {"rows": sub.num_rows, "cols": _arrow_minmax(sub)}
+            )
+            files.append((rel, os.path.getsize(abs_path), stats))
+        return _SqlWriteMessage(files)
 
     def commit(self, messages):
         import pyarrow as pa
@@ -595,18 +810,18 @@ class SnapshotTableWriter(DataSourceArrowWriter):
 
         log = PureSnapshotLog(self._root)
         landed = [
-            m for m in messages if m is not None and m.relpath
+            f for m in messages if m is not None for f in m.files
         ]
         added = pa.table(
             {
                 "relpath": pa.array(
-                    [m.relpath for m in landed], pa.string()
+                    [rel for rel, _, _ in landed], pa.string()
                 ),
                 "size": pa.array(
-                    [int(m.size) for m in landed], pa.int64()
+                    [int(sz) for _, sz, _ in landed], pa.int64()
                 ),
                 "stats": pa.array(
-                    [m.stats_json for m in landed], pa.string()
+                    [st for _, _, st in landed], pa.string()
                 ),
                 "blooms": pa.array(
                     [None for _ in landed], pa.string()
@@ -624,11 +839,24 @@ class SnapshotTableWriter(DataSourceArrowWriter):
                 parent = log.latest()
                 try:
                     if self._overwrite or not parent:
+                        boot = added
+                        if not parent and not self._overwrite:
+                            # append against an UNLOGGED root: any
+                            # pre-existing parquet is live data the
+                            # bootstrap must carry (SnapshotLog.
+                            # bootstrap lists the whole tree) — only
+                            # an explicit OVERWRITE may drop it
+                            pre = self._preexisting(
+                                {rel for rel, _, _ in landed}
+                            )
+                            if pre:
+                                boot = pa.concat_tables([pre, added])
                         log.commit_manifest_table(
-                            added,
+                            boot,
                             op="overwrite" if parent else "bootstrap",
                             parent=parent,
                             carry_delete_files=False,
+                            schema_blob=self._schema_blob,
                         )
                     else:
                         log.commit_manifest_table(
@@ -648,7 +876,73 @@ class SnapshotTableWriter(DataSourceArrowWriter):
             self._cleanup()
             raise
 
+    def _preexisting(self, landed_rels: set[str]):
+        """Physical listing of data files already under an UNLOGGED
+        root (no stats — annotate_stats can backfill), excluding the
+        snapshot log, staging dirs, and this job's own files. The
+        bootstrap-append manifest unions these so `INSERT INTO` an
+        unlogged directory of parquet never silently drops its rows
+        (SnapshotLog.bootstrap parity)."""
+        import pyarrow as pa
+
+        from hbase_compact_spark.compaction.snapshots import (
+            SNAPSHOT_DIR,
+        )
+
+        root = _local_path(self._root)
+        rels, sizes = [], []
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel_dir = os.path.relpath(dirpath, root)
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if d != SNAPSHOT_DIR
+                and d != "data-sql"  # in-flight SQL staging: those
+                # files belong to their own job's commit, never to
+                # this bootstrap (double-count race otherwise)
+                and not d.startswith("_tmp")
+            ]
+            for name in filenames:
+                if not name.endswith(".parquet") or name.startswith(
+                    "_"
+                ):
+                    continue
+                rel = (
+                    name
+                    if rel_dir == "."
+                    else posixpath.join(
+                        rel_dir.replace(os.sep, "/"), name
+                    )
+                )
+                if rel in landed_rels:
+                    continue
+                rels.append(rel)
+                sizes.append(
+                    os.path.getsize(os.path.join(dirpath, name))
+                )
+        if not rels:
+            return None
+        return pa.table(
+            {
+                "relpath": pa.array(rels, pa.string()),
+                "size": pa.array(sizes, pa.int64()),
+                "stats": pa.array([None] * len(rels), pa.string()),
+                "blooms": pa.array([None] * len(rels), pa.string()),
+            }
+        )
+
     def abort(self, messages):
+        # layout-landed files live inside shared partition dirs —
+        # remove exactly the files the succeeded tasks reported
+        # (failed tasks' files are manifest-invisible orphans for
+        # sweep_orphans), then drop the flat staging dir
+        root = _local_path(self._root)
+        for m in messages or []:
+            for rel, _, _ in getattr(m, "files", None) or []:
+                try:
+                    os.unlink(posixpath.join(root, rel))
+                except OSError:
+                    pass
         self._cleanup()
 
     def _cleanup(self):
@@ -682,7 +976,7 @@ class SnapshotTableDataSource(DataSource):
         return SnapshotTableReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool):
-        return SnapshotTableWriter(self.options, overwrite)
+        return SnapshotTableWriter(self.options, overwrite, schema)
 
 
 def register(spark: SparkSession) -> None:

@@ -2718,23 +2718,32 @@ SQLW_LO, SQLW_HI = 200, 2199  # pushed predicate on the append read
 
 
 def sql_write_root(spark: SparkSession, sf_dir: str) -> str:
-    """orders as a THREE-version logged table mutated through SQL:
+    """orders as a FIVE-version logged table mutated through SQL:
     v1 = helper bootstrap of the non-multiple-of-4 keys (4 range
-    files), v2 = SQL `INSERT INTO` lands the multiples (one atomic
-    append commit; the landed files carry executor-computed min/max
-    stats so they prune immediately), v3 = SQL `INSERT OVERWRITE`
-    replaces the table with the %10==0 slice (pending state dropped
-    with the files). Both mutations go through the registered
-    temporary view — the same front door a SQL-first user has."""
-    from hbase_compact_spark.compaction.snapshots import SnapshotLog
+    files), v2 = partition-spec evolution (`o_orderstatus` identity +
+    `bucket(8, o_custkey)` — the transform keeps keys OFF the
+    physical path value, the snapshot_partition_evolution trick),
+    v3 = declared sort order on o_orderkey, v4 = SQL `INSERT INTO`
+    lands the multiples — which must now arrive `_hp_`-laid-out,
+    sorted, with executor-computed min/max stats (layout parity with
+    append_partitioned, VERDICT r14 task 2), v5 = SQL
+    `INSERT OVERWRITE` replaces the table with the %10==0 slice
+    (pending state dropped with the files). Both mutations go
+    through the registered temporary view — the same front door a
+    SQL-first user has."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        evolve_partitioning,
+        set_sort_order,
+    )
     from hbase_compact_spark.sources.snapshot_table import register
 
     def _ready(lg: SnapshotLog) -> bool:
-        if (lg.latest() or 0) < 3:
+        if (lg.latest() or 0) < 5:
             return False
         return (
-            lg.read(2).get("op") == "append"
-            and lg.read(3).get("op") == "overwrite"
+            lg.read(4).get("op") == "append"
+            and lg.read(5).get("op") == "overwrite"
         )
 
     root, log, ok = _memo_root(spark, sf_dir, "sql_write", _ready)
@@ -2749,6 +2758,10 @@ def sql_write_root(spark: SparkSession, sf_dir: str) -> str:
         .parquet(root)
     )
     log.bootstrap()                                   # v1
+    evolve_partitioning(
+        spark, root, ["o_orderstatus", "bucket(8, o_custkey)"]
+    )                                                 # v2
+    set_sort_order(spark, root, ["o_orderkey"])       # v3
     register(spark)
     orders.createOrReplaceTempView("sqlw_src")
     spark.sql(
@@ -2761,14 +2774,14 @@ def sql_write_root(spark: SparkSession, sf_dir: str) -> str:
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM sqlw_src WHERE o_orderkey % {SQLW_MOD} = 0
         """
-    )                                                 # v2
+    )                                                 # v4
     spark.sql(
         f"""
         INSERT OVERWRITE snap_sqlw
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM sqlw_src WHERE o_orderkey % {SQLW_OVR_MOD} = 0
         """
-    )                                                 # v3
+    )                                                 # v5
     return root
 
 
@@ -2788,15 +2801,19 @@ def sql_write_root(spark: SparkSession, sf_dir: str) -> str:
 )
 def snapshot_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL INSERT INTO + INSERT OVERWRITE against a snapshot-logged
-    table, read back through version-pinned views: v2 (after the
-    append) must equal the FULL orders slice — the SQL-landed files
-    union the bootstrap files seamlessly, and the BETWEEN predicate
-    prunes them through their executor-computed stats — and v3
-    (after the overwrite) must be exactly the overwrite payload.
-    Views are (re)created after the writes because a `USING` temp
-    view pins its planned scan at first read (Spark refresh
-    semantics — same class as REFRESH TABLE for parquet; pinned in
-    tests/test_snapshot_table.py)."""
+    table with a DECLARED partition spec + sort order, read back
+    through version-pinned views: v4 (after the append) must equal
+    the FULL orders slice — the SQL-landed files union the flat
+    bootstrap files seamlessly even though they land `_hp_`-laid-out
+    (o_orderstatus identity + bucket(8, o_custkey)) and sorted, and
+    the BETWEEN predicate prunes them through their
+    executor-computed stats — and v5 (after the overwrite) must be
+    exactly the overwrite payload. Layout pins (files under `_hp_`
+    dirs, path-only pruning, within-file sort) live in
+    tests/test_snapshot_table.py. Views are (re)created after the
+    writes because a `USING` temp view pins its planned scan at
+    first read (Spark refresh semantics — same class as REFRESH
+    TABLE for parquet; pinned in tests/test_snapshot_table.py)."""
     from hbase_compact_spark.sources.snapshot_table import register
 
     root = sql_write_root(spark, sf_dir)
@@ -2804,23 +2821,23 @@ def snapshot_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW snap_sqlw_v2 "
-        f"USING snapshot_table OPTIONS (path '{root}', version '2', "
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sqlw_v4 "
+        f"USING snapshot_table OPTIONS (path '{root}', version '4', "
         f"pushdown_scan_token 'sqlw-{_uuid.uuid4().hex}')"
     )
     spark.sql(
-        f"CREATE OR REPLACE TEMPORARY VIEW snap_sqlw_v3 "
-        f"USING snapshot_table OPTIONS (path '{root}', version '3')"
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sqlw_v5 "
+        f"USING snapshot_table OPTIONS (path '{root}', version '5')"
     )
     return spark.sql(
         f"""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                'append' AS src
-        FROM snap_sqlw_v2
+        FROM snap_sqlw_v4
         WHERE o_orderkey BETWEEN {SQLW_LO} AND {SQLW_HI}
         UNION ALL
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                'overwrite' AS src
-        FROM snap_sqlw_v3
+        FROM snap_sqlw_v5
         """
     )
