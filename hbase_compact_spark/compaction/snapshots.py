@@ -3817,6 +3817,7 @@ def _snapshot_delete_mor(
     predicates: dict[str, tuple],
     base_version: int,
     plan: dict,
+    condition: str | None = None,
 ) -> dict:
     """Merge-on-read DELETE body (see snapshot_delete): record the
     matching rows' (file, position) pairs in a delete file and commit
@@ -3839,7 +3840,12 @@ def _snapshot_delete_mor(
         spark, table_root, cand_rel, declared,
         mor=pending, with_positions=True,
     )
-    matches = src.filter(_predicate_expr(predicates)).select(
+    match = (
+        F.expr(condition)
+        if condition is not None
+        else _predicate_expr(predicates)
+    )
+    matches = src.filter(match).select(
         F.col(rel).alias("relpath"), F.col(pos).alias("pos")
     )
     name, n = _write_delete_file(spark, log, matches)
@@ -4050,6 +4056,7 @@ def snapshot_delete(
     *,
     version: int | None = None,
     mode: str = "cow",
+    condition: str | None = None,
 ) -> dict:
     """Copy-on-write row-level DELETE with file skipping: only files
     that MAY contain matches (scan_plan over stats + blooms) are even
@@ -4077,7 +4084,14 @@ def snapshot_delete(
     `mode="auto"` (r14) routes through `choose_write_mode`: COW while
     the pruned rewrite bill fits the budget (or pending pressure
     demands it), MOR past it — the result carries the decision under
-    `"auto_decision"`."""
+    `"auto_decision"`.
+
+    `condition` (r15, the SQL front door's shape): an arbitrary SQL
+    boolean over the row's columns used as the EXACT match
+    expression; `predicates` then drives only the conservative
+    stats/bloom pruning (a parseable SUBSET of the condition's
+    conjuncts — any superset of the true match set is sound). With
+    `condition=None` the predicate dict is both, as before."""
     if mode not in ("cow", "mor", "auto"):
         raise ValueError(f"mode must be 'cow', 'mor' or 'auto', got {mode!r}")
     log = SnapshotLog(spark, table_root)
@@ -4101,7 +4115,8 @@ def snapshot_delete(
         for _ in range(COMMIT_REBASE_RETRIES + 1):
             try:
                 res = _snapshot_delete_mor(
-                    spark, log, table_root, predicates, base_version, plan
+                    spark, log, table_root, predicates, base_version,
+                    plan, condition=condition,
                 )
                 if decision is not None:
                     res["auto_decision"] = decision
@@ -4126,7 +4141,8 @@ def snapshot_delete(
     for _ in range(COMMIT_REBASE_RETRIES + 1):
         try:
             res = _snapshot_delete_cow(
-                spark, log, table_root, predicates, base_version, plan
+                spark, log, table_root, predicates, base_version, plan,
+                condition=condition,
             )
             if decision is not None:
                 res["auto_decision"] = decision
@@ -4149,6 +4165,7 @@ def _snapshot_delete_cow(
     predicates: dict[str, tuple],
     base_version: int,
     plan: dict,
+    condition: str | None = None,
 ) -> dict:
     """One COW delete attempt against `base_version` (see
     snapshot_delete). Raises SnapshotConflictError — with this
@@ -4158,7 +4175,11 @@ def _snapshot_delete_cow(
     candidates = set(plan["paths"])
     all_files = log.files(base_version)
     pcols = _partition_cols_of(log, base_version)
-    pred = _predicate_expr(predicates)
+    pred = (
+        F.expr(condition)
+        if condition is not None
+        else _predicate_expr(predicates)
+    )
 
     keep = [(p, s) for p, s in all_files if p not in candidates]
     cand = [(p, s) for p, s in all_files if p in candidates]
@@ -4399,6 +4420,200 @@ def snapshot_delete_by_key(
         f"equality delete kept conflicting after {COMMIT_REBASE_RETRIES} "
         f"re-derivations under {table_root}"
     )
+
+
+def snapshot_update(
+    spark: SparkSession,
+    table_root: str,
+    set_map: dict[str, str],
+    *,
+    condition: str | None = None,
+    predicates: dict[str, tuple] | None = None,
+    version: int | None = None,
+) -> dict:
+    """Copy-on-write row-level UPDATE — the SQL front door's
+    `UPDATE t SET col = expr, ... [WHERE cond]` (sources/sql_router),
+    generalizing the reference's single mutating action
+    (QHBaseCompact.java:167) to declarative row edits. `set_map`
+    maps column -> SQL expression; every RHS evaluates against the
+    ORIGINAL row (simultaneous assignment, standard UPDATE
+    semantics) and is cast back to the column's current type so the
+    table schema never drifts. `condition` is the exact match
+    expression (None = all rows); `predicates` is the scan_plan
+    pruning dict — a parseable subset of the condition's conjuncts,
+    so only files that MAY hold matches are even read, and of those
+    only files with actual matches are rewritten (candidate
+    narrowing identical to snapshot_delete). Pending MOR delete
+    entries apply to the rewrite read, so an update can never
+    resurrect logically-deleted rows. Serializable under concurrent
+    appends via the same validate-rebase veto as COW delete: an
+    appended file the planner cannot prove match-free aborts the
+    rebase and the whole update re-derives. Partition columns cannot
+    be assigned (rows never move partitions here — that shape is
+    snapshot_merge's replace semantics)."""
+    log = SnapshotLog(spark, table_root)
+    log.bootstrap()
+    if not set_map:
+        raise ValueError("snapshot_update: empty SET clause")
+    predicates = predicates or {}
+    base_version = log.latest() if version is None else version
+    for _ in range(COMMIT_REBASE_RETRIES + 1):
+        try:
+            return _snapshot_update_once(
+                spark, log, table_root, set_map, condition,
+                predicates, base_version,
+            )
+        except SnapshotConflictError:
+            if version is not None:
+                raise
+            base_version = log.latest()
+    raise SnapshotConflictError(
+        f"COW update kept conflicting after {COMMIT_REBASE_RETRIES} "
+        f"re-derivations under {table_root}"
+    )
+
+
+def _snapshot_update_once(
+    spark: SparkSession,
+    log: SnapshotLog,
+    table_root: str,
+    set_map: dict[str, str],
+    condition: str | None,
+    predicates: dict[str, tuple],
+    base_version: int,
+) -> dict:
+    """One COW update attempt against `base_version` (see
+    snapshot_update)."""
+    plan = scan_plan(spark, table_root, predicates, base_version)
+    pending = _mor_info(log, base_version)
+    candidates = set(plan["paths"])
+    all_files = log.files(base_version)
+    pcols = _partition_cols_of(log, base_version)
+    bad = [c for c in set_map if c in pcols]
+    if bad:
+        raise ValueError(
+            f"snapshot_update cannot assign partition column(s) {bad}"
+        )
+    match = (
+        F.expr(condition) if condition is not None else F.lit(True)
+    )
+    matched_safe = F.coalesce(match, F.lit(False))
+
+    keep = [(p, s) for p, s in all_files if p not in candidates]
+    cand = [(p, s) for p, s in all_files if p in candidates]
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for relpath, size in cand:
+        by_part.setdefault(posixpath.dirname(relpath), []).append(
+            (relpath, size)
+        )
+
+    fs, _, jvm = _hadoop_fs(spark, table_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    added: list[tuple[str, int]] = []
+    updated_rows = 0
+    rewritten = 0
+    for part_rel in sorted(by_part):
+        files = by_part[part_rel]
+        srcs = [posixpath.join(table_root, p) for p, _ in files]
+        src = _mor_filter_scan(
+            spark,
+            table_root,
+            spark.read.option("basePath", table_root).parquet(*srcs),
+            pending,
+        )
+        n_src = src.count()
+        n_match = src.filter(matched_safe).count()
+        if n_match == 0:  # stats false positive: carry untouched
+            keep.extend(files)
+            continue
+        unknown = [c for c in set_map if c not in src.columns]
+        if unknown:
+            raise ValueError(
+                f"snapshot_update: SET names unknown column(s) "
+                f"{unknown} (have: {src.columns})"
+            )
+        # simultaneous assignment against the ORIGINAL row, types
+        # pinned to the current schema
+        out_cols = []
+        for c in src.columns:
+            if c in pcols:
+                continue
+            if c in set_map:
+                dt = src.schema[c].dataType
+                out_cols.append(
+                    F.when(matched_safe, F.expr(set_map[c]).cast(dt))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        out = src.select(*out_cols)
+        tmp_dir = posixpath.join(
+            table_root,
+            f"_snapupdate_tmp_"
+            f"{hashlib.md5(part_rel.encode()).hexdigest()[:12]}",
+        )
+        out.write.mode("overwrite").parquet(tmp_dir)
+        n_out = spark.read.parquet(tmp_dir).count()
+        if n_out != n_src:
+            _rm(spark, tmp_dir)
+            raise RuntimeError(
+                f"update verification failed in {part_rel}: "
+                f"{n_src} rows in, {n_out} out"
+            )
+        added.extend(
+            _move_tmp_files(
+                fs, Path, tmp_dir, table_root, part_rel, "updated"
+            )
+        )
+        _rm(spark, tmp_dir)
+        updated_rows += n_match
+        rewritten += len(files)
+    if not updated_rows:
+        return {
+            "version": base_version,
+            "updated_rows": 0,
+            "rewritten_files": 0,
+            "scanned_files": len(cand),
+        }
+
+    def _veto_appended_matches(new_latest: int, appended: set) -> None:
+        # same serializable contract as COW delete: a concurrently
+        # appended file that MAY hold condition matches cannot be
+        # carried — its rows would silently miss the update
+        if not appended:
+            return
+        plan2 = scan_plan(spark, table_root, predicates, new_latest)
+        hits = appended & set(plan2["paths"])
+        if hits:
+            raise SnapshotConflictError(
+                f"{len(hits)} concurrently-appended file(s) may match "
+                f"the update condition (e.g. {sorted(hits)[:3]}) — "
+                "re-deriving for serializable update semantics"
+            )
+
+    try:
+        v = _commit_rewrite(
+            spark,
+            log,
+            base_version=base_version,
+            keep=keep,
+            added=added,
+            op="update",
+            schema=log.read(base_version).get("schema"),
+            validate_rebase=_veto_appended_matches,
+            changelog=True,
+        )
+    except SnapshotConflictError:
+        for p, _s in added:
+            fs.delete(Path(posixpath.join(table_root, p)), False)
+        raise
+    return {
+        "version": v,
+        "updated_rows": updated_rows,
+        "rewritten_files": rewritten,
+        "scanned_files": len(cand),
+    }
 
 
 def snapshot_rollback(

@@ -2841,3 +2841,176 @@ def snapshot_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM snap_sqlw_v5
         """
     )
+
+
+# --------------------------------------------------------------------
+# snapshot_sql_merge — the SQL row-level MUTATION front door (VERDICT
+# r14 task 3): DELETE FROM / UPDATE / MERGE INTO statement text routed
+# through sources/sql_router.py:snapshot_sql to the transactional
+# helpers (snapshot_delete / snapshot_update / snapshot_merge_full) —
+# one atomic commit per statement, serializable rebase preserved,
+# views auto-refreshed. The router parses the parseable conjuncts
+# into scan_plan pruning predicates and hands the FULL condition to
+# the helper as the exact match expression, so arbitrary SQL WHERE
+# clauses stay exact while pruning stays stats-driven. Generalizes
+# the reference's one mutating statement (QHBaseCompact.java:167) to
+# the full SQL mutation surface.
+SQLM_DEL_MOD = 7          # DELETE FROM ... WHERE k % 7 = 0
+SQLM_SRC_MOD = 3          # MERGE source: every 3rd key of its range
+SQLM_BUMP = 100000.0      # source price bump (always wins the update)
+# key bounds scale with the fixture (keys are dense 0..N-1): the
+# UPDATE covers keys below max/6, the MERGE source spans
+# [max/10, max/4], the retention delete hits keys >= max*9/10 —
+# same integer arithmetic in the oracle's scalar subquery
+def _sqlm_bounds(mx: int) -> tuple[int, int, int, int]:
+    return mx // 6, mx // 10, mx // 4, mx * 9 // 10
+
+
+def sql_merge_root(spark: SparkSession, sf_dir: str) -> str:
+    """orders mutated through THREE routed SQL statements: a
+    modulo-condition DELETE (unparseable conjunct — exercises the
+    exact-condition path with an empty pruning dict), a mixed
+    conjunction UPDATE (equality conjunct prunes, strict `<` keeps
+    the exact condition), and a MERGE INTO with every clause armed
+    (matched-DELETE on 'P' rows, conditional matched-UPDATE to the
+    bumped source price, INSERT * of keys the first DELETE removed,
+    NOT MATCHED BY SOURCE retention delete). Every statement's
+    row counters must be non-vacuous or staging raises."""
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        annotate_stats,
+    )
+    from hbase_compact_spark.sources.sql_router import (
+        create_snapshot_view,
+        snapshot_sql,
+    )
+
+    def _ready(lg: SnapshotLog) -> bool:
+        v = lg.latest()
+        return (
+            v is not None
+            and v >= 5
+            and lg.read(v).get("op") == "merge"
+        )
+
+    root, log, ok = _memo_root(spark, sf_dir, "sql_merge2", _ready)
+    if ok:
+        return root
+    orders = _orders_slim(spark, sf_dir)
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    upd_hi, src_lo, src_hi, nmbs_lo = _sqlm_bounds(mx)
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    SnapshotLog(spark, root).bootstrap()                      # v1
+    annotate_stats(spark, root, cols=["o_orderkey"])          # v2
+    create_snapshot_view(spark, "snap_sqlm", root)
+    r1 = snapshot_sql(
+        spark,
+        f"DELETE FROM snap_sqlm WHERE o_orderkey % {SQLM_DEL_MOD} = 0",
+    )                                                         # v3
+    r2 = snapshot_sql(
+        spark,
+        f"UPDATE snap_sqlm SET o_totalprice = o_totalprice * 2 "
+        f"WHERE o_orderstatus = 'F' AND o_orderkey < {upd_hi}",
+    )                                                         # v4
+    orders.createOrReplaceTempView("sqlm_src")
+    r3 = snapshot_sql(
+        spark,
+        f"""
+        MERGE INTO snap_sqlm t
+        USING (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice + {SQLM_BUMP} AS o_totalprice
+               FROM sqlm_src
+               WHERE o_orderkey BETWEEN {src_lo} AND {src_hi}
+                 AND o_orderkey % {SQLM_SRC_MOD} = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderstatus = 'P' THEN DELETE
+        WHEN MATCHED AND s.o_totalprice > t.o_totalprice
+            THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND o_orderkey >= {nmbs_lo}
+            THEN DELETE
+        """,
+    )                                                         # v5
+    if not (
+        r1["deleted_rows"] > 0
+        and r2["updated_rows"] > 0
+        and all(
+            r3[k] > 0
+            for k in (
+                "updated",
+                "deleted_matched",
+                "deleted_unmatched",
+                "inserted",
+            )
+        )
+    ):
+        raise RuntimeError(f"vacuous SQL mutation chain: {r1} {r2} {r3}")
+    return root
+
+
+@query(
+    "snapshot_sql_merge",
+    oracle=f"""
+    WITH b AS (
+      SELECT MAX(o_orderkey) // 6 AS upd_hi,
+             MAX(o_orderkey) // 10 AS src_lo,
+             MAX(o_orderkey) // 4 AS src_hi,
+             MAX(o_orderkey) * 9 // 10 AS nmbs_lo
+      FROM orders
+    ),
+    s3 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F'
+                       AND o_orderkey < (SELECT upd_hi FROM b)
+                  THEN o_totalprice * 2 ELSE o_totalprice
+             END AS o_totalprice
+      FROM orders WHERE o_orderkey % {SQLM_DEL_MOD} <> 0
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + {SQLM_BUMP} AS o_totalprice
+      FROM orders
+      WHERE o_orderkey BETWEEN (SELECT src_lo FROM b)
+                           AND (SELECT src_hi FROM b)
+        AND o_orderkey % {SQLM_SRC_MOD} = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                     AND s.o_totalprice > t.o_totalprice
+                THEN s.o_totalprice ELSE t.o_totalprice
+           END AS o_totalprice
+    FROM s3 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'P')
+      AND NOT (s.o_orderkey IS NULL
+               AND t.o_orderkey >= (SELECT nmbs_lo FROM b))
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice
+    FROM src s LEFT JOIN s3 t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def snapshot_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the table AFTER the routed DELETE → UPDATE → MERGE chain
+    (sql_merge_root), through the SQL front door itself (a freshly
+    minted tokened view). Oracle = the three statements as CASE/JOIN
+    arithmetic over `orders`; any misrouted clause (a DELETE that
+    dropped the wrong modulo class, an UPDATE firing outside its
+    conjunction, a merge branch misordered) shifts rows and fails
+    the hash."""
+    from hbase_compact_spark.sources.sql_router import (
+        create_snapshot_view,
+        snapshot_sql,
+    )
+
+    root = sql_merge_root(spark, sf_dir)
+    create_snapshot_view(spark, "snap_sqlm_read", root)
+    return snapshot_sql(
+        spark,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM snap_sqlm_read",
+    )
