@@ -4282,6 +4282,92 @@ def _snapshot_delete_cow(
     }
 
 
+def mor_pending_keys(
+    spark: SparkSession,
+    table_root: str,
+    key_cols: list[str],
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """DISTINCT `key_cols` rows the snapshot's PENDING merge-on-read
+    delete entries remove — the cheap delete feed a downstream index
+    needs to stay truthful (VERDICT r14 task 4: the served ANN index
+    must subtract corpus rows deleted since its build). Positional
+    entries resolve by reading ONLY their named (file, position)
+    rows; equality entries contribute their key rows directly when
+    they carry the requested columns, else resolve against their
+    scope files with a semi-join. Cost is O(entries + affected
+    files), never a corpus scan. Note this is the PENDING set: a key
+    re-appended after its delete is still listed (its old row is
+    still dead) — callers needing \"gone from the live table\"
+    subtract the live read (see similarity.index_pending_deletes)."""
+    log = SnapshotLog(spark, table_root)
+    v = log.latest() if version is None else version
+    empty = None
+    pending = _mor_info(log, v)
+    declared, _pc = log.schema(v)
+    frames: list[DataFrame] = []
+    if pending is not None and pending.pos is not None:
+        dels = spark.read.parquet(*pending.pos[0])
+        affected = sorted(
+            {r["relpath"] for r in dels.select("relpath").distinct().collect()}
+        )
+        if affected:
+            src, rel, pos = _read_relpaths(
+                spark, table_root, affected, declared, with_positions=True
+            )
+            frames.append(
+                src.join(
+                    F.broadcast(
+                        dels.select(
+                            F.col("relpath").alias(rel),
+                            F.col("pos").alias(pos),
+                        )
+                    ),
+                    on=[rel, pos],
+                    how="left_semi",
+                ).select(*key_cols)
+            )
+    for _name, keys_path, scope_path, _n in (pending.eq if pending else []):
+        keys = spark.read.parquet(keys_path)
+        if set(key_cols) <= set(keys.columns):
+            frames.append(keys.select(*key_cols))
+            continue
+        scope = [
+            r["relpath"]
+            for r in spark.read.parquet(scope_path).select("relpath").collect()
+        ]
+        live = {p for p, _ in log.files(v)}
+        scope = [p for p in scope if p in live]
+        if not scope:
+            continue
+        src = _read_relpaths(spark, table_root, scope, declared)
+        frames.append(
+            src.join(
+                F.broadcast(keys), on=list(keys.columns), how="left_semi"
+            ).select(*key_cols)
+        )
+    if not frames:
+        from pyspark.sql.types import StructType
+
+        fields = (
+            [f for f in declared.fields if f.name in key_cols]
+            if declared is not None
+            else []
+        )
+        if fields:
+            return spark.createDataFrame([], StructType(fields))
+        return (
+            read_table_at(spark, table_root, v)
+            .select(*key_cols)
+            .limit(0)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
 def snapshot_delete_by_key(
     spark: SparkSession,
     table_root: str,

@@ -1126,6 +1126,56 @@ def extend_ivf_index(
     }
 
 
+def index_pending_deletes(
+    spark, corpus_root: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """ids of corpus rows deleted (merge-on-read) since the index
+    last saw them AND not re-appended since — the exact exclusion
+    set a served index must subtract (VERDICT r14 task 4). Shape:
+    pending MOR delete keys (O(entries), snapshots.mor_pending_keys)
+    minus the ids still alive in the corpus read — one column-pruned
+    id scan with a broadcast semi-join, only paid when pending
+    entries exist. Never a full-corpus join against the index."""
+    from hbase_compact_spark.compaction.snapshots import (
+        mor_pending_keys,
+        read_table_at,
+    )
+
+    pending = mor_pending_keys(spark, corpus_root, [id_col])
+    pending = pending.localCheckpoint(eager=True)
+    if not pending.limit(1).count():
+        return pending
+    alive = (
+        read_table_at(spark, corpus_root)
+        .select(id_col)
+        .join(F.broadcast(pending), id_col, "left_semi")
+        .distinct()
+    )
+    return pending.exceptAll(alive)
+
+
+def prune_ivf_index(spark, index_root: str, deleted_ids: DataFrame) -> dict:
+    """Maintenance twin of the serve-time exclusion: physically
+    retire the assign rows (and their stored codes) of deleted
+    corpus ids — one equality-delete commit on the assign table's
+    own snapshot log (zero data bytes rewritten; the next
+    snapshot_compact of the assign table sheds them physically).
+    After this, serving needs no exclusion for those ids at all."""
+    import posixpath
+
+    from hbase_compact_spark.compaction.snapshots import (
+        snapshot_delete_by_key,
+    )
+
+    return snapshot_delete_by_key(
+        spark,
+        posixpath.join(index_root, "assign"),
+        deleted_ids.select(
+            F.col(deleted_ids.columns[0]).alias("vec_id")
+        ),
+    )
+
+
 def ivfpq_index_topk(
     spark,
     queries: DataFrame,
@@ -1135,6 +1185,7 @@ def ivfpq_index_topk(
     *,
     n_probe: int = 9,
     rerank_factor: int = 80,
+    deleted_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k served FROM the persistent index — the query path a
     100 TB deployment actually runs: centroids, codebook, and the
@@ -1147,7 +1198,12 @@ def ivfpq_index_topk(
     re-trains and re-encodes per call — this is O(queries) work over
     a prebuilt structure: probe n_probe lists, ADC their codes,
     rerank. `corpus` supplies exact vectors for the rerank (base +
-    any incrementally appended delta)."""
+    any incrementally appended delta). `deleted_ids` (one id column,
+    small — index_pending_deletes) is anti-joined against BOTH the
+    stored codes and the rerank corpus, so a corpus row deleted
+    after the index build can never serve from stale codes — the
+    delete-aware contract; prune_ivf_index retires the codes so the
+    exclusion set stays bounded by the un-compacted delete window."""
     import posixpath
 
     from hbase_compact_spark.compaction.snapshots import read_table_at
@@ -1159,6 +1215,14 @@ def ivfpq_index_topk(
     coded = read_table_at(spark, posixpath.join(index_root, "assign")).select(
         "vec_id", "list_id", "code"
     )
+    if deleted_ids is not None:
+        dead = F.broadcast(
+            deleted_ids.select(
+                F.col(deleted_ids.columns[0]).alias("vec_id")
+            ).distinct()
+        )
+        coded = coded.join(dead, "vec_id", "left_anti")
+        corpus = corpus.join(dead, "vec_id", "left_anti")
     q_lists = _assign_lists_pandas(
         queries, "query_id", "qv", cents, n_probe
     ).select("query_id", "list_id")

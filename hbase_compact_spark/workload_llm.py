@@ -1336,6 +1336,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus append must cost O(|delta|) (assign new vectors against the
 # FROZEN persisted centroids), never a re-cluster.
 ANN_IDX_OFFSET = 1_000_000  # appended vec_ids = base + offset
+ANN_IDX_DEL_MOD = 9  # corpus ids deleted after the build: id % 9 == 0
 
 
 def ann_index_root(spark: SparkSession, sf_dir: str) -> str:
@@ -1357,7 +1358,7 @@ def ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     from hbase_compact_spark.sources.memo import memo_root, publish, staging_dir
 
     root, complete = memo_root(
-        sf_dir, "ivfindex", "embeddings", logic_rev="r14a"
+        sf_dir, "ivfindex", "embeddings", logic_rev="r15a"
     )
     if complete:
         return root
@@ -1376,6 +1377,49 @@ def ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     snap = log.read(log.latest())
     if snap.get("op") != "append-partitioned":
         raise RuntimeError(f"index maintenance must append: {snap.get('op')}")
+    # ---- r15 (VERDICT r14 task 4): the corpus lives on after the
+    # build — snapshot-log the served union corpus, MOR-delete a
+    # deterministic id class, resolve the exclusion set from the
+    # PENDING entries (never a corpus rescan), and retire the dead
+    # codes from the assign table with one equality-delete commit.
+    # Serving (ann_index_pq) passes the same exclusion set, so a
+    # deleted doc can never surface from stale codes even BEFORE the
+    # maintenance pass runs.
+    from hbase_compact_spark.compaction.snapshots import snapshot_delete
+    from hbase_compact_spark.functions.similarity import (
+        index_pending_deletes,
+        prune_ivf_index,
+    )
+
+    corpus_root = posixpath.join(tmp, "corpus")
+    union = base.unionByName(delta)
+    union.repartitionByRange(4, "vec_id").write.parquet(corpus_root)
+    SnapshotLog(spark, corpus_root).bootstrap()
+    dres = snapshot_delete(
+        spark,
+        corpus_root,
+        {},
+        mode="mor",
+        condition=f"vec_id % {ANN_IDX_DEL_MOD} = 0",
+    )
+    if not dres["deleted_rows"]:
+        raise RuntimeError(f"vacuous corpus delete: {dres}")
+    dead = index_pending_deletes(spark, corpus_root)
+    n_dead = dead.count()
+    if n_dead != dres["deleted_rows"]:
+        raise RuntimeError(
+            f"exclusion set {n_dead} != deleted {dres['deleted_rows']}"
+        )
+    prune_ivf_index(spark, tmp, dead)
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+
+    n_live = read_table_at(
+        spark, posixpath.join(tmp, "assign")
+    ).count()
+    if n_live + n_dead != 2 * base.count():
+        raise RuntimeError(
+            f"assign prune mismatch: {n_live} live + {n_dead} dead"
+        )
     publish(tmp, root)
     return root
 
@@ -1412,7 +1456,7 @@ def ann_index_root(spark: SparkSession, sf_dir: str) -> str:
       SELECT *, row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cos DESC, list_id) AS rn
       FROM scored
-    ) WHERE rn = 1
+    ) WHERE rn = 1 AND vec_id % {ANN_IDX_DEL_MOD} <> 0
     """,
 )
 def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,22 +1499,30 @@ def ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure is consulted, never rebuilt, per query."""
     from hbase_compact_spark.functions.similarity import ivfpq_index_topk
 
+    from hbase_compact_spark.compaction.snapshots import read_table_at
+    from hbase_compact_spark.functions.similarity import (
+        index_pending_deletes,
+    )
+
     root = ann_index_root(spark, sf_dir)
     base = load_table(spark, sf_dir, "embeddings")
-    union = base.unionByName(
-        base.select(
-            (F.col("vec_id") + F.lit(ANN_IDX_OFFSET)).alias("vec_id"),
-            F.reverse("embedding").alias("embedding"),
-            "label",
-        )
-    )
+    # the LIVE corpus (post-MOR-delete read of the snapshot-logged
+    # union table) supplies the rerank floats; the exclusion set is
+    # the pending-delete resolution — by the fixture's construction
+    # the assign table is already pruned, so the anti-join proves the
+    # serve-time guard costs nothing when maintenance has run, and
+    # the invariant test in tests/test_llm.py proves it ALONE
+    # suffices when maintenance has not
+    corpus_root = posixpath.join(root, "corpus")
+    live = read_table_at(spark, corpus_root)
     out = ivfpq_index_topk(
         spark,
         base.filter(F.col("vec_id") < 5),
-        union,
+        live,
         root,
         k=10,
         n_probe=9,
+        deleted_ids=index_pending_deletes(spark, corpus_root),
         # deeper exact-rerank pool than ann_ivfpq's 80: the served
         # corpus is base+delta (2x) and the delta's codes come from
         # the FROZEN base codebook, so ADC ranks its vectors with

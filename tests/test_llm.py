@@ -1253,10 +1253,13 @@ def test_ann_index_pq_serving_recall(spark):
             "label",
         )
     )
+    # r15: the fixture MOR-deletes id % ANN_IDX_DEL_MOD == 0 after
+    # the build, so the ground truth is brute force over SURVIVORS
+    live = union.filter(F.col("vec_id") % llm.ANN_IDX_DEL_MOD != 0)
     exact = {
         (r["query_id"], r["vec_id"])
         for r in brute_force_topk(
-            base.filter(F.col("vec_id") < 5), union, k=10
+            base.filter(F.col("vec_id") < 5), live, k=10
         ).collect()
     }
     got = sorted(
@@ -1264,6 +1267,9 @@ def test_ann_index_pq_serving_recall(spark):
         for r in llm.ann_index_pq(spark, sf).collect()
     )
     pairs = {(a, b) for a, b, _, _ in got}
+    assert not any(
+        b % llm.ANN_IDX_DEL_MOD == 0 for _, b in pairs
+    ), "a deleted corpus id served from the index"
     recall = len(exact & pairs) / len(exact)
     assert recall >= 0.9, f"served-index recall@10 too low: {recall}"
     again = sorted(
@@ -1271,6 +1277,77 @@ def test_ann_index_pq_serving_recall(spark):
         for r in llm.ann_index_pq(spark, sf).collect()
     )
     assert got == again, "served-index search must be deterministic"
+
+
+def test_index_serve_time_delete_guard_without_maintenance(spark, tmp_path):
+    """The serve-time anti-join ALONE keeps a deleted corpus row out
+    of top-k — before any prune_ivf_index maintenance pass — and
+    recall on the survivors holds the 0.9 floor (VERDICT r14 task 4
+    invariant). Also pins index_pending_deletes' resolution of
+    POSITIONAL entries and its re-append exemption: a deleted-then-
+    re-inserted id must NOT be excluded."""
+    from pyspark.sql import functions as F
+
+    from hbase_compact_spark.compaction.snapshots import (
+        SnapshotLog,
+        append_partitioned,
+        read_table_at,
+        snapshot_delete,
+    )
+    from hbase_compact_spark.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        index_pending_deletes,
+        ivfpq_index_topk,
+    )
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = load_table(spark, sf, "embeddings")
+    index_root = str(tmp_path / "idx")
+    build_ivf_index(spark, base, index_root)
+    corpus_root = str(tmp_path / "corpus")
+    base.repartitionByRange(4, "vec_id").write.parquet(corpus_root)
+    SnapshotLog(spark, corpus_root).bootstrap()
+    # MOR-delete a contiguous block (positional entries), then
+    # RE-APPEND one of the deleted ids — it is alive again and must
+    # not be excluded
+    snapshot_delete(
+        spark, corpus_root, {"vec_id": (100, 119)}, mode="mor"
+    )
+    revived = base.filter(F.col("vec_id") == 105)
+    append_partitioned(spark, corpus_root, revived)
+    dead = index_pending_deletes(spark, corpus_root)
+    dead_ids = {r["vec_id"] for r in dead.collect()}
+    assert dead_ids == set(range(100, 120)) - {105}
+    live = read_table_at(spark, corpus_root)
+    got = ivfpq_index_topk(
+        spark,
+        base.filter(F.col("vec_id") < 5),
+        live,
+        index_root,
+        k=10,
+        n_probe=9,
+        rerank_factor=160,
+        deleted_ids=dead,
+    ).collect()
+    served = {r["vec_id"] for r in got}
+    assert not served & dead_ids, "deleted ids served from stale codes"
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            base.filter(F.col("vec_id") < 5),
+            base.join(
+                dead.withColumnRenamed(dead.columns[0], "vec_id"),
+                "vec_id",
+                "left_anti",
+            ),
+            k=10,
+        ).collect()
+    }
+    pairs = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.9, f"survivor recall too low: {recall}"
 
 
 def test_ann_high_recall_operating_points(spark):

@@ -128,10 +128,16 @@ def main() -> None:
             "label",
         )
     )
+    # r15: the fixture MOR-deletes id % ANN_IDX_DEL_MOD == 0 after
+    # the build (delete-aware serving) — ground truth is the
+    # SURVIVING corpus
+    live_emb = union_emb.filter(
+        F.col("vec_id") % llm.ANN_IDX_DEL_MOD != 0
+    )
     exact_union = {
         (r["query_id"], r["vec_id"])
         for r in sim.brute_force_topk(
-            base_emb.filter(F.col("vec_id") < 5), union_emb, k=10
+            base_emb.filter(F.col("vec_id") < 5), live_emb, k=10
         ).collect()
     }
     t0 = time.perf_counter()
