@@ -1615,6 +1615,39 @@ _MOR_SPLIT_MAX_TOUCHED = int(
 _MOR_LIT_TAG_MAX = int(os.environ.get("HCS_MOR_LIT_TAG_MAX", 64))
 
 
+def _local_meta_path(p: str) -> str | None:
+    """Local-filesystem path of a metadata file/dir, or None when the
+    path is on a non-local scheme (callers then fall back to a
+    distributed read) — the `_manifest_local` discipline for paths
+    that arrive as URIs."""
+    if p.startswith("/"):
+        return p
+    if p.startswith("file:"):
+        return _uri_path(p)
+    return None
+
+
+def _entry_relpaths_pyarrow(paths: list[str], cap: int) -> set[str] | None:
+    """Driver-side pyarrow read of the (bounded) `relpath` column of
+    delete-entry / scope parquets — the same local-path discipline as
+    _load_manifest, so a plan-time probe costs milliseconds instead
+    of a Spark job per MOR read. Returns None past `cap` (mirroring
+    the distributed probe's truncation contract); raises OSError for
+    non-local paths so the caller falls back to the Spark read."""
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for p in paths:
+        local = _local_meta_path(p)
+        if local is None:
+            raise OSError(f"non-local metadata path: {p}")
+        tbl = pq.read_table(local, columns=["relpath"])
+        out.update(tbl.column("relpath").to_pylist())
+        if len(out) > cap:
+            return None
+    return out
+
+
 def _mor_touched_relpaths(spark: SparkSession, pending) -> set[str] | None:
     """Relpaths any pending delete entry may kill rows in — a bounded
     read of the entry parquets' relpath/scope columns. None when the
@@ -1629,6 +1662,15 @@ def _mor_touched_relpaths(spark: SparkSession, pending) -> set[str] | None:
     paths += [scope for _n, _k, scope, _c in pending.eq]
     if not paths:
         return set()
+    # r15: entry parquets are bounded metadata — read them driver-side
+    # with pyarrow when local (they live next to the manifests, same
+    # assumption) so every MOR read stops paying a ~0.3-0.5 s Spark
+    # job at PLAN time; any non-local/unreadable path falls back to
+    # the schema-pruned distributed read below.
+    try:
+        return _entry_relpaths_pyarrow(paths, cap)
+    except Exception:
+        pass
     # ONE schema-pruned job over every entry parquet: positional
     # entries and eq scope files share the relpath column, and the
     # explicit one-column schema makes their differing full schemas
@@ -4309,9 +4351,18 @@ def mor_pending_keys(
     frames: list[DataFrame] = []
     if pending is not None and pending.pos is not None:
         dels = spark.read.parquet(*pending.pos[0])
-        affected = sorted(
-            {r["relpath"] for r in dels.select("relpath").distinct().collect()}
-        )
+        # bounded entry metadata: pyarrow driver-side when local (r15,
+        # see _mor_touched_relpaths), Spark job otherwise
+        try:
+            touched = _entry_relpaths_pyarrow(
+                pending.pos[0], 1 << 62
+            )
+        except Exception:
+            touched = {
+                r["relpath"]
+                for r in dels.select("relpath").distinct().collect()
+            }
+        affected = sorted(touched or ())
         if affected:
             src, rel, pos = _read_relpaths(
                 spark, table_root, affected, declared, with_positions=True
@@ -4333,10 +4384,17 @@ def mor_pending_keys(
         if set(key_cols) <= set(keys.columns):
             frames.append(keys.select(*key_cols))
             continue
-        scope = [
-            r["relpath"]
-            for r in spark.read.parquet(scope_path).select("relpath").collect()
-        ]
+        try:
+            scope = sorted(
+                _entry_relpaths_pyarrow([scope_path], 1 << 62) or ()
+            )
+        except Exception:
+            scope = [
+                r["relpath"]
+                for r in spark.read.parquet(scope_path)
+                .select("relpath")
+                .collect()
+            ]
         live = {p for p, _ in log.files(v)}
         scope = [p for p in scope if p in live]
         if not scope:

@@ -1151,7 +1151,11 @@ def index_pending_deletes(
         .join(F.broadcast(pending), id_col, "left_semi")
         .distinct()
     )
-    return pending.exceptAll(alive)
+    # materialize the bounded exclusion set ONCE (r15): serve-time
+    # consumers broadcast it against both the stored codes and the
+    # rerank corpus, and without the barrier each broadcast would
+    # recompute the corpus semi-join + exceptAll subtree
+    return pending.exceptAll(alive).localCheckpoint(eager=True)
 
 
 def prune_ivf_index(spark, index_root: str, deleted_ids: DataFrame) -> dict:
@@ -1210,11 +1214,27 @@ def ivfpq_index_topk(
     from hbase_compact_spark.shipping import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
-    cents = _cent_rows(read_table_at(spark, posixpath.join(index_root, "cents")))
-    cb = read_table_at(spark, posixpath.join(index_root, "codebook"))
-    coded = read_table_at(spark, posixpath.join(index_root, "assign")).select(
-        "vec_id", "list_id", "code"
-    )
+    # the three index-table opens are independent bounded-metadata
+    # steps (snapshot-log resolution + a small collect for cents);
+    # overlap them so the serve path pays the slowest, not the sum
+    # (guide §2.6: overlap independent jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(
+            lambda: _cent_rows(
+                read_table_at(spark, posixpath.join(index_root, "cents"))
+            )
+        )
+        f_cb = pool.submit(
+            read_table_at, spark, posixpath.join(index_root, "codebook")
+        )
+        f_coded = pool.submit(
+            read_table_at, spark, posixpath.join(index_root, "assign")
+        )
+        cents = f_cents.result()
+        cb = f_cb.result()
+        coded = f_coded.result().select("vec_id", "list_id", "code")
     if deleted_ids is not None:
         dead = F.broadcast(
             deleted_ids.select(

@@ -40,7 +40,12 @@ def pagerank(
     broadcast frames — no driver collect anywhere, so the operator is
     a pure DataFrame program a 1000-executor cluster runs unchanged.
     """
-    edges = edges.select("src", "dst", "weight")
+    # materialize the edge list ONCE (r15): every derived frame below
+    # (nodes, out-weights, normalized edges, dangling set) re-inlines
+    # the caller's full edge-construction pipeline otherwise — for
+    # pagerank_trade that is a fact x fact join re-executed per
+    # consumer (measured: 2 full builds before, 1 after)
+    edges = edges.select("src", "dst", "weight").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

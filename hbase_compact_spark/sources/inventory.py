@@ -60,8 +60,37 @@ def derived_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem has duplicate (orderkey, linenumber) pairs, so duplicates
     collapse via max-aggregation — mirrored in INVENTORY_SQL.
     """
+    # r15 (guide §2.3 "shuffle fewer bytes / narrower types"): the
+    # string keys (region/family/file) are injective functions of
+    # (l_orderkey, l_linenumber, l_returnflag, l_linestatus) — file
+    # encodes orderkey+linenumber uniquely, family its two 1-char
+    # flags — so the dedup aggregation groups on the NARROW source
+    # columns (two ints + two 1-char strings) and the presentation
+    # strings are built once per surviving row AFTER the exchange,
+    # instead of shuffling ~50 B of concatenated strings per row and
+    # hash-comparing them in the aggregate. Same rows out (the DuckDB
+    # INVENTORY_SQL dual is unchanged and stays hash-identical).
     li = load_table(spark, sf_dir, "lineitem")
-    raw = li.select(
+    agg = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            F.floor(F.col("l_extendedprice") * 1000)
+            .cast("long")
+            .alias("size_bytes"),
+            F.col("l_shipdate").alias("mtime"),
+        )
+        .groupBy(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.max("size_bytes").alias("size_bytes"),
+            F.max("mtime").alias("mtime"),
+        )
+    )
+    return agg.select(
         F.lit("lineitem").alias("table_name"),
         F.concat(F.lit("region_"), (F.col("l_orderkey") % 8).cast("string")).alias(
             "region"
@@ -73,12 +102,8 @@ def derived_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("_"),
             F.col("l_linenumber").cast("string"),
         ).alias("file"),
-        F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("size_bytes"),
-        F.col("l_shipdate").alias("mtime"),
-    )
-    return raw.groupBy("table_name", "region", "family", "file").agg(
-        F.max("size_bytes").alias("size_bytes"),
-        F.max("mtime").alias("mtime"),
+        "size_bytes",
+        "mtime",
     )
 
 

@@ -776,13 +776,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not fire across the self-join's aliased subtrees, so without
     # the checkpoint the whole md5-token pipeline runs twice
     sk = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    # band key packed into ONE int — (band_no << 8) | band_byte — so
+    # the self-join shuffles a 4-byte key instead of a 'b:val' string
+    # and the equi-join hashes ints (r15, guide §2.3 narrower types;
+    # the key is pure execution strategy, the output is unchanged)
     bands = sk.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH_PAIR_BANDS - 1}), b -> "
-                f"concat(b, ':', shiftright(simhash, b * 8) & 255))"
+                f"cast(b * 256 + (shiftright(simhash, b * 8) & 255) AS INT))"
             )
         ).alias("band"),
     ).repartition("band")  # materialized once, reused by both join sides
@@ -1514,7 +1518,15 @@ def ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the invariant test in tests/test_llm.py proves it ALONE
     # suffices when maintenance has not
     corpus_root = posixpath.join(root, "corpus")
-    live = read_table_at(spark, corpus_root)
+    # the exclusion-set resolution runs bounded Spark jobs while the
+    # live-corpus read only PLANS — overlap the two independent steps
+    # (guide §2.6) so the serve path pays max, not sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        dead_fut = pool.submit(index_pending_deletes, spark, corpus_root)
+        live = read_table_at(spark, corpus_root)
+        dead = dead_fut.result()
     out = ivfpq_index_topk(
         spark,
         base.filter(F.col("vec_id") < 5),
@@ -1522,7 +1534,7 @@ def ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         k=10,
         n_probe=9,
-        deleted_ids=index_pending_deletes(spark, corpus_root),
+        deleted_ids=dead,
         # deeper exact-rerank pool than ann_ivfpq's 80: the served
         # corpus is base+delta (2x) and the delta's codes come from
         # the FROZEN base codebook, so ADC ranks its vectors with
@@ -3409,9 +3421,14 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fences are rounded to 4 decimals ON BOTH ENGINES before the
     comparison so a last-ulp quantile difference cannot flip a
     boundary row."""
+    # materialized once (r15): the fence build AND the outlier filter
+    # both consume the tokenized frame, and without the barrier the
+    # text-tokenization scan runs twice (broadcast subtree + join
+    # side). The checkpoint holds only (doc_id, lang, n_tokens) —
+    # never the text — so it stays narrow at any scale.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(TX.tokens()).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     fences = exact_group_percentiles(
         docs, "lang", "n_tokens", [("q10", 0.1), ("q90", 0.9)]
     ).select(
@@ -3945,10 +3962,6 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "the [a-z0-9]/end-mark alphabet check — refusing to "
                 "inline untrusted memo content into SQL expressions"
             )
-    word_syms = (
-        f"transform(regexp_extract_all(lower(text), '[a-z0-9]+', 0), "
-        f"w -> concat(split(w, ''), array('{END_MARK}')))"
-    )
     enc = "ws"
     for _, a, b, _c in merges:
         merged = a + b
@@ -3959,21 +3972,52 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
             "ELSE concat(acc, array(s)) END)"
         )
-    encoded = f"transform({word_syms}, ws -> {enc})"
-    n_tokens = (
-        f"aggregate(transform({encoded}, t -> size(t)), "
-        "0L, (acc, n) -> acc + n)"
-    )
-    n_syms = (
-        f"aggregate(transform({word_syms}, t -> size(t)), "
-        "0L, (acc, n) -> acc + n)"
-    )
-    return docs.select(
+    # r15 optimization (guide §1.2 "the distributed algorithm"):
+    # encoding depends only on the WORD, never the document, so the
+    # n_merges-deep fold — an INTERPRETED higher-order-function chain,
+    # the most expensive expression in the engine — runs once per
+    # DISTINCT word instead of once per word INSTANCE (measured
+    # corpus/vocab ratio at sf0.1: 270k instances / 31 words). The
+    # per-doc books are then pure counting: explode the word list,
+    # broadcast-join the tiny (word -> token count) table, aggregate
+    # per doc. Same values bit-for-bit (the parity test recomputes
+    # every doc against the Python reference); the fold cost drops
+    # from O(corpus words x merges) to O(|vocab| x merges) — at real
+    # scale a tokenizer's vocab is ~10^6 while the corpus is ~10^12
+    # word instances, so this is the only shape that survives 100 TB.
+    words = docs.select(
         "doc_id",
-        F.expr(f"cast(size({word_syms}) AS BIGINT)").alias("n_words"),
-        F.expr(n_syms).alias("n_syms"),
-        F.expr(n_tokens).alias("n_tokens"),
-        (F.expr(n_tokens).cast("double") / F.expr(n_syms)).alias(
+        F.explode_outer(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    vocab_tok = (
+        words.where(F.col("w").isNotNull())
+        .select("w")
+        .distinct()
+        .select(
+            "w",
+            F.expr(f"concat(split(w, ''), array('{END_MARK}'))").alias("ws"),
+        )
+        .select("w", F.expr(f"size({enc})").alias("tok"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab_tok), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("w").alias("n_words"),
+            F.coalesce(F.sum(F.length("w") + 1), F.lit(0))
+            .cast("long")
+            .alias("n_syms"),
+            F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_syms",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_syms")).alias(
             "compression"
         ),
     )
