@@ -924,18 +924,29 @@ def ivfpq_topk(
     spark = queries.sparkSession
     ensure_package_on_executors(spark)
 
-    cent_df = label_centroids(corpus)
-    if refine_iters:
-        cent_df = kmeans_refine(corpus, cent_df, refine_iters)
-    cents = _cent_rows(cent_df)
+    # the IVF chain (label centroids + Lloyd's refinement) and the PQ
+    # chain (codebook training) are independent sequences of bounded
+    # driver-merged jobs over the same corpus — overlap them (guide
+    # §2.6) so the build pays the slower chain, not the sum. Results
+    # are unchanged: each chain is deterministic on its own inputs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ivf_chain():
+        cent_df = label_centroids(corpus)
+        if refine_iters:
+            cent_df = kmeans_refine(corpus, cent_df, refine_iters)
+        return _cent_rows(cent_df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cents = pool.submit(_ivf_chain)
+        cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
+        cents = f_cents.result()
     c_lists = _assign_lists_pandas(corpus, "vec_id", "cv2", cents, 1).select(
         "vec_id", "list_id"
     )
     q_lists = _assign_lists_pandas(
         queries, "query_id", "qv", cents, n_probe
     ).select("query_id", "list_id")
-
-    cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
     enc = pq_encode(corpus, cb, dims=dims)
     coded = enc.join(c_lists, "vec_id").localCheckpoint(eager=False)
     qt = F.broadcast(q_lists.join(_adc_query_tables(queries, cb, dims), "query_id"))

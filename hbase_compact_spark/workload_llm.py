@@ -2174,8 +2174,15 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     / low-quality-repetition signal used to filter pretraining data
     (a doc whose trigrams mostly repeat is navigation chrome, tables,
     or degenerate generation). Pure array expressions over one scan;
-    the 3-gram window reuses the shingle builder."""
-    docs = _docs_with(spark, sf_dir, grams=TX.shingles(w=3))
+    the 3-gram window reuses the shingle builder. fan_out spreads the
+    shingle build + array_distinct off the one-file fixture scan
+    (r15: the whole gram pass otherwise runs on ONE core — same
+    single-partition trap dedup_simhash documents)."""
+    from hbase_compact_spark.functions.multimodal import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "grams", TX.shingles(w=3)
+    )
     return docs.select(
         "doc_id",
         "lang",
