@@ -1480,10 +1480,16 @@ def _relpath_expr(spark: SparkSession, table_root: str, path_col):
     # qualified root's first occurrence in the decoded URI is the
     # true anchor — scheme and authority cannot contain '/',
     # so nothing before the path can first-match a '/'-leading root.
-    return decoded.substr(
-        F.locate(root_abs + "/", decoded) + F.lit(len(root_abs) + 1),
-        F.lit(1 << 20),
-    )
+    # guard the miss (ADVICE r14): locate()==0 — e.g. a
+    # symlink-canonicalization mismatch between makeQualified and
+    # _metadata.file_path — must map to '' (matches nothing) like the
+    # old regexp_extract did, NOT to a garbage suffix that could make
+    # a positional-delete anti-join silently resurrect deleted rows
+    loc = F.locate(root_abs + "/", decoded)
+    return F.when(
+        loc > 0,
+        decoded.substr(loc + F.lit(len(root_abs) + 1), F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
 
 
 def _mor_cols(df: DataFrame) -> tuple[str, str]:
@@ -4799,7 +4805,34 @@ def snapshot_rollback(
     # parquet partitions, multiset-equal to the batch feed. Cost is
     # one exceptAll over the DIFFERING rows only — the metadata-only
     # commit itself stays O(1) data bytes moved.
-    old_df, new_df = _change_sides(spark, log, latest, to_version)
+    # r15 (ADVICE r14): when every crossed commit is provably
+    # row-preserving — compaction (fingerprint-verified rewrite that
+    # only applies already-subtracted MOR entries) or a metadata-only
+    # annotation — the revert's row-level diff is EMPTY by
+    # construction, so the changelog can be the empty artifact
+    # WITHOUT the two full-table exceptAll scans. A rollback across
+    # a compact is the canonical operational undo at the 100 TB
+    # design point; it is metadata-only again. Any unknown or
+    # row-changing op (append/delete/merge/mor_*/evolve/expired gap)
+    # falls through to the exact scan-based materialization.
+    _ROW_PRESERVING_OPS = {
+        "compact",
+        "stats",
+        "blooms",
+        "set-sort-order",
+        "shard-manifest",
+        "evolve-partitioning",
+    }
+    known = set(log.versions())
+    crossed = range(to_version + 1, latest + 1)
+    row_preserving = all(
+        v in known and log.read(v).get("op") in _ROW_PRESERVING_OPS
+        for v in crossed
+    )
+    if row_preserving:
+        old_df = new_df = None
+    else:
+        old_df, new_df = _change_sides(spark, log, latest, to_version)
     if old_df is None and new_df is None:
         # nothing differs (e.g. rollback of a no-op range): an empty
         # artifact dir still lets the tail cross with zero partitions

@@ -59,13 +59,65 @@ def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _learn_merges_local(
+    rows, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side twin of the distributed merge loop — the IDENTICAL
+    algorithm on a collected vocabulary: weighted adjacent-pair
+    counts, argmax with the (count desc, a asc, b asc) tie-break, and
+    the greedy left-to-right non-overlapping rewrite. Bit-parity with
+    the distributed branch is pinned in tests/test_llm.py."""
+    words = [(list(r["syms"]), int(r["freq"])) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for pr in zip(syms, syms[1:]):
+                counts[pr] = counts.get(pr, 0) + freq
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, int(c)))
+        merged = a + b
+        nxt = []
+        for syms, freq in words:
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            nxt.append((acc, freq))
+        words = nxt
+    return merges
+
+
 def learn_merges(
     vocab: DataFrame, n_merges: int = 8
 ) -> list[tuple[int, str, str, int]]:
     """The first `n_merges` BPE merges over a (word, freq, syms)
     vocabulary: [(rank, sym_a, sym_b, weighted_pair_freq), ...].
     Symbols are alphanumeric runs + the end marker, so inlining them
-    as SQL string literals is injection-safe by construction."""
+    as SQL string literals is injection-safe by construction.
+
+    r15: the vocabulary is bounded by |distinct words| — when it fits
+    under ``HCS_BPE_DRIVER_VOCAB_MAX`` rows (default 200k; 0 forces
+    the distributed loop) it is collected ONCE and the iteration runs
+    driver-side, turning n_merges sequential Spark jobs (one weighted
+    pair-count + argmax per merge) into zero. Past the cap the
+    distributed loop below is unchanged — the same env-capped
+    driver-branch discipline as dedup_clusters' union-find. Both
+    branches are the same algorithm with the same tie-break; parity
+    is pinned by a forced-branch test."""
+    import os as _os
+
+    cap = int(_os.environ.get("HCS_BPE_DRIVER_VOCAB_MAX", "200000"))
+    if cap > 0:
+        head = vocab.select("w", "freq", "syms").limit(cap + 1).collect()
+        if len(head) <= cap:
+            return _learn_merges_local(head, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (

@@ -657,6 +657,25 @@ def test_bpe_merges_deterministic_and_monotone(spark):
     assert all(a and b for _, a, b, _ in m1)
 
 
+def test_bpe_learn_merges_driver_branch_parity(spark, monkeypatch):
+    """The r15 driver-side merge loop (vocab under
+    HCS_BPE_DRIVER_VOCAB_MAX, collected once) must produce the
+    IDENTICAL merge list as the distributed per-merge job loop
+    (forced with cap=0) — same pair counts, same (count desc, a, b)
+    tie-break, same greedy left-to-right rewrite."""
+    from hbase_compact_spark.functions.bpe import build_vocab, learn_merges
+    from hbase_compact_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    monkeypatch.setenv("HCS_BPE_DRIVER_VOCAB_MAX", "200000")
+    local = learn_merges(build_vocab(docs), 6)
+    monkeypatch.setenv("HCS_BPE_DRIVER_VOCAB_MAX", "0")
+    dist = learn_merges(build_vocab(docs), 6)
+    assert local == dist
+    assert len(local) == 6
+
+
 def test_corpus_split_assignment_is_content_independent(spark):
     """The split contract: assignment depends ONLY on the stable doc
     key, so computing it over any subset (or after appends) yields

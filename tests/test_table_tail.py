@@ -425,6 +425,41 @@ def test_cdc_tail_rides_rollback_via_changelog(spark, tmp_path):
     assert {k for k, c in net.items() if c > 0} == live
 
 
+def test_rollback_across_compact_only_range_is_scan_free(spark, tmp_path):
+    """r15 (ADVICE r14): a rollback whose crossed range holds only
+    row-preserving commits (compact) writes the EMPTY changelog
+    artifact without the two full-table exceptAll scans — the commit
+    is metadata-only again. The CDC tail still rides (zero rows for
+    the rollback version) and batch read_changes agrees."""
+    root = _staged_table(spark, tmp_path, n_appends=1)  # v1, v2
+    res_c = S.snapshot_compact(spark, root, target_bytes=1 << 30)  # v3
+    assert res_c["rewritten"]
+    lg = S.SnapshotLog(spark, root)
+    v3 = lg.latest()
+    assert lg.read(v3)["op"] == "compact"
+    grp = "rollback_scanfree"
+    spark.sparkContext.setJobGroup(grp, grp)
+    res = S.snapshot_rollback(spark, root, v3 - 1)  # back across compact
+    spark.sparkContext.setJobGroup(None, None)
+    assert not res.get("noop")
+    v4 = lg.latest()
+    entry = lg.read(v4)["changelog"]
+    assert entry[1] == 0 and entry[2] == 0, "diff must be empty"
+    # scan-free: the rollback commit ran ZERO Spark jobs
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(grp)
+    assert len(jobs) == 0, f"expected a metadata-only commit, ran {jobs}"
+    # read_changes across the rollback is empty; the table still reads
+    # as the pre-compact state
+    assert S.read_changes(spark, root, v4 - 1, v4).count() == 0
+    assert S.read_table_at(spark, root).count() == 30
+    # a rollback across a ROW-CHANGING range still materializes
+    S.snapshot_delete(spark, root, {"id": (0, 2)})
+    res2 = S.snapshot_rollback(spark, root, v4)
+    lg2 = S.SnapshotLog(spark, root)
+    entry2 = lg2.read(lg2.latest())["changelog"]
+    assert entry2[2] == 3, "revert of the delete must re-insert 3 rows"
+
+
 def test_cdc_tail_refuses_artifactless_rewrites(spark, tmp_path):
     """A rewrite WITHOUT a change artifact (a legacy pre-artifact
     commit) still refuses with the read_changes resume pointer.
