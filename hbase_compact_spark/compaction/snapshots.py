@@ -74,9 +74,16 @@ MOR_BROADCAST_ROWS = int(
 DISTRIBUTED_PRUNE_THRESHOLD = 20_000
 
 # immutable manifests (uuid-named, write-once) → a tiny global cache
-# is sound; capped so huge tables don't pin memory
+# is sound; capped so huge tables don't pin memory. Guarded by a lock:
+# the serve-path thread overlaps (similarity.ivfpq_index_topk,
+# workload_llm.ann_index_pq) run read_table_at/mor_pending_keys
+# concurrently, and the unsynchronized evict sequence could
+# double-pop or StopIteration on an emptied dict (ADVICE r15).
+import threading as _threading
+
 _MANIFEST_CACHE: dict[str, dict] = {}
 _MANIFEST_CACHE_CAP = 8
+_MANIFEST_CACHE_LOCK = _threading.Lock()
 
 MANIFEST_SCHEMA_DDL = (
     "relpath string, size long, stats string, blooms string"
@@ -511,13 +518,14 @@ def _load_manifest_files(local_path: str) -> list[tuple[str, int]]:
     files() accessor: the stats/bloom payload columns are never
     materialized, so listing a bloom-annotated 10⁶-file table costs
     megabytes of names on the driver, not gigabytes of bitsets."""
-    full = _MANIFEST_CACHE.get(local_path)
-    if full is not None:
-        return full["files"]
-    key = local_path + "#files"
-    hit = _MANIFEST_CACHE.get(key)
-    if hit is not None:
-        return hit
+    with _MANIFEST_CACHE_LOCK:
+        full = _MANIFEST_CACHE.get(local_path)
+        if full is not None:
+            return full["files"]
+        key = local_path + "#files"
+        hit = _MANIFEST_CACHE.get(key)
+        if hit is not None:
+            return hit
     tbl = _read_manifest_table(local_path, columns=["relpath", "size"])
     files = sorted(
         zip(
@@ -525,9 +533,10 @@ def _load_manifest_files(local_path: str) -> list[tuple[str, int]]:
             (int(x) for x in tbl.column("size").to_pylist()),
         )
     )
-    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[key] = files
+    with _MANIFEST_CACHE_LOCK:
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[key] = files
     return files
 
 
@@ -539,9 +548,10 @@ def _load_manifest(local_path: str) -> dict:
     rewritten)."""
     import json as _json
 
-    hit = _MANIFEST_CACHE.get(local_path)
-    if hit is not None:
-        return hit
+    with _MANIFEST_CACHE_LOCK:
+        hit = _MANIFEST_CACHE.get(local_path)
+        if hit is not None:
+            return hit
     tbl = _read_manifest_table(local_path)
     files: list[tuple[str, int]] = []
     stats: dict[str, dict] = {}
@@ -560,9 +570,10 @@ def _load_manifest(local_path: str) -> dict:
                 blooms[rel] = parsed
     files.sort()
     out = {"files": files, "stats": stats, "blooms": blooms}
-    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
-        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
-    _MANIFEST_CACHE[local_path] = out
+    with _MANIFEST_CACHE_LOCK:
+        while len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[local_path] = out
     return out
 
 
@@ -4356,9 +4367,13 @@ def mor_pending_keys(
     declared, _pc = log.schema(v)
     frames: list[DataFrame] = []
     if pending is not None and pending.pos is not None:
-        dels = spark.read.parquet(*pending.pos[0])
         # bounded entry metadata: pyarrow driver-side when local (r15,
-        # see _mor_touched_relpaths), Spark job otherwise
+        # see _mor_touched_relpaths), Spark job otherwise. The entry
+        # schema is fixed by _write_delete_file, so the fallback (and
+        # the broadcast read below) declare it explicitly — no
+        # schema-inference footer pass, and no DataFrame is built at
+        # all on the probe-only path (r16, VERDICT task 7).
+        _entry_schema = "relpath string, pos long"
         try:
             touched = _entry_relpaths_pyarrow(
                 pending.pos[0], 1 << 62
@@ -4366,10 +4381,17 @@ def mor_pending_keys(
         except Exception:
             touched = {
                 r["relpath"]
-                for r in dels.select("relpath").distinct().collect()
+                for r in spark.read.schema(_entry_schema)
+                .parquet(*pending.pos[0])
+                .select("relpath")
+                .distinct()
+                .collect()
             }
         affected = sorted(touched or ())
         if affected:
+            dels = spark.read.schema(_entry_schema).parquet(
+                *pending.pos[0]
+            )
             src, rel, pos = _read_relpaths(
                 spark, table_root, affected, declared, with_positions=True
             )

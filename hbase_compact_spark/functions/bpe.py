@@ -115,9 +115,22 @@ def learn_merges(
 
     cap = int(_os.environ.get("HCS_BPE_DRIVER_VOCAB_MAX", "200000"))
     if cap > 0:
-        head = vocab.select("w", "freq", "syms").limit(cap + 1).collect()
+        # One size-probe-and-fetch job over (w, freq) only — the
+        # initial symbol array is build_vocab's deterministic function
+        # of the word (chars + END_MARK), so it is rebuilt driver-side
+        # instead of collected: the over-cap probe never ships the
+        # arrays, and the under-cap collect is half the bytes
+        # (ADVICE r15).
+        head = vocab.select("w", "freq").limit(cap + 1).collect()
         if len(head) <= cap:
-            return _learn_merges_local(head, n_merges)
+            rows = [
+                {
+                    "syms": list(r["w"]) + [END_MARK],
+                    "freq": r["freq"],
+                }
+                for r in head
+            ]
+            return _learn_merges_local(rows, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (

@@ -929,7 +929,14 @@ def ivfpq_topk(
     # driver-merged jobs over the same corpus — overlap them (guide
     # §2.6) so the build pays the slower chain, not the sum. Results
     # are unchanged: each chain is deterministic on its own inputs.
+    # inheritable_thread_target propagates the caller's job group /
+    # local properties into the pool thread under pinned-thread mode,
+    # so the overlapped jobs stay cancellable and UI-attributable
+    # (ADVICE r15). The chains never mutate session conf — pinned by
+    # tests/test_plans.py::test_overlapped_chains_leave_session_conf_alone.
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target as _itt
 
     def _ivf_chain():
         cent_df = label_centroids(corpus)
@@ -938,7 +945,7 @@ def ivfpq_topk(
         return _cent_rows(cent_df)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_cents = pool.submit(_ivf_chain)
+        f_cents = pool.submit(_itt(_ivf_chain))
         cb = pq_codebook(corpus, dims=dims, iters=refine_iters)
         cents = f_cents.result()
     c_lists = _assign_lists_pandas(corpus, "vec_id", "cv2", cents, 1).select(
@@ -1231,17 +1238,29 @@ def ivfpq_index_topk(
     # (guide §2.6: overlap independent jobs)
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target as _itt
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_cents = pool.submit(
-            lambda: _cent_rows(
-                read_table_at(spark, posixpath.join(index_root, "cents"))
+            _itt(
+                lambda: _cent_rows(
+                    read_table_at(spark, posixpath.join(index_root, "cents"))
+                )
             )
         )
         f_cb = pool.submit(
-            read_table_at, spark, posixpath.join(index_root, "codebook")
+            _itt(
+                lambda: read_table_at(
+                    spark, posixpath.join(index_root, "codebook")
+                )
+            )
         )
         f_coded = pool.submit(
-            read_table_at, spark, posixpath.join(index_root, "assign")
+            _itt(
+                lambda: read_table_at(
+                    spark, posixpath.join(index_root, "assign")
+                )
+            )
         )
         cents = f_cents.result()
         cb = f_cb.result()

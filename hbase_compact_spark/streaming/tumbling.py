@@ -114,6 +114,46 @@ class state_store_provider:
         return False
 
 
+def staged_input_bytes(path: str) -> int:
+    """Total parquet bytes under a staged stream input (single file,
+    or a directory of batch/part files) — the driver-side size signal
+    stream_state_width derives the state width from."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def stream_state_width(spark: SparkSession, staged_bytes: int) -> int:
+    """Shuffle/state-store width for a bounded streaming query,
+    derived from the staged input size: every stateful operator opens
+    AND commits one store per shuffle partition per micro-batch (a
+    stream-stream join holds four), so the per-batch floor is linear
+    in the width while the work is linear in the data — a
+    fixture-scale stream wants few stores, a rehearsal-scale one real
+    parallelism. ~2 MB of staged input per partition, clamped to
+    [1, defaultParallelism]; HCS_STREAM_STATE_PARTITIONS overrides
+    for deployments whose state/input ratio differs. Measured at
+    sf0.1 (stream_stream_join_outer, 5 pinned batches): addBatch
+    1.3 s -> 0.6 s per batch going 8 -> 2 partitions, identical
+    emissions."""
+    env = os.environ.get("HCS_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return int(
+        min(
+            spark.sparkContext.defaultParallelism,
+            max(1, staged_bytes // (2 << 20) + 1),
+        )
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as a bounded stream (file source). Event-time
     normalization is shared with the batch path (tables.normalize_ts)

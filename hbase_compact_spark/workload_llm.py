@@ -530,12 +530,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SIZE-ADAPTIVE execution (same split as snapshots.scan_plan):
     # the dup-pair graph is metadata-scale — a tiny fraction of the
     # corpus at any realistic near-dup rate — so below the bound we
-    # run union-find on the driver (one collect of the bounded edge
-    # list, zero iterative jobs); above it, the distributed
-    # label-propagation loop below takes over unchanged. Both yield
-    # the identical min-doc_id component labeling.
-    n_pairs = prs.count()  # cheap: _fuzzy_pair_estimates checkpoints
-    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+    # run union-find on the driver (one bounded collect, zero
+    # iterative jobs); above it, the distributed label-propagation
+    # loop below takes over unchanged. Both yield the identical
+    # min-doc_id component labeling. limit(cap+1) probes size and
+    # fetches the edge list in ONE job on the checkpointed pairs
+    # (a separate count would be a second job for no information).
+    pair_rows = prs.limit(CC_DRIVER_MAX_PAIRS + 1).collect()
+    if len(pair_rows) <= CC_DRIVER_MAX_PAIRS:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -546,25 +548,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        for row in prs.collect():
-            ra, rb = find(row["doc_a"]), find(row["doc_b"])
+        verts: set[int] = set()
+        for row in pair_rows:
+            a, b = row["doc_a"], row["doc_b"]
+            verts.add(a)
+            verts.add(b)
+            ra, rb = find(a), find(b)
             if ra != rb:
                 # min root wins -> label = component's min doc_id
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(d, find(d)) for d in parent]
-        labels = (
-            spark.createDataFrame(rows, "doc_id long, label long")
+        # Labels AND sizes resolve driver-side (the vertex set is
+        # bounded by 2x the pair cap): the corpus then pays exactly
+        # one pass — a broadcast left-join attaching the bounded
+        # cluster table, singletons defaulting via coalesce. The old
+        # shape (anti-join + union + corpus-wide groupBy + join-back)
+        # ran 3 corpus-scale exchanges and ~8 AQE jobs whose per-stage
+        # scheduling floor made the 32-core run 5x SLOWER than 8-core.
+        lab = {d: find(d) for d in verts}
+        from collections import Counter
+
+        csize = Counter(lab.values())
+        rows = [(d, r, csize[r]) for d, r in lab.items()]
+        schema = "doc_id long, cluster_id long, cluster_size long"
+        members = (
+            spark.createDataFrame(rows, schema)
             if rows
-            else spark.createDataFrame([], "doc_id long, label long")
+            else spark.createDataFrame([], schema)
         )
-        singletons = docs.join(
-            labels.select("doc_id"), "doc_id", "left_anti"
-        ).select("doc_id", F.col("doc_id").alias("label"))
-        labels = labels.unionByName(singletons)
-        sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-        return labels.join(sizes, "label").select(
-            "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+        return docs.join(F.broadcast(members), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
         )
     edges = (
         prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -598,13 +615,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    singletons = docs.join(labels.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("label")
-    )
-    labels = labels.unionByName(singletons)
+    # Sizes over the BOUNDED vertex-label set (every member of a
+    # non-trivial component is a dup-graph vertex), then one left-join
+    # pass over the corpus with singletons defaulting via coalesce —
+    # the corpus is scanned once instead of twice (anti-join + union)
+    # and the groupBy/join-back shuffles run at |V(dup graph)|, never
+    # |corpus|.
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    members = labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+    return docs.join(members, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
     )
 
 
@@ -1523,8 +1547,12 @@ def ann_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.6) so the serve path pays max, not sum
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target as _itt
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        dead_fut = pool.submit(index_pending_deletes, spark, corpus_root)
+        dead_fut = pool.submit(
+            _itt(lambda: index_pending_deletes(spark, corpus_root))
+        )
         live = read_table_at(spark, corpus_root)
         dead = dead_fut.result()
     out = ivfpq_index_topk(

@@ -20,8 +20,18 @@ from hbase_compact_spark.registry import query
 from hbase_compact_spark.streaming.tumbling import (
     events_stream,
     run_bounded,
+    staged_input_bytes,
+    stream_state_width,
     tumbling_counts,
 )
+
+
+def _events_width(spark: SparkSession, sf_dir: str) -> int:
+    """State width for streams sourced from the raw events table —
+    derived from the staged parquet size (see stream_state_width)."""
+    return stream_state_width(
+        spark, staged_input_bytes(posixpath.join(sf_dir, "events.parquet"))
+    )
 
 
 @query(
@@ -43,7 +53,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed agg -> memory sink, availableNow trigger). State-store
     count sized for the fixture stream (see run_bounded docstring)."""
     return run_bounded(
-        tumbling_counts(events_stream(spark, sf_dir)), n_partitions=8
+        tumbling_counts(events_stream(spark, sf_dir)),
+        n_partitions=_events_width(spark, sf_dir),
     )
 
 
@@ -95,7 +106,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("error_id", "click_id", "user_id")
     # stream-stream joins keep TWO stores per partition; the fixture
     # stream is small, so fewer partitions = far less store init cost
-    return run_bounded(joined, mode="append", n_partitions=8)
+    return run_bounded(
+        joined, mode="append", n_partitions=_events_width(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------
@@ -279,7 +292,10 @@ def stream_stream_join_outer(
         "left_outer",
     ).select("error_id", "click_id", "user_id")
     out = run_bounded(
-        joined, mode="append", n_partitions=8, progress=progress
+        joined,
+        mode="append",
+        n_partitions=stream_state_width(spark, staged_input_bytes(staging)),
+        progress=progress,
     )
     # the sentinels' own rows (and their mutual match) leave with one
     # post-hoc batch filter; their state is the price of draining
@@ -523,7 +539,10 @@ def stream_session_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT the registered query because full-state re-emission is exactly
     the shape that dies at scale. Pinned result-equal to the append
     path in tests/test_daemon_streaming.py."""
-    return run_bounded(_session_agg(events_stream(spark, sf_dir)), n_partitions=8)
+    return run_bounded(
+        _session_agg(events_stream(spark, sf_dir)),
+        n_partitions=_events_width(spark, sf_dir),
+    )
 
 
 @query("stream_restart_recovery", oracle=_SESSION_ORACLE_SQL)
@@ -588,6 +607,12 @@ def stream_restart_recovery(
                 posixpath.join(out_root, f"b{batch_id:05d}")
             )
 
+        # width derived from the FULL staging size (not the half that
+        # has arrived), so both phases compute the identical value —
+        # the state-store partition count is baked into the checkpoint
+        # and must not change across the restart
+        width = stream_state_width(spark, staged_input_bytes(staging))
+
         def _run(tag: str) -> list[str]:
             ev = (
                 spark.readStream.schema(schema)
@@ -595,9 +620,7 @@ def stream_restart_recovery(
                 .parquet(live)
             )
             prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-            # 8 stores, pinned IDENTICALLY across the restart: the
-            # state-store partition count is baked into the checkpoint
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
             try:
                 q = (
                     _session_agg(ev)
@@ -676,7 +699,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cardinality a batch DISTINCT would shuffle."""
     ev = events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = ev.dropDuplicates(["user_id", "event_type"])
-    return run_bounded(deduped, mode="append", n_partitions=8)
+    return run_bounded(
+        deduped, mode="append", n_partitions=_events_width(spark, sf_dir)
+    )
 
 
 @query(
@@ -723,7 +748,12 @@ def stream_dedup_bounded(
         .dropDuplicatesWithinWatermark(["user_id", "day"])
         .select("user_id", "day")
     )
-    out = run_bounded(dd, mode="append", n_partitions=8, progress=progress)
+    out = run_bounded(
+        dd,
+        mode="append",
+        n_partitions=stream_state_width(spark, staged_input_bytes(staging)),
+        progress=progress,
+    )
     return out.where(F.col("user_id") != _SESSION_SENTINEL_USER)
 
 
@@ -759,7 +789,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_bounded(agg, n_partitions=8)
+    return run_bounded(agg, n_partitions=_events_width(spark, sf_dir))
 
 
 @query(
@@ -791,7 +821,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(
         stateful_user_totals(ev),
         mode="update",
-        n_partitions=8,
+        n_partitions=_events_width(spark, sf_dir),
         heavy_state=True,
     )
 
@@ -1013,7 +1043,11 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain O(metrics) on the driver even when the group state is
     # table-sized (the sf10 rehearsal's fix, r14)
     run_bounded(
-        agg, mode="update", n_partitions=4, progress=progress, sink="noop"
+        agg,
+        mode="update",
+        n_partitions=stream_state_width(spark, staged_input_bytes(staging)),
+        progress=progress,
+        sink="noop",
     )
     n_input = sum(int(p["numInputRows"]) for p in progress)
     # UNIT of the metric (pinned in tests): numRowsDroppedByWatermark
@@ -1142,7 +1176,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_bounded(agg, n_partitions=8)
+    return run_bounded(agg, n_partitions=_events_width(spark, sf_dir))
 
 
 # --------------------------------------------------------------------

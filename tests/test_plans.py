@@ -500,3 +500,35 @@ def test_transform_scan_witness_is_broadcast_not_single_partition(spark):
     p = _plan(spark, "snapshot_transform_scan")
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_overlapped_chains_leave_session_conf_alone(spark, monkeypatch):
+    """The driver-thread overlaps (ivfpq_topk's IVF/PQ training
+    chains, ivfpq_index_topk's index-table opens, ann_index_pq's
+    exclusion-set resolution) share ONE SparkSession. Session conf is
+    session-global, so a conf.set inside any overlapped chain would
+    race against the sibling chain (VERDICT r15 item 10) — pin that
+    the chains never touch it. ann_ivfpq covers the training-overlap
+    path; ann_index_pq covers the serve-path overlap including
+    mor_pending_keys/read_table_at."""
+    calls: list[tuple[str, str]] = []
+    import threading
+
+    real_set = type(spark.conf).set
+    main = threading.current_thread().name
+
+    def recording_set(self, key, value=None):
+        calls.append((threading.current_thread().name, str(key)))
+        return real_set(self, key, value)
+
+    monkeypatch.setattr(type(spark.conf), "set", recording_set)
+    sf = "/root/testdata/sf0.001"
+    _Q["ann_ivfpq"](spark, sf).collect()
+    _Q["ann_index_pq"](spark, sf).collect()
+    # the main thread's load_table UTC pin is an idempotent driver-
+    # contract guard, not a race; only WORKER-thread mutations race
+    # against the sibling chain
+    worker_sets = [c for c in calls if c[0] != main]
+    assert worker_sets == [], (
+        f"session conf mutated from an overlapped chain: {worker_sets}"
+    )
