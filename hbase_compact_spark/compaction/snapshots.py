@@ -1527,8 +1527,14 @@ def _anti_join_deletes(
     broadcasts below MOR_BROADCAST_ROWS (no shuffle on the 100 TB data
     side — the Iceberg MOR read shape); past that it degrades to a
     shuffled anti-join, still exact."""
-    dels = spark.read.parquet(*delete_paths).select(
-        F.col("relpath").alias(rel_col), F.col("pos").alias(pos_col)
+    # entry schema is fixed by _write_delete_file — declaring it
+    # skips the per-plan footer-inference job (r16)
+    dels = (
+        spark.read.schema("relpath string, pos long")
+        .parquet(*delete_paths)
+        .select(
+            F.col("relpath").alias(rel_col), F.col("pos").alias(pos_col)
+        )
     )
     if total_rows <= MOR_BROADCAST_ROWS:
         dels = F.broadcast(dels)
@@ -1566,8 +1572,11 @@ def _apply_eq_deletes(
         keys = keys.withColumn(km, F.lit(True))
         if n_keys <= MOR_BROADCAST_ROWS:
             keys = F.broadcast(keys)
+        # scope schema is fixed by the eq-delete writer (one cast
+        # string column) — declared, no inference job (r16)
         scope = F.broadcast(
-            spark.read.parquet(scope_path)
+            spark.read.schema("relpath string")
+            .parquet(scope_path)
             .select(F.col("relpath").alias(rel_col))
             .withColumn(sm, F.lit(True))
         )
@@ -1793,15 +1802,21 @@ def _read_relpaths(
             # profile measured the per-row URI mapping at 6-8 s per
             # 2M-row file; a literal costs nothing after constant
             # folding). row_index off _metadata stays — it is cheap.
-            frames = []
-            for keys in sorted(groups, key=sorted):
+            # Schema-less (legacy/bootstrap) tables reuse the GROUP
+            # read's already-resolved schema: re-inferring per FILE
+            # cost one footer job per file at plan time (r16 —
+            # measured 6 jobs -> 2 building the ANN corpus MOR read).
+            lit_frames = []
+            for g_idx, keys in enumerate(sorted(groups, key=sorted)):
+                g_schema = (
+                    schema if schema is not None else frames[g_idx].schema
+                )
                 for p in groups[keys]:
                     reader = spark.read
                     if keys:
                         reader = reader.option("basePath", table_root)
-                    if schema is not None:
-                        reader = reader.schema(schema)
-                    frames.append(
+                    reader = reader.schema(g_schema)
+                    lit_frames.append(
                         reader.parquet(
                             posixpath.join(table_root, p)
                         ).select(
@@ -1810,6 +1825,7 @@ def _read_relpaths(
                             F.col("_metadata.row_index").alias(pos),
                         )
                     )
+            frames = lit_frames
         else:
             frames = [
                 f.select(

@@ -1153,13 +1153,47 @@ def index_pending_deletes(
     pending MOR delete keys (O(entries), snapshots.mor_pending_keys)
     minus the ids still alive in the corpus read — one column-pruned
     id scan with a broadcast semi-join, only paid when pending
-    entries exist. Never a full-corpus join against the index."""
+    entries exist. Never a full-corpus join against the index.
+
+    r16: the pending set is bounded by the un-compacted delete window
+    (prune_ivf_index retires it), so under HCS_IDX_DEAD_DRIVER_MAX
+    rows the subtraction resolves DRIVER-side and the result is a
+    LOCAL relation — serve-time consumers broadcast it twice with
+    zero recompute and zero checkpoint jobs (the r15 eager
+    checkpoints existed only to stop that recompute; measured 27
+    Spark jobs -> 2 for the warm serve-path resolution at sf0.1).
+    Past the cap (0 disables) the r15 checkpointed distributed path
+    is unchanged."""
+    import os as _os
+
     from hbase_compact_spark.compaction.snapshots import (
         mor_pending_keys,
         read_table_at,
     )
 
     pending = mor_pending_keys(spark, corpus_root, [id_col])
+    cap = int(_os.environ.get("HCS_IDX_DEAD_DRIVER_MAX", "1000000"))
+    if cap > 0:
+        rows = pending.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            if not rows:
+                return spark.createDataFrame([], pending.schema)
+            local = spark.createDataFrame(rows, pending.schema)
+            # no distributed distinct: the driver-side set dedups,
+            # and skipping it removes a shuffle's worth of AQE stages
+            alive = {
+                r[0]
+                for r in read_table_at(spark, corpus_root)
+                .select(id_col)
+                .join(F.broadcast(local), id_col, "left_semi")
+                .collect()
+            }
+            # pending is DISTINCT by construction (mor_pending_keys),
+            # so set subtraction equals the distributed exceptAll
+            dead = [r for r in rows if r[0] not in alive]
+            if not dead:
+                return spark.createDataFrame([], pending.schema)
+            return spark.createDataFrame(dead, pending.schema)
     pending = pending.localCheckpoint(eager=True)
     if not pending.limit(1).count():
         return pending

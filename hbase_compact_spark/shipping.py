@@ -16,11 +16,18 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
 
 _SHIPPED_APPS: set[str] = set()
+# Concurrent driver threads (serve-path overlaps, the test session's
+# memo prebuild) may race this module: the pid-suffixed tmp name is
+# NOT unique across threads, so two packagers could truncate each
+# other's tmp and one os.replace would FileNotFoundError. Packaging
+# runs once per content signature — serializing it is free.
+_SHIP_LOCK = threading.Lock()
 
 
 def _package_files() -> list[str]:
@@ -38,6 +45,13 @@ def _package_files() -> list[str]:
 def ensure_package_on_executors(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED_APPS:
+        return
+    with _SHIP_LOCK:
+        _ensure_locked(spark, app_id)
+
+
+def _ensure_locked(spark: SparkSession, app_id: str) -> None:
+    if app_id in _SHIPPED_APPS:  # raced another thread past the fast check
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     files = _package_files()
